@@ -1,0 +1,296 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Core relational suite over the TPC-H-ish driver tables.
+  *
+  * These exercise the engine substrate every imposm3-derived operator sits
+  * on: partial-aggregate groupBy, broadcast vs shuffle joins, semi/anti
+  * joins, windows, rollup, union-distinct, top-k. Each query has an exact
+  * DuckDB oracle (see `oracles`).
+  */
+object Relational {
+
+  // -- q1: full-table aggregation (TPC-H Q1 shape; map-side partial agg) ----
+  private def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // -- q6: selective filter + single aggregate (predicate pushdown path) ----
+  private def q6Revenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.filter(col("l_shipdate") >= lit("1995-01-01") &&
+              col("l_shipdate") < lit("1996-01-01") &&
+              col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+              col("l_quantity") < 24)
+      .agg(coalesce(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))),
+                    lit(0).cast("decimal(18,2)"))
+             .cast("double").as("revenue"),
+           count(lit(1)).as("n_rows"))
+  }
+
+  // -- q3: 3-way shuffle join + group by derived year -----------------------
+  private def q3RevenueBySegment(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o  = t(s, dir, "orders")
+    val c  = t(s, dir, "customer")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"), year(col("o_orderdate")).cast("long").as("order_year"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_mktsegment", "order_year")
+  }
+
+  // -- q5: star join through nation/region with local-supplier predicate ----
+  private def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o  = t(s, dir, "orders")
+    val c  = t(s, dir, "customer")
+    val su = t(s, dir, "supplier")
+    val n  = t(s, dir, "nation")
+    val r  = t(s, dir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(su), li("l_suppkey") === su("s_suppkey") &&
+                           c("c_nationkey") === su("s_nationkey"))
+      .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+             .cast("double").as("revenue"),
+           count(lit(1)).as("n_lineitems"))
+      .orderBy("r_name", "n_name")
+  }
+
+  // -- q4: EXISTS via left-semi join ----------------------------------------
+  private def q4SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val o  = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  // -- anti: NOT EXISTS via left-anti join ----------------------------------
+  private def qAntiOrders(s: SparkSession, dir: String): DataFrame = {
+    val o  = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  // -- window: top-3 orders per customer ------------------------------------
+  private def qWindowTop3(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rk")
+  }
+
+  // -- sessionize: gap>30min sessions from the events stream table ----------
+  private def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    // ts arrives as a long (ns since epoch) via nanosAsLong; DuckDB sees a
+    // TIMESTAMP_NS — oracles use epoch(ts)::BIGINT == ts DIV 1e9 here.
+    val ev = t(s, dir, "events")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    ev.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+             (expr("ts DIV 1000000000") - expr("prev_ts DIV 1000000000")) > 1800, 1L)
+          .otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  // -- rollup over event_type ------------------------------------------------
+  private def qRollupEvents(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    ev.rollup("event_type")
+      .agg(count(lit(1)).as("n_events"),
+           sum(dec(col("value"))).cast("double").as("total_value"))
+      .orderBy(asc_nulls_first("event_type"))
+  }
+
+  // -- top-k with deterministic tiebreak ------------------------------------
+  private def qTopParts(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p  = t(s, dir, "part")
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy("p_partkey", "p_brand")
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+             .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("p_partkey"))
+      .limit(10)
+  }
+
+  // -- union + distinct -------------------------------------------------------
+  private def qUnionUsers(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val a = ev.filter(col("event_type") === "purchase" && col("value") > 100)
+      .select("user_id")
+    val b = ev.filter(col("event_type") === "error").select("user_id")
+    a.union(b).distinct().orderBy("user_id")
+  }
+
+  // -- conditional aggregation (pivot-shaped) --------------------------------
+  private def qUserActivity(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    ev.groupBy("user_id")
+      .agg(
+        count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+        count(when(col("event_type") === "error", 1)).as("n_error"),
+        coalesce(sum(when(col("event_type") === "purchase", dec(col("value")))),
+                 lit(0).cast("decimal(18,2)")).cast("double").as("purchase_value"))
+      .orderBy("user_id")
+  }
+
+  // -- broadcast-join min/max stats ------------------------------------------
+  private def qNationStats(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg(min(col("c_acctbal")).as("min_bal"),
+           max(col("c_acctbal")).as("max_bal"),
+           count(lit(1)).as("n_customers"))
+      .orderBy("n_name")
+  }
+
+  // -- string functions --------------------------------------------------------
+  private def qPartTypes(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+    p.groupBy(substring(col("p_type"), 1, 8).as("type_prefix"))
+      .agg(count(lit(1)).as("n_parts"),
+           min(col("p_name")).as("first_name"),
+           max(col("p_size")).cast("long").as("max_size"))
+      .orderBy("type_prefix")
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "q1_pricing_summary"    -> (q1PricingSummary _),
+    "q6_filtered_revenue"   -> (q6Revenue _),
+    "q3_revenue_by_segment" -> (q3RevenueBySegment _),
+    "q5_local_supplier"     -> (q5LocalSupplier _),
+    "q4_semi_join"          -> (q4SemiJoin _),
+    "q_anti_orders"         -> (qAntiOrders _),
+    "q_window_top3"         -> (qWindowTop3 _),
+    "q_sessionize"          -> (qSessionize _),
+    "q_rollup_events"       -> (qRollupEvents _),
+    "q_top_parts"           -> (qTopParts _),
+    "q_union_users"         -> (qUnionUsers _),
+    "q_user_activity"       -> (qUserActivity _),
+    "q_nation_stats"        -> (qNationStats _),
+    "q_part_types"          -> (qPartTypes _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        | COUNT(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q6_filtered_revenue" ->
+      """SELECT
+        | CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))), 0) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "q3_revenue_by_segment" ->
+      """SELECT c_mktsegment, CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | COUNT(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT r_name, n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_lineitems
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q4_semi_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_anti_orders" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_window_top3" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        | FROM orders)
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    "q_sessionize" ->
+      """SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events FROM (
+        | SELECT user_id,
+        |  CASE WHEN prev_ts IS NULL
+        |        OR (epoch(ts)::BIGINT - epoch(prev_ts)::BIGINT) > 1800 THEN 1 ELSE 0 END AS new_sess
+        | FROM (SELECT user_id, ts, event_id,
+        |        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |       FROM events))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_rollup_events" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY ROLLUP(event_type)
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
+    "q_top_parts" ->
+      """SELECT p_partkey, p_brand,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1, 2 ORDER BY revenue DESC, p_partkey LIMIT 10""".stripMargin,
+    "q_union_users" ->
+      """SELECT DISTINCT user_id FROM (
+        | SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 100
+        | UNION ALL
+        | SELECT user_id FROM events WHERE event_type = 'error')
+        |ORDER BY user_id""".stripMargin,
+    "q_user_activity" ->
+      """SELECT user_id,
+        | COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        | COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+        | CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS purchase_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_nation_stats" ->
+      """SELECT n_name, MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
+        | COUNT(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_part_types" ->
+      """SELECT substr(p_type, 1, 8) AS type_prefix, COUNT(*) AS n_parts,
+        | MIN(p_name) AS first_name, CAST(MAX(p_size) AS BIGINT) AS max_size
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}
