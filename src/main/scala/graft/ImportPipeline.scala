@@ -1,0 +1,241 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.GeomFunctions._
+import graft.mapping._
+import graft.model.Ids
+import graft.operators.{RelationAssembly, WayAssembly}
+import graft.sources.OsmXml.Bundle
+
+/** End-to-end batch import: OSM element frames + compiled mapping ->
+  * one DataFrame per output table (the §3.1 `imposm import` lifecycle,
+  * import_/import.go:24-308, re-expressed as one Spark DAG).
+  *
+  * Phase structure disappears into DAG dependencies: the LevelDB caches
+  * become the `coords`/`assembled` frames, the three sequential writer
+  * fan-outs become three branches unioned per destination table.
+  */
+final class ImportPipeline(
+    spark: SparkSession,
+    mapping: CompiledMapping,
+    srid: Int = 3857) extends Serializable {
+
+  import spark.implicits._
+
+  private val single = mapping.conf.singleIdSpace
+
+  /** Run the import; returns table name -> rows (lazy frames). */
+  def run(bundle: Bundle): Map[String, DataFrame] = {
+    // -- shared inputs --------------------------------------------------------
+    // every coordinate passes through the reference's uint32 cache codec
+    def projectXY(df: DataFrame): DataFrame = {
+      val qlon = quantizeCoord(col("lon"))
+      val qlat = quantizeCoord(col("lat"))
+      if (srid == 3857) df.withColumn("x", mercX(qlon)).withColumn("y", mercY(qlat))
+      else df.withColumn("x", qlon).withColumn("y", qlat)
+    }
+    val coords = projectXY(bundle.coords).select(col("id"), col("x"), col("y"))
+
+    // capture matchers/filters as locals: UDF closures must not drag the
+    // pipeline (and the full parsed config) into the serialized task
+    val ntf = mapping.nodeTagFilter
+    val wtf = mapping.wayTagFilter
+    val rtf = mapping.relationTagFilter
+    val nodeFilter = udf((t: Map[String, String]) => ntf.filter(t))
+    val wayFilter = udf((t: Map[String, String]) => wtf.filter(t))
+    val relFilter = udf((t: Map[String, String]) => rtf.filter(t))
+
+    val pm = mapping.pointMatcher
+    val lm = mapping.lineStringMatcher
+    val gm = mapping.polygonMatcher
+    val rm = mapping.relationMatcher
+    val mm = mapping.relationMemberMatcher
+    val matchNode = udf((t: Map[String, String]) => pm.matchNode(t))
+    val matchLine = udf((t: Map[String, String], closed: Boolean) => lm.matchWay(t, closed))
+    val matchWayPoly = udf((t: Map[String, String], closed: Boolean) => gm.matchWay(t, closed))
+    val matchRelPoly = udf((t: Map[String, String]) => gm.matchRelation(t))
+    val matchRel = udf((t: Map[String, String]) => rm.matchRelation(t))
+    val matchRelMember = udf((t: Map[String, String]) => mm.matchRelation(t))
+
+    // -- node branch (writer/nodes.go:46-97) ----------------------------------
+    val nodesXY = projectXY(bundle.nodes).select(col("id"), col("x"), col("y"), col("tags"))
+    val nodeRows = nodesXY
+      .withColumn("tags", nodeFilter(col("tags")))
+      .withColumn("__matches", matchNode(col("tags")))
+      .filter(size(col("__matches")) > 0)
+      .withColumn("__geom", pointWkb(srid)(col("x"), col("y")))
+      .withColumn("__id", col("id"))
+      .select(explodeMatches: _*)
+
+    // -- way branch (writer/ways.go:67-130) -----------------------------------
+    val waysF = bundle.ways
+      .withColumn("tags", wayFilter(col("tags")))
+      .withColumn("__closed",
+        size(col("refs")) >= 4 && col("refs").getItem(0) === element_at(col("refs"), -1))
+      .withColumn("__line", matchLine(col("tags"), col("__closed")))
+      .withColumn("__poly", matchWayPoly(col("tags"), col("__closed")))
+
+    val matchedWayIds = waysF
+      .filter(size(col("__line")) > 0 || size(col("__poly")) > 0)
+      .select(col("id"))
+    val memberWayIds = bundle.relations
+      .select(explode(col("members")).as("m"))
+      .filter(col("m.type") === 1)
+      .select(col("m.id").as("id"))
+    val assembleIds = matchedWayIds.union(memberWayIds).distinct()
+    val assembled = WayAssembly
+      .resolve(bundle.ways.join(assembleIds, Seq("id"), "left_semi"), coords)
+      .persist()
+
+    val wayIdCol = (if (single) -col("id") else col("id")).cast(LongType)
+    val lineRows = waysF
+      .filter(size(col("__line")) > 0)
+      .join(assembled, Seq("id"))
+      .withColumn("__geom", lineWkb(srid)(col("nodes")))
+      .filter(col("__geom").isNotNull)
+      .withColumn("__id", wayIdCol)
+      .withColumn("__matches", col("__line"))
+      .select(explodeMatches: _*)
+    val wayPolyRows = waysF
+      .filter(size(col("__poly")) > 0)
+      .join(assembled, Seq("id"))
+      .withColumn("__geom", polygonValidWkb(srid)(col("nodes")))
+      .filter(col("__geom").isNotNull)
+      .withColumn("__id", wayIdCol)
+      .withColumn("__matches", col("__poly"))
+      .select(explodeMatches: _*)
+
+    // -- relation branch (writer/relations.go:72-136) --------------------------
+    val relsF = bundle.relations
+      .withColumn("tags", relFilter(col("tags")))
+      .withColumn("__poly", matchRelPoly(col("tags")))
+      .withColumn("__rel", matchRel(col("tags")))
+      .withColumn("__member", matchRelMember(col("tags")))
+      .persist()
+
+    val relIdCol = (if (single) lit(Ids.RelIDOffset) - col("rel_id")
+                    else -col("rel_id")).cast(LongType)
+
+    // multipolygon rows (handleMultiPolygon)
+    val polyRels = relsF.filter(size(col("__poly")) > 0)
+    val wayMembers = polyRels
+      .select(col("id").as("rel_id"), explode(col("members")).as("m"))
+      .filter(col("m.type") === 1)
+      .select(col("rel_id"), col("m.id").as("m_id"))
+    val assembledXY = assembled
+      .join(bundle.ways.select(col("id"), col("refs")), Seq("id"))
+      .select(col("id"), col("refs"),
+        expr("transform(nodes, n -> n.x)").as("xs"),
+        expr("transform(nodes, n -> n.y)").as("ys"))
+    val relGeoms = RelationAssembly.multiPolygons(spark, wayMembers, assembledXY, srid)
+    val relPolyRows = polyRels
+      .join(relGeoms, polyRels("id") === relGeoms("rel_id"))
+      .withColumn("__id", relIdCol)
+      .withColumn("__matches", col("__poly"))
+      .select(explodeMatches: _*)
+
+    // relation rows: matched relations, no geometry (handleRelation)
+    val relRows = relsF
+      .filter(size(col("__rel")) > 0)
+      .withColumn("rel_id", col("id"))
+      .withColumn("__geom", lit(null).cast("binary"))
+      .withColumn("__id", relIdCol)
+      .withColumn("__matches", col("__rel"))
+      .select(explodeMatches: _*)
+
+    // relation_member rows (handleRelationMembers): resolve EVERY member;
+    // any unresolved member drops the whole relation. Node members fall
+    // back to untagged coords (relations.go:236-246).
+    val allNodesXY = coords.join(
+      bundle.nodes.select(col("id"), col("tags")), Seq("id"), "left")
+    val memberRows = relationMemberRows(relsF, assembled, allNodesXY, relIdCol)
+
+    // -- route rows to destination tables --------------------------------------
+    val stages: Seq[DataFrame] =
+      Seq(nodeRows, lineRows, wayPolyRows, relPolyRows, relRows) ++ memberRows.toSeq
+
+    mapping.conf.tables.values.map { table =>
+      val isMember = table.tableType == TableType.RelationMember
+      val parts = (if (isMember) memberRows.toSeq else stages.take(5))
+        .map(df => projectTable(df, table, isMember))
+      table.name -> parts.reduce(_ unionByName _)
+    }.toMap
+  }
+
+  /** Explode `__matches` into one row per matched (table, submapping). */
+  private def explodeMatches: Seq[Column] = Seq(
+    col("__id"), col("tags"), col("__geom"),
+    explode(col("__matches")).as("__m"))
+
+  private def projectTable(stage: DataFrame, table: TableConf, isMember: Boolean): DataFrame = {
+    val flat = stage
+      .withColumn("__key", col("__m.key"))
+      .withColumn("__value", col("__m.value"))
+      .filter(col("__m.table") === table.name)
+    flat.select(table.columns.map(c => ColumnBuilders.build(table, c, isMember)): _*)
+  }
+
+  /** handleRelationMembers (writer/relations.go:216-283). */
+  private def relationMemberRows(
+      relsF: DataFrame,
+      assembled: DataFrame,
+      nodesXY: DataFrame,
+      relIdCol: Column): Option[DataFrame] = {
+    if (!mapping.conf.tables.values.exists(_.tableType == TableType.RelationMember))
+      return None
+    val memberRels = relsF.filter(size(col("__member")) > 0)
+
+    val m = memberRels.select(
+      col("id").as("rel_id"), col("tags").as("rel_tags"), col("__member"),
+      posexplode(col("members")).as(Seq("__member_index", "m")))
+      .select(col("rel_id"), col("rel_tags"), col("__member"),
+        col("__member_index"), col("m.id").as("__member_id"),
+        col("m.type").as("__member_type"), col("m.role").as("__member_role"))
+
+    // node members: tagged nodes first, coords fallback (relations.go:232-251)
+    val nodeSide = nodesXY.select(col("id").as("n_id"), col("x").as("n_x"),
+      col("y").as("n_y"), col("tags").as("n_tags"))
+    val relSide = relsF.select(col("id").as("r_id"), col("tags").as("r_tags"))
+    val waySide = assembled.select(col("id").as("w_id"), col("nodes").as("w_nodes"))
+
+    val resolved = m
+      .join(nodeSide, col("__member_type") === 0 && col("__member_id") === col("n_id"), "left")
+      .join(waySide, col("__member_type") === 1 && col("__member_id") === col("w_id"), "left")
+      .join(relSide, col("__member_type") === 2 && col("__member_id") === col("r_id"), "left")
+      .withColumn("__resolved",
+        when(col("__member_type") === 0, col("n_id").isNotNull)
+          .when(col("__member_type") === 1, col("w_id").isNotNull)
+          .otherwise(col("r_id").isNotNull))
+      .withColumn("__member_tags",
+        when(col("__member_type") === 0, coalesce(col("n_tags"), map()))
+          .when(col("__member_type") === 2, coalesce(col("r_tags"), map()))
+          .otherwise(map()))
+      .withColumn("__geom",
+        when(col("__member_type") === 0, pointWkb(srid)(col("n_x"), col("n_y")))
+          .when(col("__member_type") === 1, lineWkb(srid)(col("w_nodes"))))
+
+    // all-or-nothing per relation across ALL members
+    val okRels = resolved.groupBy(col("rel_id").as("ok_rel"))
+      .agg((count(lit(1)) === sum(when(col("__resolved"), 1).otherwise(0))).as("__all_ok"))
+      .filter(col("__all_ok")).select(col("ok_rel"))
+
+    val rows = resolved
+      .join(okRels, resolved("rel_id") === okRels("ok_rel"))
+      .withColumn("__id", relIdCol)
+      .withColumn("tags", col("rel_tags"))
+      .select(col("__id"), col("tags"), col("__geom"),
+        explode(col("__member")).as("__m"),
+        col("__member_id"), col("__member_type"), col("__member_role"),
+        col("__member_index"), col("__member_tags"))
+    Some(rows)
+  }
+
+}
+
+object ImportPipeline {
+  def apply(spark: SparkSession, mappingFile: String, srid: Int = 3857): ImportPipeline =
+    new ImportPipeline(spark, new CompiledMapping(MappingConf.fromFile(mappingFile)), srid)
+}

@@ -1,7 +1,7 @@
 package graft.mapping
 
 import java.{util => ju}
-import scala.collection.immutable.VectorMap
+import scala.collection.immutable.ListMap
 import scala.jdk.CollectionConverters._
 
 /** Parsed mapping-file model (reference mapping/config/config.go:9-118).
@@ -47,7 +47,7 @@ final case class TableConf(
     name: String,
     tableType: String,
     mapping: Vector[(String, Vector[OrderedValue])],
-    subMappings: VectorMap[String, Vector[(String, Vector[OrderedValue])]],
+    subMappings: ListMap[String, Vector[(String, Vector[OrderedValue])]],
     typeMappings: TypeMappingsConf,
     columns: Seq[ColumnConf],
     filters: Option[FiltersConf],
@@ -60,8 +60,8 @@ final case class TagsConf(loadAll: Boolean, include: Seq[String], exclude: Seq[S
 final case class AreasConf(areaTags: Set[String], linearTags: Set[String])
 
 final case class MappingConf(
-    tables: VectorMap[String, TableConf],
-    generalizedTables: VectorMap[String, GenTableConf],
+    tables: ListMap[String, TableConf],
+    generalizedTables: ListMap[String, GenTableConf],
     tags: TagsConf,
     areas: AreasConf,
     singleIdSpace: Boolean)
@@ -187,10 +187,10 @@ object MappingConf {
       tableType = tpe,
       mapping = m.get("mapping").map(keyValues).getOrElse(Vector.empty),
       subMappings = m.get("mappings").map { sm =>
-        VectorMap.from(asMap(sm).asScala.toVector.map { case (sn, sv) =>
+        ListMap.from(asMap(sm).asScala.toVector.map { case (sn, sv) =>
           sn -> keyValues(asMap(sv).asScala.getOrElse("mapping", null))
         })
-      }.getOrElse(VectorMap.empty),
+      }.getOrElse(ListMap.empty),
       typeMappings = TypeMappingsConf(
         points = tm.get("points").map(keyValues).getOrElse(Vector.empty),
         linestrings = tm.get("linestrings").map(keyValues).getOrElse(Vector.empty),
@@ -206,10 +206,10 @@ object MappingConf {
 
   private def parse(root: ju.Map[String, Any]): MappingConf = {
     val m = root.asScala
-    val tables = VectorMap.from(
+    val tables = ListMap.from(
       m.get("tables").map(asMap).map(_.asScala.toVector).getOrElse(Vector.empty)
         .map { case (name, tv) => name -> parseTable(name, tv) })
-    val genTables = VectorMap.from(
+    val genTables = ListMap.from(
       m.get("generalized_tables").map(asMap).map(_.asScala.toVector).getOrElse(Vector.empty)
         .map { case (name, gv) =>
           val gm = asMap(gv).asScala
