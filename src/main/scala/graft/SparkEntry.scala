@@ -17,16 +17,18 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries
+    Relational.queries ++ TextOps.queries ++ Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles
+    Relational.oracles ++ TextOps.oracles ++ Similarity.oracles
 
   /** Headline subset timed by Bench (kept fast enough for sf0.1 per-round). */
   def benchQueries: Seq[String] = Seq(
     "q1_pricing_summary", "q3_revenue_by_segment", "q5_local_supplier",
-    "q_window_top3", "q_sessionize", "q_top_parts"
+    "q_window_top3", "q_sessionize", "q_top_parts",
+    "d_dedup_minhash", "d_dedup_simhash", "d_token_stats",
+    "s_cosine_topk", "s_ann_lsh"
   )
 }

@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`Array[Float]`, dim 64).
+  *
+  * Three tiers, from exact to scale-path:
+  *  - `s_cosine_topk`: brute-force cosine top-k — the correctness baseline.
+  *    At 100 TB this is the broadcast-queries × scan-corpus pattern: queries
+  *    are broadcast, the corpus scan is embarrassingly parallel, and the
+  *    top-k per query is a tree-aggregated partial sort (Spark's window over
+  *    a 10-row partition key here; a `TopByKeyAggregator` shape at fleet
+  *    scale).
+  *  - `s_ann_lsh`: random-hyperplane LSH where the hyperplanes are the first
+  *    8 corpus vectors (deterministic, data-derived). Candidates meet only
+  *    inside a shared 8-bit sign-code bucket — the shuffle key is the code,
+  *    never the O(n²) pair space. Multi-probe (flipping low-margin bits)
+  *    is the recall knob at scale.
+  *  - `s_ann_ivf`: one-shot IVF — the first 16 vectors act as cell
+  *    centroids; every vector is assigned to its nearest cell, queries probe
+  *    their 2 nearest cells. This is the partition-pruning pattern: at 100 TB
+  *    the corpus would be written bucketed by cell id so a probe reads 2/16
+  *    of the data.
+  *
+  * Determinism: all arithmetic is double-precision with identical operation
+  * order on both engines (sequential fold dot products), similarities are
+  * rounded to 6 dp before any ordering/threshold decision, ties break on ids.
+  */
+object Similarity {
+
+  /** Corpus with doubled components and precomputed L2 norm. */
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("e"))
+      .withColumn("nrm",
+        expr("sqrt(aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (a, x) -> a + x))"))
+
+  private val dotQE: Column =
+    expr("aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (a, x) -> a + x)")
+
+  // -- brute-force cosine top-k ------------------------------------------------
+  private def cosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+    val q = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val scored = v.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("sim_r", round(dotQE / (col("qn") * col("nrm")), 6))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("q_id").orderBy(col("sim_r").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("sim_r"))
+      .orderBy("q_id", "rnk")
+  }
+
+  // -- LSH (random-hyperplane / sign-code) ANN --------------------------------
+  private def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+    val anchors = v.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("a_id"), col("e").as("ae"))
+    val codes = v.select(col("vec_id"), col("e").as("qe"))
+      .crossJoin(broadcast(anchors))
+      .withColumn("dot", expr("aggregate(zip_with(qe, ae, (x, y) -> x * y), 0D, (a, x) -> a + x)"))
+      .groupBy("vec_id")
+      .agg(sum(when(col("dot") > 0,
+        expr("shiftleft(1L, cast(a_id as int))")).otherwise(0L)).as("code"))
+    val coded = v.join(codes, Seq("vec_id"))
+    val q = coded.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"),
+        col("code"))
+    val cand = coded.join(broadcast(q), Seq("code"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("sim_r", round(dotQE / (col("qn") * col("nrm")), 6))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("q_id").orderBy(col("sim_r").desc, col("vec_id"))
+    cand.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        col("sim_r"), col("code"))
+      .orderBy("q_id", "rnk")
+  }
+
+  // -- one-shot IVF ANN --------------------------------------------------------
+  private def annIvf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = vecs(s, dir)
+    val cents = v.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
+    // nearest-cell assignment for every corpus vector
+    val simToCent = v.select(col("vec_id"), col("e").as("qe"), col("nrm").as("qn"), col("e"), col("nrm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", round(
+        expr("aggregate(zip_with(qe, ce, (x, y) -> x * y), 0D, (a, x) -> a + x)")
+          / (col("qn") * col("cn")), 6))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("c_id"))
+    val assigned = simToCent
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") <= 2)
+      .select(col("vec_id"), col("e"), col("nrm"), col("c_id").as("cell"),
+        col("crk"))
+    val cells = assigned.filter(col("crk") === 1)
+      .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
+    // queries probe their 2 nearest cells
+    val probes = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"),
+        col("cell"))
+    val cand = cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("sim_r", round(dotQE / (col("qn") * col("nrm")), 6))
+    val w = Window.partitionBy("q_id").orderBy(col("sim_r").desc, col("vec_id"))
+    cand.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        col("sim_r"), col("cell"))
+      .orderBy("q_id", "rnk")
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "s_cosine_topk" -> (cosineTopK _),
+    "s_ann_lsh"     -> (annLsh _),
+    "s_ann_ivf"     -> (annIvf _)
+  )
+
+  private val vSql =
+    """v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+      |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "s_cosine_topk" ->
+      s"""WITH $vSql,
+         |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM v WHERE vec_id < 10),
+         |p AS (SELECT q_id, vec_id AS neighbor_id,
+         |    round(list_dot_product(qe, e) / (qn * nrm), 6) AS sim_r
+         |  FROM q, v WHERE vec_id != q_id),
+         |r AS (SELECT q_id, neighbor_id, sim_r,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sim_r DESC, neighbor_id) AS rnk
+         |  FROM p)
+         |SELECT q_id, rnk::BIGINT AS rnk, neighbor_id, sim_r FROM r
+         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "s_ann_lsh" ->
+      s"""WITH $vSql,
+         |a AS (SELECT vec_id AS a_id, e AS ae FROM v WHERE vec_id < 8),
+         |codes AS (SELECT v.vec_id,
+         |    sum(CASE WHEN list_dot_product(v.e, a.ae) > 0
+         |      THEN (1::BIGINT << a.a_id::INT) ELSE 0 END)::BIGINT AS code
+         |  FROM v, a GROUP BY 1),
+         |coded AS (SELECT v.vec_id, v.e, v.nrm, codes.code
+         |  FROM v JOIN codes ON v.vec_id = codes.vec_id),
+         |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn, code FROM coded WHERE vec_id < 10),
+         |cand AS (SELECT q.q_id, c.vec_id AS neighbor_id, q.code,
+         |    round(list_dot_product(q.qe, c.e) / (q.qn * c.nrm), 6) AS sim_r
+         |  FROM q JOIN coded c ON q.code = c.code AND q.q_id != c.vec_id),
+         |r AS (SELECT q_id, neighbor_id, sim_r, code,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sim_r DESC, neighbor_id) AS rnk
+         |  FROM cand)
+         |SELECT q_id, rnk::BIGINT AS rnk, neighbor_id, sim_r, code FROM r
+         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "s_ann_ivf" ->
+      s"""WITH $vSql,
+         |c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM v WHERE vec_id < 16),
+         |sims AS (SELECT v.vec_id, v.e, v.nrm, c.c_id,
+         |    round(list_dot_product(v.e, c.ce) / (v.nrm * c.cn), 6) AS csim
+         |  FROM v, c),
+         |ranked AS (SELECT vec_id, e, nrm, c_id AS cell, csim,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS crk
+         |  FROM sims),
+         |cells AS (SELECT vec_id, e, nrm, cell FROM ranked WHERE crk = 1),
+         |probes AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn, cell
+         |  FROM ranked WHERE crk <= 2 AND vec_id < 10),
+         |cand AS (SELECT p.q_id, cl.vec_id AS neighbor_id, p.cell,
+         |    round(list_dot_product(p.qe, cl.e) / (p.qn * cl.nrm), 6) AS sim_r
+         |  FROM probes p JOIN cells cl ON p.cell = cl.cell AND p.q_id != cl.vec_id),
+         |r AS (SELECT q_id, neighbor_id, sim_r, cell,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sim_r DESC, neighbor_id) AS rnk
+         |  FROM cand)
+         |SELECT q_id, rnk::BIGINT AS rnk, neighbor_id, sim_r, cell FROM r
+         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+  )
+}

@@ -1,0 +1,370 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data text operators over the `documents` table: deduplication
+  * (exact, canonical-fingerprint, n-gram Jaccard, MinHash+LSH, SimHash),
+  * token statistics, quality scoring and language-ID.
+  *
+  * Determinism contract with the DuckDB oracles: every hash is md5 (identical
+  * hex on both engines); similarity scores are ratios of exact BIGINT counts
+  * (single IEEE double division — bit-identical on both sides); every output
+  * ends in a total ORDER BY.
+  *
+  * Scale notes (100 TB):
+  *  - candidate generation never materializes the O(n²) cross join: n-gram
+  *    dedup goes through a shingle inverted index, MinHash through LSH band
+  *    buckets, SimHash through byte-band buckets — all shuffle on a
+  *    high-cardinality key and meet only plausible pairs;
+  *  - everything is built from codegen'd `functions._`/higher-order
+  *    expressions, no Scala UDFs on the hot path.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+
+  /** Distinct 5-char shingles (character n-grams spanning token boundaries). */
+  private val shingleExpr: Column = expr(
+    "array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)), " +
+      "i -> substring(text, i, 5)))")
+
+  /** Lower-cased alnum word tokens. */
+  private val tokensExpr: Column =
+    expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+
+  // -- exact dedup: hash-groupBy, survivor = min id ---------------------------
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_copies"))
+      .orderBy("text_hash")
+
+  // -- canonical fingerprint dedup: md5 of sorted distinct token set ----------
+  private def dedupFingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("toks", tokensExpr)
+      .withColumn("fingerprint",
+        md5(concat_ws(" ", array_sort(array_distinct(col("toks"))))))
+      .groupBy("fingerprint")
+      .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_docs"))
+      .orderBy("fingerprint")
+
+  // -- n-gram Jaccard near-dup pairs via shingle inverted index ---------------
+  // Scale path: explode shingles -> self-join on shingle (high-cardinality
+  // shuffle key) -> count common per pair -> jaccard from exact set sizes.
+  // A pair with J > 0.5 must share shingles, so the index join is a lossless
+  // candidate generator (frequency capping would be the knob at 100 TB).
+  private def dedupNgram(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), shingleExpr.as("ss"))
+    val sized = d.withColumn("n_sh", size(col("ss")))
+    val inv = sized.select(col("doc_id"), col("n_sh"), explode(col("ss")).as("s"))
+    val a = inv.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"), col("s"))
+    val b = inv.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"), col("s"))
+    a.join(b, Seq("s")).filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id", "a_n", "b_n")
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("n_union", col("a_n") + col("b_n") - col("n_common"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / col("n_union").cast("double"))
+      .filter(col("jaccard") > 0.5)
+      .select(col("a_id"), col("b_id"), col("n_common"), col("n_union"), col("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Distinct word-trigram shingles (the MinHash item space — far more
+    * discriminative than char n-grams on natural text, and 5-10× smaller). */
+  private val trigramExpr: Column = expr(
+    "array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), " +
+      "i -> concat_ws(' ', slice(split(text, ' '), i, 3))))")
+
+  // -- MinHash + LSH dedup -----------------------------------------------------
+  // k=12 md5-seeded min-hashes over word trigrams, 4 bands of 3; candidates =
+  // band-bucket join; candidates then verified with EXACT jaccard >= 0.7 (so
+  // LSH is purely a pruning step and the result is deterministic on both
+  // engines). Shape matters at scale: the band join and the pair-distinct run
+  // over (band, id) longs only — the shingle sets are re-joined per candidate
+  // id afterwards, so the shuffle never carries the big arrays.
+  private def dedupMinHash(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), trigramExpr.as("ss"))
+      .withColumn("sig", expr(
+        "transform(sequence(0, 11), i -> " +
+          "array_min(transform(ss, s -> md5(concat(cast(i as string), ':', s)))))"))
+      .persist()
+    val bands = d.select(col("doc_id"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> md5(concat(" +
+          "element_at(sig, 3*b + 1), '|', element_at(sig, 3*b + 2), '|', " +
+          "element_at(sig, 3*b + 3))))"))
+        .as(Seq("band_idx", "band_hash")))
+    val a = bands.select(col("band_idx"), col("band_hash"), col("doc_id").as("a_id"))
+    val b = bands.select(col("band_idx"), col("band_hash"), col("doc_id").as("b_id"))
+    val cand = a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val sets = d.select(col("doc_id"), col("ss"))
+    cand
+      .join(sets.select(col("doc_id").as("a_id"), col("ss").as("a_ss")), Seq("a_id"))
+      .join(sets.select(col("doc_id").as("b_id"), col("ss").as("b_ss")), Seq("b_id"))
+      .withColumn("n_common", size(array_intersect(col("a_ss"), col("b_ss"))))
+      .withColumn("n_union",
+        size(col("a_ss")) + size(col("b_ss")) - col("n_common"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / col("n_union").cast("double"))
+      .filter(col("jaccard") >= 0.7)
+      .select(col("a_id"), col("b_id"), col("n_common"), col("n_union"), col("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
+  // -- SimHash dedup -----------------------------------------------------------
+  // 16-bit simhash over weighted word tokens (hash = first 4 md5 hex chars);
+  // near-dup pairs via 2 byte-bands (pigeonhole: hamming<=1 always caught;
+  // the <=3 filter below is exact on the banded candidates on both engines).
+  private def simhashSigs(s: SparkSession, dir: String): DataFrame = {
+    val tf = docs(s, dir)
+      .select(col("doc_id"), explode(tokensExpr).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .withColumn("h", expr("cast(conv(substring(md5(tok), 1, 4), 16, 10) as bigint)"))
+    tf.select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(0, 15), b -> " +
+            "struct(b as b, c * (2 * ((shiftright(h, b) % 2)) - 1) as contrib))"))
+          .as("bc"))
+      .select(col("doc_id"), col("bc.b").as("b"), col("bc.contrib").as("contrib"))
+      .groupBy("doc_id", "b").agg(sum(col("contrib")).as("v"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("v") > 0, expr("shiftleft(1L, cast(b as int))"))
+        .otherwise(0L)).as("simhash"))
+  }
+
+  private def dedupSimHash(s: SparkSession, dir: String): DataFrame = {
+    val sig = simhashSigs(s, dir)
+    val bands = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array(expr("simhash DIV 256"), expr("simhash % 256")))
+        .as(Seq("band_idx", "band_val")))
+    val a = bands.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("a_id"), col("simhash").as("a_sh"))
+    val b = bands.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("b_id"), col("simhash").as("b_sh"))
+    a.join(b, Seq("band_idx", "band_val")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh")).distinct()
+      .withColumn("hamming", expr("bit_count(a_sh ^ b_sh)").cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh"), col("hamming"))
+      .orderBy("a_id", "b_id")
+  }
+
+  // -- per-doc token statistics ------------------------------------------------
+  private def tokenStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("toks", tokensExpr)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        length(col("text")).cast("long").as("n_chars"),
+        (expr("aggregate(toks, 0L, (a, t) -> a + length(t))").cast("double")
+          / size(col("toks")).cast("double")).as("avg_token_len"),
+        (size(array_distinct(col("toks"))).cast("double")
+          / size(col("toks")).cast("double")).as("type_token_ratio"))
+      .orderBy("doc_id")
+
+  /** Stopword list shared with the oracle (integer-ratio thresholds only). */
+  private val stopwords =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  // -- quality scoring: integer counts + bucket (no float thresholds) ---------
+  private def quality(s: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(stopwords.map(lit): _*)
+    docs(s, dir)
+      .withColumn("toks", tokensExpr)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => array_contains(stopArr, t))).cast("long"))
+      .withColumn("n_punct",
+        (length(col("text")) - length(regexp_replace(lower(col("text")),
+          "[^a-z0-9 ]", ""))).cast("long"))
+      .withColumn("quality_bucket",
+        when(col("n_tokens") < 10, "too_short")
+          .when(col("n_stop") * 2 >= col("n_tokens"), "stopword_heavy")
+          .when(col("n_punct") * 5 >= col("n_tokens"), "punct_heavy")
+          .otherwise("ok"))
+      .select(col("doc_id"), col("n_tokens"), col("n_stop"), col("n_punct"),
+        length(col("text")).cast("long").as("n_chars"), col("quality_bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** Marker stopwords per candidate language (shared with the oracle). */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "de" -> Seq("der", "die", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "est"),
+    "es" -> Seq("el", "los", "y", "es"))
+
+  // -- language-ID: n-gram (word-marker) heuristic, deterministic argmax ------
+  private def langId(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).withColumn("toks", tokensExpr)
+    val withCounts = langMarkers.foldLeft(base) { case (df, (lang, markers)) =>
+      val arr = array(markers.map(lit): _*)
+      df.withColumn(s"n_$lang",
+        size(filter(col("toks"), t => array_contains(arr, t))).cast("long"))
+    }
+    withCounts
+      .withColumn("pred_lang",
+        when(col("n_en") >= col("n_de") && col("n_en") >= col("n_fr") &&
+          col("n_en") >= col("n_es"), "en")
+          .when(col("n_de") >= col("n_fr") && col("n_de") >= col("n_es"), "de")
+          .when(col("n_fr") >= col("n_es"), "fr")
+          .otherwise("es"))
+      .select(col("doc_id"), col("n_en"), col("n_de"), col("n_fr"), col("n_es"),
+        col("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  // -- multimodal plumbing: opaque binary payload + typed metadata ------------
+  // The decode itself is stubbed (no codec libs in-container); the Spark-side
+  // schema/partitioning/hashing over `binary` is real — see
+  // operators/Multimodal.scala for the mapPartitions feature-extract path.
+  private def binaryMeta(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      .select(col("doc_id"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("content_md5"),
+        base64(substring(col("text"), 1, 16).cast("binary")).as("head_b64"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, QueryFn] = Map(
+    "d_dedup_exact"       -> (dedupExact _),
+    "d_dedup_fingerprint" -> (dedupFingerprint _),
+    "d_dedup_ngram"       -> (dedupNgram _),
+    "d_dedup_minhash"     -> (dedupMinHash _),
+    "d_dedup_simhash"     -> (dedupSimHash _),
+    "d_token_stats"       -> (tokenStats _),
+    "d_quality"           -> (quality _),
+    "d_lang_id"           -> (langId _),
+    "m_binary_meta"       -> (binaryMeta _)
+  )
+
+  private val shingleSql =
+    "list_distinct(list_transform(generate_series(1, greatest(len(text) - 4, 1)), " +
+      "i -> substr(text, i::INT, 5)))"
+  private val tokensSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+  private val stopSql = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val oracles: Map[String, String] = Map(
+    "d_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS survivor_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d_dedup_fingerprint" ->
+      s"""SELECT md5(array_to_string(list_sort(list_distinct($tokensSql)), ' ')) AS fingerprint,
+         | min(doc_id) AS survivor_id, count(*) AS n_docs
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d_dedup_ngram" ->
+      s"""WITH sh AS (SELECT doc_id, $shingleSql AS ss FROM documents),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    len(list_intersect(a.ss, b.ss))::BIGINT AS n_common,
+         |    (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)))::BIGINT AS n_union
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT a_id, b_id, n_common, n_union,
+         |  n_common::DOUBLE / n_union::DOUBLE AS jaccard
+         |FROM pairs WHERE n_common::DOUBLE / n_union::DOUBLE > 0.5
+         |ORDER BY a_id, b_id""".stripMargin,
+    "d_dedup_minhash" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sh AS (SELECT doc_id,
+         |  list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+         |    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS ss
+         |  FROM tk),
+         |sig AS (SELECT doc_id, ss,
+         |  list_transform(generate_series(0, 11), i ->
+         |    list_min(list_transform(ss, s -> md5(i::VARCHAR || ':' || s)))) AS sg
+         |  FROM sh),
+         |bands AS (SELECT doc_id, b,
+         |  md5(sg[3*b + 1] || '|' || sg[3*b + 2] || '|' || sg[3*b + 3]) AS band_hash
+         |  FROM sig, unnest(generate_series(0, 3)) AS t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+         |scored AS (SELECT a_id, b_id,
+         |  len(list_intersect(sa.ss, sb.ss))::BIGINT AS n_common,
+         |  (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)))::BIGINT AS n_union
+         |  FROM cand JOIN sh sa ON cand.a_id = sa.doc_id
+         |            JOIN sh sb ON cand.b_id = sb.doc_id)
+         |SELECT a_id, b_id, n_common, n_union,
+         |  n_common::DOUBLE / n_union::DOUBLE AS jaccard
+         |FROM scored WHERE n_common::DOUBLE / n_union::DOUBLE >= 0.7
+         |ORDER BY a_id, b_id""".stripMargin,
+    "d_dedup_simhash" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, tok, count(*)::BIGINT AS c,
+         |    ('0x' || substr(md5(tok), 1, 4))::BIGINT AS h
+         |  FROM (SELECT doc_id, unnest($tokensSql) AS tok FROM documents)
+         |  GROUP BY 1, 2),
+         |bits AS (
+         |  SELECT doc_id, b, sum(c * (2 * ((h >> b) & 1) - 1)) AS v
+         |  FROM tf, unnest(generate_series(0, 15)) AS t(b) GROUP BY 1, 2),
+         |sig AS (
+         |  SELECT doc_id,
+         |    sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+         |  FROM bits GROUP BY 1),
+         |bands AS (
+         |  SELECT doc_id, simhash, 0 AS band_idx, simhash // 256 AS band_val FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, simhash, 1, simhash % 256 FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    a.simhash AS a_sh, b.simhash AS b_sh
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |    AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id, a_sh, b_sh, bit_count(xor(a_sh, b_sh))::BIGINT AS hamming
+         |FROM cand WHERE bit_count(xor(a_sh, b_sh)) <= 3
+         |ORDER BY a_id, b_id""".stripMargin,
+    "d_token_stats" ->
+      s"""SELECT doc_id,
+         | len(toks)::BIGINT AS n_tokens,
+         | len(list_distinct(toks))::BIGINT AS n_distinct,
+         | len(text)::BIGINT AS n_chars,
+         | list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks)::DOUBLE AS avg_token_len,
+         | len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS type_token_ratio
+         |FROM (SELECT doc_id, text, $tokensSql AS toks FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "d_quality" ->
+      s"""SELECT doc_id, n_tokens, n_stop, n_punct, n_chars,
+         | CASE WHEN n_tokens < 10 THEN 'too_short'
+         |      WHEN n_stop * 2 >= n_tokens THEN 'stopword_heavy'
+         |      WHEN n_punct * 5 >= n_tokens THEN 'punct_heavy'
+         |      ELSE 'ok' END AS quality_bucket
+         |FROM (
+         |  SELECT doc_id,
+         |    len(toks)::BIGINT AS n_tokens,
+         |    len(list_filter(toks, t -> list_contains($stopSql, t)))::BIGINT AS n_stop,
+         |    (len(text) - len(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::BIGINT AS n_punct,
+         |    len(text)::BIGINT AS n_chars
+         |  FROM (SELECT doc_id, text, $tokensSql AS toks FROM documents))
+         |ORDER BY doc_id""".stripMargin,
+    "d_lang_id" -> {
+      val counts = langMarkers.map { case (lang, ms) =>
+        val arr = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+        s"len(list_filter(toks, t -> list_contains($arr, t)))::BIGINT AS n_$lang"
+      }.mkString(",\n    ")
+      s"""SELECT doc_id, n_en, n_de, n_fr, n_es,
+         | CASE WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+         |      WHEN n_de >= n_fr AND n_de >= n_es THEN 'de'
+         |      WHEN n_fr >= n_es THEN 'fr'
+         |      ELSE 'es' END AS pred_lang
+         |FROM (
+         |  SELECT doc_id,
+         |    $counts
+         |  FROM (SELECT doc_id, $tokensSql AS toks FROM documents))
+         |ORDER BY doc_id""".stripMargin
+    },
+    "m_binary_meta" ->
+      """SELECT doc_id,
+        | octet_length(encode(text))::BIGINT AS n_bytes,
+        | md5(text) AS content_md5,
+        | to_base64(encode(substr(text, 1, 16))) AS head_b64
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

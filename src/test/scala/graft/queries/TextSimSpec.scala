@@ -1,0 +1,95 @@
+package graft.queries
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.Row
+
+/** Invariant tests for the dedup / similarity / text-analysis operators.
+  * (Value-level equality vs DuckDB is covered by Verify + tools/check.py;
+  * here we assert the cross-operator semantics that the oracle can't see.)
+  */
+class TextSimSpec extends SparkSpecBase {
+
+  private def run(name: String) =
+    (TextOps.queries ++ Similarity.queries)(name)(spark, sf001)
+
+  test("every text/similarity query runs and is non-empty on sf0.001") {
+    (TextOps.queries ++ Similarity.queries).keys.foreach { name =>
+      assert(run(name).count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("exact dedup partitions the table: sum of copies == row count") {
+    val total = run("d_dedup_exact").agg(Map("n_copies" -> "sum"))
+      .collect()(0).getLong(0)
+    val docs = spark.read.parquet(s"$sf001/documents.parquet").count()
+    assert(total == docs)
+  }
+
+  test("minhash candidates (J>=0.7) are a subset of exact ngram pairs (J>0.5)") {
+    val mh = run("d_dedup_minhash").select("a_id", "b_id").collect()
+      .map { case Row(a: Long, b: Long) => (a, b) }.toSet
+    val ng = run("d_dedup_ngram").select("a_id", "b_id").collect()
+      .map { case Row(a: Long, b: Long) => (a, b) }.toSet
+    assert(mh.subsetOf(ng), s"minhash pairs not in ngram pairs: ${mh.diff(ng)}")
+  }
+
+  test("ngram jaccard bounds and pair ordering") {
+    run("d_dedup_ngram").collect().foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0.5 && j <= 1.0)
+      assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id"))
+    }
+  }
+
+  test("simhash pairs respect the hamming threshold") {
+    run("d_dedup_simhash").collect().foreach { r =>
+      assert(r.getAs[Long]("hamming") <= 3)
+      val x = r.getAs[Long]("a_sh") ^ r.getAs[Long]("b_sh")
+      assert(java.lang.Long.bitCount(x) == r.getAs[Long]("hamming"))
+    }
+  }
+
+  test("brute-force topk: 5 ranked neighbors per query, sims descending") {
+    val rows = run("s_cosine_topk").collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 10)
+    byQ.values.foreach { rs =>
+      assert(rs.length == 5)
+      val sims = rs.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("sim_r"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH ANN results agree with brute force on shared (q, neighbor) pairs") {
+    // Any neighbor the LSH index returns must score <= the brute-force rank-1
+    // sim for that query, and identical (q,neighbor) pairs get identical sims.
+    val bf = run("s_cosine_topk").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("sim_r")).toMap
+    val best = bf.groupBy(_._1._1).map { case (q, m) => q -> m.values.max }
+    run("s_ann_lsh").collect().foreach { r =>
+      val q = r.getAs[Long]("q_id")
+      val n = r.getAs[Long]("neighbor_id")
+      val sim = r.getAs[Double]("sim_r")
+      assert(sim <= best(q) + 1e-9)
+      bf.get((q, n)).foreach(s => assert(s == sim))
+    }
+  }
+
+  test("quality buckets cover all docs; counts are consistent") {
+    val rows = run("d_quality").collect()
+    assert(rows.forall(r => Set("too_short", "stopword_heavy", "punct_heavy", "ok")
+      .contains(r.getAs[String]("quality_bucket"))))
+    rows.foreach(r => assert(r.getAs[Long]("n_stop") <= r.getAs[Long]("n_tokens")))
+  }
+
+  test("lang id picks the argmax marker count") {
+    run("d_lang_id").collect().foreach { r =>
+      val counts = Map(
+        "en" -> r.getAs[Long]("n_en"), "de" -> r.getAs[Long]("n_de"),
+        "fr" -> r.getAs[Long]("n_fr"), "es" -> r.getAs[Long]("n_es"))
+      val pred = r.getAs[String]("pred_lang")
+      assert(counts(pred) == counts.values.max)
+    }
+  }
+}
