@@ -17,12 +17,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ TextOps.queries ++ Similarity.queries
+    Relational.queries ++ TextOps.queries ++ Similarity.queries ++ MediaOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ TextOps.oracles ++ Similarity.oracles
+    Relational.oracles ++ TextOps.oracles ++ Similarity.oracles ++ MediaOps.oracles
 
   /** Headline subset timed by Bench (kept fast enough for sf0.1 per-round). */
   def benchQueries: Seq[String] = Seq(

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` payload
+  * columns with typed metadata, decoded/feature-extracted per partition.
+  *
+  * The decode itself is a STUB — this container has no codec libraries, so
+  * `decode` derives metadata deterministically from the payload bytes. In a
+  * real deployment that function body is the only thing that changes (JNI
+  * into libjpeg/ffmpeg, or an Arrow-batched Python worker); everything
+  * around it — the binary column schema, the `Dataset[MediaRow]` encoder,
+  * per-partition batch iteration, frame explosion, and downstream
+  * aggregation — is the production dataflow.
+  *
+  * Scale notes: payloads ride in parquet binary columns and never pass
+  * through the driver; `mapPartitions` keeps one decoder instance per task
+  * (where a real codec would amortize init); frame sampling emits rows, so
+  * a 100 TB video corpus fans out into a partitioned frame table rather than
+  * per-row arrays.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
+
+  case class MediaFeatures(
+      doc_id: Long,
+      media_type: String,
+      width: Long,
+      height: Long,
+      channels: Long,
+      n_frames: Long,
+      n_bytes: Long,
+      brightness: Double,
+      histogram: Array[Long])
+
+  case class Frame(doc_id: Long, frame_idx: Long, frame_md5: String)
+
+  /** Bytes-per-frame for the stub video "codec". */
+  val FrameStride = 256
+
+  /** STUB decoder — deterministic pseudo-decode from payload bytes. */
+  def decode(row: MediaRow): MediaFeatures = {
+    val b = row.payload
+    val n = b.length
+    val width = 16L + (if (n > 0) (b(0) & 0xff) % 64 else 0)
+    val height = 16L + (if (n > 1) (b(1) & 0xff) % 64 else 0)
+    val channels = if (row.media_type == "audio") 1L else 3L
+    val nFrames = if (row.media_type == "video") n / FrameStride + 1L else 1L
+    val hist = new Array[Long](16)
+    var i = 0
+    var sum = 0L
+    while (i < n) {
+      val v = b(i) & 0xff
+      hist(v / 16) += 1
+      sum += v
+      i += 1
+    }
+    val brightness = if (n == 0) 0.0 else sum.toDouble / n.toDouble
+    MediaFeatures(row.doc_id, row.media_type, width, height, channels,
+      nFrames, n.toLong, brightness, hist)
+  }
+
+  /** Per-partition feature extraction over the opaque payload column. */
+  def extractFeatures(ds: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map(decode))
+  }
+
+  /** Deterministic frame sampling: every `FrameStride` bytes of a video
+    * payload is one frame; emits (doc_id, frame_idx, md5-of-frame-bytes). */
+  def sampleFrames(ds: Dataset[MediaRow]): Dataset[Frame] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.filter(_.media_type == "video").flatMap { row =>
+        val n = row.payload.length
+        (0 to n / FrameStride).iterator.map { f =>
+          val from = f * FrameStride
+          val until = math.min(from + FrameStride, n)
+          md.reset()
+          val d = md.digest(java.util.Arrays.copyOfRange(row.payload, from, until))
+          Frame(row.doc_id, f.toLong, d.map("%02x".format(_)).mkString)
+        }
+      }
+    }
+  }
+
+  /** Fabricate a media table from `documents` (payload = utf-8 text bytes,
+    * media type cycled by id) — the test/bench harness for the plumbing. */
+  def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("media_type"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaRow]
+  }
+}
