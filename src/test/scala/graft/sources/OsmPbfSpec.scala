@@ -1,0 +1,65 @@
+package graft.sources
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Decodes the public Monaco extract shipped with the reference's vendored
+  * parser (vendor/.../parser/pbf/monaco-20150428.osm.pbf) and checks
+  * structural invariants: geographic bbox, referential integrity of way
+  * refs and relation members, and tag plausibility.
+  */
+class OsmPbfSpec extends SparkSpecBase {
+
+  private val fixture =
+    "/root/reference/vendor/github.com/omniscale/go-osm/parser/pbf/monaco-20150428.osm.pbf"
+
+  private lazy val bundle = OsmPbf.read(spark, fixture)
+
+  test("blob index finds data blobs") {
+    val idx = OsmPbf.blobIndex(spark, fixture)
+    assert(idx.nonEmpty)
+    assert(idx.forall(b => b.length > 0 && b.offset > 0))
+  }
+
+  test("decodes plausible element counts") {
+    val nCoords = bundle.coords.count()
+    val nNodes = bundle.nodes.count()
+    val nWays = bundle.ways.count()
+    val nRels = bundle.relations.count()
+    assert(nCoords > 10000, s"coords $nCoords")
+    assert(nNodes > 100 && nNodes < nCoords, s"nodes $nNodes")
+    assert(nWays > 1000, s"ways $nWays")
+    assert(nRels > 50, s"relations $nRels")
+  }
+
+  test("coordinates are inside the Monaco bbox") {
+    val r = bundle.coords.agg(
+      min("lon"), max("lon"), min("lat"), max("lat")).collect()(0)
+    assert(r.getDouble(0) > 7.3 && r.getDouble(1) < 7.6, r.toString)
+    assert(r.getDouble(2) > 43.5 && r.getDouble(3) < 43.9, r.toString)
+  }
+
+  test("way refs resolve against coords (referential integrity)") {
+    val refs = bundle.ways.select(explode(col("refs")).as("id")).distinct()
+    val missing = refs.join(bundle.coords, Seq("id"), "left_anti").count()
+    // extracts clip ways at the boundary; the vast majority must resolve
+    assert(missing.toDouble / refs.count() < 0.05, s"missing=$missing")
+  }
+
+  test("dense-node tags decode with plausible OSM keys") {
+    val keys = bundle.nodes.select(explode(map_keys(col("tags"))).as("k"))
+      .groupBy("k").count().orderBy(desc("count")).limit(30)
+      .collect().map(_.getString(0)).toSet
+    assert(Seq("highway", "name", "amenity").count(keys.contains) >= 2, keys.toString)
+  }
+
+  test("relations carry typed members with roles") {
+    val m = bundle.relations
+      .select(explode(col("members")).as("m"))
+      .select(col("m.type").as("t"), col("m.role").as("role"))
+    val types = m.select("t").distinct().collect().map(_.getByte(0)).toSet
+    assert(types.subsetOf(Set[Byte](0, 1, 2)) && types.size >= 2, types.toString)
+    val roles = m.groupBy("role").count().collect().map(_.getString(0)).toSet
+    assert(roles.exists(Set("outer", "inner", "stop", "main_stream").contains), roles.toString)
+  }
+}
