@@ -66,9 +66,17 @@ object Geom {
     }
   }
 
-  /** GEOS MakeValid analog; JTS GeometryFixer (geos/geos.go:284). */
+  /** The reference's MakeValid is literally buffer(0) (geos/geos.go:289-300)
+    * — winding-rule repair that keeps ONE lobe of a bowtie, unlike
+    * GeometryFixer's even-odd fill which keeps both. Match buffer(0);
+    * fall back to GeometryFixer only when buffering fails outright. */
   def makeValid(g: Geometry): Geometry =
-    if (g == null || g.isValid) g else GeometryFixer.fix(g)
+    if (g == null || g.isValid) g
+    else
+      try {
+        val fixed = g.buffer(0)
+        if (fixed == null || fixed.isEmpty) GeometryFixer.fix(g) else fixed
+      } catch { case _: Exception => GeometryFixer.fix(g) }
 
   // ---- WKB ------------------------------------------------------------------
 

@@ -1,0 +1,217 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ImportPipeline
+import graft.mapping.{CompiledMapping, TableType}
+import graft.model.{Ids, Kind, Op}
+import graft.operators.Generalize
+import graft.sources.OsmXml
+import graft.sources.OsmXml.Bundle
+
+/** Incremental maintenance of the import output (SURVEY.md §2 ST1-ST6,
+  * §3.2; reference update/process.go).
+  *
+  * State is *relational* — the four element frames plus every output and
+  * generalized table, versioned in a [[StateStore]] — so a diff batch is a
+  * plain dataflow, not per-key streaming state:
+  *
+  *  1. element tables: delete-then-insert by (kind, id) — always delete,
+  *     even for Create (the reference's idempotency trick, ST2);
+  *  2. dependency closure (J4): changed node → ways whose refs contain it,
+  *     changed node/way → relations whose members reference them — the
+  *     reverse indexes of the reference's DiffCache are expressed as
+  *     explode+semi-join against the maintained ways/relations tables;
+  *  3. rebuild: the same ImportPipeline runs over the closure subset
+  *     (plus member ways needed for relation assembly) — batch and diff
+  *     share one code path, like the reference shares its writer package;
+  *  4. output tables: delete closure ids (mangled per table type), append
+  *     the rebuilt delta; generalized tables refresh the same way from the
+  *     delta (ST6);
+  *  5. commit the new version (ST4) — crash-before-commit replays onto the
+  *     previous committed version, which delete-then-insert makes safe.
+  *
+  * At 100 TB the closure semi-joins shuffle only the changed-id sets
+  * (minutely diffs are ~10⁴ elements against ~10¹⁰) and the anti-joins
+  * broadcast them; the full-table rewrite per version becomes a
+  * Delta/Iceberg MERGE on real deployments — the dataflow is identical.
+  */
+object DiffPipeline {
+
+  private val ElementTables = Seq("coords", "nodes", "ways", "relations")
+  private def tbl(name: String): String = s"tbl_$name"
+
+  /** Initial import: write element state + all output tables as v0. */
+  def init(spark: SparkSession, mapping: CompiledMapping, stateDir: String,
+      bundle: Bundle, srid: Int = 3857): Map[String, DataFrame] = {
+    val store = new StateStore(spark, stateDir)
+    store.write("coords", 0, bundle.coords)
+    store.write("nodes", 0, bundle.nodes)
+    store.write("ways", 0, bundle.ways)
+    store.write("relations", 0, bundle.relations)
+    val stored = storedBundle(store, 0)
+    val tables = new ImportPipeline(spark, mapping, srid).run(stored)
+    val gens = Generalize(spark, mapping, tables)
+    (tables ++ gens).foreach { case (n, df) => store.write(tbl(n), 0, df) }
+    store.commit(0)
+    readTables(spark, mapping, stateDir)
+  }
+
+  /** Current committed output tables (base + generalized). */
+  def readTables(spark: SparkSession, mapping: CompiledMapping,
+      stateDir: String): Map[String, DataFrame] = {
+    val store = new StateStore(spark, stateDir)
+    val seq = store.currentSeq
+    allTableNames(mapping).map(n => n -> store.read(tbl(n), seq)).toMap
+  }
+
+  private def allTableNames(mapping: CompiledMapping): Seq[String] =
+    mapping.conf.tables.keys.toSeq ++ mapping.conf.generalizedTables.keys.toSeq
+
+  private def storedBundle(store: StateStore, seq: Long): Bundle =
+    Bundle(
+      coords = store.read("coords", seq),
+      nodes = store.read("nodes", seq),
+      ways = store.read("ways", seq),
+      relations = store.read("relations", seq))
+
+  /** Apply one change file (one transaction, ST1). `diff` carries
+    * RawElement rows with `op`; the last op per element wins is assumed
+    * upstream (minutely OSC files are deduplicated by osmosis).
+    */
+  def applyDiff(spark: SparkSession, mapping: CompiledMapping, stateDir: String,
+      diff: DataFrame, srid: Int = 3857): Map[String, DataFrame] = {
+    val store = new StateStore(spark, stateDir)
+    val seq = store.currentSeq
+    require(seq >= 0, s"no committed state in $stateDir — run init first")
+    val next = seq + 1
+
+    val d = diff.cache()
+    val chN = d.filter(col("kind") === Kind.Node).select("id").distinct().cache()
+    val chW = d.filter(col("kind") === Kind.Way).select("id").distinct().cache()
+    val chR = d.filter(col("kind") === Kind.Relation).select("id").distinct().cache()
+
+    // -- 1. element tables: delete-then-insert --------------------------------
+    def anti(old: DataFrame, ch: DataFrame): DataFrame =
+      old.join(broadcast(ch), Seq("id"), "left_anti")
+    val old = storedBundle(store, seq)
+    val insN = d.filter(col("kind") === Kind.Node && col("op") =!= Op.Delete)
+    store.write("coords", next,
+      anti(old.coords, chN).unionByName(insN.select("id", "lon", "lat")))
+    store.write("nodes", next,
+      anti(old.nodes, chN).unionByName(
+        insN.filter(size(col("tags")) > 0).select("id", "lon", "lat", "tags")))
+    store.write("ways", next,
+      anti(old.ways, chW).unionByName(
+        d.filter(col("kind") === Kind.Way && col("op") =!= Op.Delete)
+          .select("id", "refs", "tags")))
+    store.write("relations", next,
+      anti(old.relations, chR).unionByName(
+        d.filter(col("kind") === Kind.Relation && col("op") =!= Op.Delete)
+          .select(col("id"),
+            expr("transform(members, m -> struct(m.id as id, m.mtype as type, m.role as role))")
+              .as("members"),
+            col("tags"))))
+    val nw = storedBundle(store, next) // short lineage for the joins below
+
+    // -- 2. dependency closure (J4) -------------------------------------------
+    val depW = nw.ways
+      .select(col("id"), explode(col("refs")).as("ref"))
+      .join(broadcast(chN.withColumnRenamed("id", "ref")), Seq("ref"), "left_semi")
+      .select("id").union(chW).distinct().cache()
+    val mem = nw.relations
+      .select(col("id").as("rid"), explode(col("members")).as("m"))
+    val relsViaNodes = mem.filter(col("m.type") === 0)
+      .join(broadcast(chN.withColumnRenamed("id", "mid")),
+        col("m.id") === col("mid"), "left_semi")
+    val relsViaWays = mem.filter(col("m.type") === 1)
+      .join(depW.withColumnRenamed("id", "mid"), col("m.id") === col("mid"), "left_semi")
+    val depR = relsViaNodes.select(col("rid").as("id"))
+      .union(relsViaWays.select(col("rid").as("id")))
+      .union(chR).distinct().cache()
+
+    // -- 3. rebuild the closure through the shared import pipeline ------------
+    val driverRels = nw.relations.join(broadcast(depR), Seq("id"), "left_semi")
+    val memberWayIds = driverRels
+      .select(explode(col("members")).as("m"))
+      .filter(col("m.type") === 1)
+      .select(col("m.id").as("id")).distinct()
+    val rebuildW = depW.union(memberWayIds).distinct().cache()
+    val bundleR = Bundle(
+      coords = nw.coords,
+      nodes = nw.nodes.join(broadcast(chN), Seq("id"), "left_semi"),
+      ways = nw.ways.join(broadcast(rebuildW), Seq("id"), "left_semi"),
+      relations = driverRels)
+    val delta = new ImportPipeline(spark, mapping, srid).run(bundleR)
+    val genDelta = Generalize(spark, mapping, delta)
+
+    // -- 4. output tables: delete mangled closure ids, append delta -----------
+    val single = mapping.conf.singleIdSpace
+    val wDel = rebuildW.select(
+      (if (single) -col("id") else col("id")).cast("long").as("osm_id"))
+    val rDel = depR.select(
+      (if (single) lit(Ids.RelIDOffset) - col("id") else -col("id"))
+        .cast("long").as("osm_id"))
+    val nDel = chN.select(col("id").cast("long").as("osm_id"))
+    def deleteIdsFor(tableType: String): DataFrame = tableType match {
+      case TableType.Point => nDel
+      case TableType.LineString => wDel.union(rDel)
+      case TableType.Polygon => wDel.union(rDel)
+      case TableType.Geometry => nDel.union(wDel).union(rDel)
+      case TableType.Relation | TableType.RelationMember => rDel
+      case other => throw new IllegalArgumentException(other)
+    }
+    for ((name, t) <- mapping.conf.tables) {
+      val del = deleteIdsFor(t.tableType)
+      val kept = store.read(tbl(name), seq)
+        .join(broadcast(del), Seq("osm_id"), "left_anti")
+      store.write(tbl(name), next, kept.unionByName(delta(name)))
+    }
+    // generalized tables: keyed refresh from the delta (ST6)
+    for ((name, g) <- mapping.conf.generalizedTables) {
+      val del = deleteIdsFor(rootType(mapping, g.source))
+      val kept = store.read(tbl(name), seq)
+        .join(broadcast(del), Seq("osm_id"), "left_anti")
+      store.write(tbl(name), next, kept.unionByName(genDelta(name)))
+    }
+
+    store.commit(next)
+    Seq(d, chN, chW, chR, depW, depR, rebuildW).foreach(_.unpersist())
+    readTables(spark, mapping, stateDir)
+  }
+
+  private def rootType(mapping: CompiledMapping, source: String): String = {
+    var src = source
+    while (mapping.conf.generalizedTables.contains(src))
+      src = mapping.conf.generalizedTables(src).source
+    mapping.conf.tables(src).tableType
+  }
+
+  /** Continuous mode (§3.2 `imposm run`): every .osc(.gz) landing in
+    * `replicationDir` is applied as its own transaction, in path order —
+    * replication sequence numbers sort lexicographically within a cycle
+    * dir. Structured Streaming's file source + checkpoint provides
+    * exactly-once discovery; StateStore commit provides idempotent apply.
+    */
+  def runStream(spark: SparkSession, mapping: CompiledMapping, stateDir: String,
+      replicationDir: String, checkpointDir: String,
+      srid: Int = 3857): StreamingQuery = {
+    spark.readStream
+      .format("binaryFile")
+      .option("pathGlobFilter", "*.osc*")
+      .load(replicationDir)
+      .select("path")
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val files = batch.select("path").collect().map(_.getString(0)).sorted
+        files.foreach { p =>
+          applyDiff(spark, mapping, stateDir, OsmXml.readDiff(spark, p).toDF(), srid)
+        }
+      }
+      .start()
+  }
+}
