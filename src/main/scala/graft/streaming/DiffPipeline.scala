@@ -82,7 +82,8 @@ object DiffPipeline {
     * upstream (minutely OSC files are deduplicated by osmosis).
     */
   def applyDiff(spark: SparkSession, mapping: CompiledMapping, stateDir: String,
-      diff: DataFrame, srid: Int = 3857): Map[String, DataFrame] = {
+      diff: DataFrame, srid: Int = 3857,
+      expireDir: Option[String] = None): Map[String, DataFrame] = {
     val store = new StateStore(spark, stateDir)
     val seq = store.currentSeq
     require(seq >= 0, s"no committed state in $stateDir — run init first")
@@ -175,6 +176,20 @@ object DiffPipeline {
       val kept = store.read(tbl(name), seq)
         .join(broadcast(del), Seq("osm_id"), "left_anti")
       store.write(tbl(name), next, kept.unionByName(genDelta(name)))
+    }
+
+    // ST5: expire-tiles side output — every geometry touched by this batch
+    expireDir.foreach { dir =>
+      val geoms = mapping.conf.tables.collect {
+        case (name, t) if t.tableType != TableType.Relation &&
+          t.tableType != TableType.RelationMember =>
+          delta(name).select(col("geometry"))
+      }
+      if (geoms.nonEmpty) {
+        val tiles = graft.operators.ExpireTiles.expire(
+          geoms.reduce(_ unionByName _).filter(col("geometry").isNotNull))
+        graft.operators.ExpireTiles.writeTiles(tiles, s"$dir/$next")
+      }
     }
 
     store.commit(next)
