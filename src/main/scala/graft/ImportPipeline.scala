@@ -21,7 +21,8 @@ import graft.sources.OsmXml.Bundle
 final class ImportPipeline(
     spark: SparkSession,
     mapping: CompiledMapping,
-    srid: Int = 3857) extends Serializable {
+    srid: Int = 3857,
+    limit: Option[graft.operators.Limitto] = None) extends Serializable {
 
   import spark.implicits._
 
@@ -60,8 +61,23 @@ final class ImportPipeline(
     val matchRel = udf((t: Map[String, String]) => rm.matchRelation(t))
     val matchRelMember = udf((t: Map[String, String]) => mm.matchRelation(t))
 
+    // limitto (P6 point filter + J5 clip, geom/limit/limit.go): a clipped
+    // geometry may split into several parts — each part is its own row with
+    // the same id, like the reference's per-part InsertPolygon loop.
+    val lim = limit
+    val pointInCoverage = udf((x: Double, y: Double) =>
+      lim.forall(_.containsPointBuffered(x, y)))
+    val clipParts = udf((wkb: Array[Byte]) =>
+      lim.map(_.clipWkb(wkb)).getOrElse(if (wkb == null) Seq.empty else Seq(wkb)))
+    def clipped(df: DataFrame): DataFrame =
+      if (lim.isEmpty) df.filter(col("__geom").isNotNull)
+      else df
+        .withColumn("__geom", explode(clipParts(col("__geom"))))
+        .filter(col("__geom").isNotNull)
+
     // -- node branch (writer/nodes.go:46-97) ----------------------------------
     val nodesXY = projectXY(bundle.nodes).select(col("id"), col("x"), col("y"), col("tags"))
+      .filter(pointInCoverage(col("x"), col("y")))
     val nodeRows = nodesXY
       .withColumn("tags", nodeFilter(col("tags")))
       .withColumn("__matches", matchNode(col("tags")))
@@ -91,19 +107,17 @@ final class ImportPipeline(
       .persist()
 
     val wayIdCol = (if (single) -col("id") else col("id")).cast(LongType)
-    val lineRows = waysF
+    val lineRows = clipped(waysF
       .filter(size(col("__line")) > 0)
       .join(assembled, Seq("id"))
-      .withColumn("__geom", lineWkb(srid)(col("nodes")))
-      .filter(col("__geom").isNotNull)
+      .withColumn("__geom", lineWkb(srid)(col("nodes"))))
       .withColumn("__id", wayIdCol)
       .withColumn("__matches", col("__line"))
       .select(explodeMatches: _*)
-    val wayPolyRows = waysF
+    val wayPolyRows = clipped(waysF
       .filter(size(col("__poly")) > 0)
       .join(assembled, Seq("id"))
-      .withColumn("__geom", polygonValidWkb(srid)(col("nodes")))
-      .filter(col("__geom").isNotNull)
+      .withColumn("__geom", polygonValidWkb(srid)(col("nodes"))))
       .withColumn("__id", wayIdCol)
       .withColumn("__matches", col("__poly"))
       .select(explodeMatches: _*)
@@ -131,8 +145,8 @@ final class ImportPipeline(
         expr("transform(nodes, n -> n.x)").as("xs"),
         expr("transform(nodes, n -> n.y)").as("ys"))
     val relGeoms = RelationAssembly.multiPolygons(spark, wayMembers, assembledXY, srid)
-    val relPolyRows = polyRels
-      .join(relGeoms, polyRels("id") === relGeoms("rel_id"))
+    val relPolyRows = clipped(polyRels
+      .join(relGeoms, polyRels("id") === relGeoms("rel_id")))
       .withColumn("__id", relIdCol)
       .withColumn("__matches", col("__poly"))
       .select(explodeMatches: _*)

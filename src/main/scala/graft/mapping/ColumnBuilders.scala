@@ -59,6 +59,8 @@ object ColumnBuilders {
       case "enumerate" => enumerate(tagsCol, conf, v)
       case "categorize_int" => categorizeInt(tagsCol, conf, v)
       case "string_suffixreplace" => suffixReplace(conf, v)
+      case "geojson_intersects" => geojsonIntersects(conf, wantProperty = false)
+      case "geojson_intersects_feature" => geojsonIntersects(conf, wantProperty = true)
       case other =>
         throw new IllegalArgumentException(s"unhandled column type $other (table ${table.name})")
     }
@@ -83,7 +85,7 @@ object ColumnBuilders {
 
   /** Spark type of a column (pgTypes analog, database/postgis/columns.go:69-79). */
   def sparkType(colType: String): DataType = colType match {
-    case "bool" => BooleanType
+    case "bool" | "geojson_intersects" => BooleanType
     case "boolint" | "direction" | "member_type" => ByteType
     case "integer" | "wayzorder" | "zorder" | "enumerate" | "categorize_int" | "member_index" => IntegerType
     case "id" | "member_id" => LongType
@@ -189,6 +191,28 @@ object ColumnBuilders {
     val primary = when(v =!= "", try_element_at(vm, v))
     val fallbacks = conf.keys.map(k => try_element_at(vm, tagRaw(tagsCol, k)))
     coalesce((primary +: fallbacks) :+ lit(default): _*).cast(IntegerType)
+  }
+
+  /** geojson_intersects / _feature (columns_intersection.go:70-131):
+    * broadcast spatial lookup — the FeatureIndex serializes as a path and
+    * builds its prepared-geometry STRtree once per executor. */
+  private def geojsonIntersects(conf: ColumnConf, wantProperty: Boolean): Column = {
+    val path = conf.args.get("geojson").map(_.toString)
+      .getOrElse(throw new IllegalArgumentException(
+        s"missing 'geojson' in args for ${conf.colType}"))
+    val idx = new graft.geometry.FeatureIndex(path, 3857)
+    if (wantProperty) {
+      val prop = conf.args.get("property").map(_.toString)
+        .getOrElse(throw new IllegalArgumentException(
+          "missing 'property' in args for geojson_intersects_feature"))
+      udf { (wkb: Array[Byte]) =>
+        idx.property(graft.geometry.Geom.fromWkb(wkb), prop)
+      }.apply(col("__geom"))
+    } else {
+      udf { (wkb: Array[Byte]) =>
+        idx.intersects(graft.geometry.Geom.fromWkb(wkb))
+      }.apply(col("__geom"))
+    }
   }
 
   /** string_suffixreplace (columns.go:384-422): single-pass regex
