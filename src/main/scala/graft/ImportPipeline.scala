@@ -31,10 +31,19 @@ final class ImportPipeline(
   /** Run the import; returns table name -> rows (lazy frames). */
   def run(bundle: Bundle): Map[String, DataFrame] = {
     // -- shared inputs --------------------------------------------------------
-    // every coordinate passes through the reference's uint32 cache codec
+    // every coordinate passes through the reference's uint32 cache codec —
+    // EXCEPT coords flagged `fresh` by the diff path: the reference's
+    // DeltaCoordsCache only quantizes on bunch serialization, so nodes
+    // written and read back within one diff batch resolve at full precision
+    // (cache/delta.go LRU; route_relation MemberGeomUpdated2 golden embeds
+    // this). The tagged-nodes cache has no LRU: node points always quantize.
     def projectXY(df: DataFrame): DataFrame = {
-      val qlon = quantizeCoord(col("lon"))
-      val qlat = quantizeCoord(col("lat"))
+      val hasFresh = df.columns.contains("fresh")
+      def q(c: Column): Column =
+        if (hasFresh) when(col("fresh"), c).otherwise(quantizeCoord(c))
+        else quantizeCoord(c)
+      val qlon = q(col("lon"))
+      val qlat = q(col("lat"))
       if (srid == 3857) df.withColumn("x", mercX(qlon)).withColumn("y", mercY(qlat))
       else df.withColumn("x", qlon).withColumn("y", qlat)
     }
@@ -165,7 +174,7 @@ final class ImportPipeline(
     // back to untagged coords (relations.go:236-246).
     val allNodesXY = coords.join(
       bundle.nodes.select(col("id"), col("tags")), Seq("id"), "left")
-    val memberRows = relationMemberRows(relsF, assembled, allNodesXY, relIdCol)
+    val memberRows = relationMemberRows(relsF, assembled, bundle.ways, allNodesXY, relIdCol)
 
     // -- route rows to destination tables --------------------------------------
     val stages: Seq[DataFrame] =
@@ -196,6 +205,7 @@ final class ImportPipeline(
   private def relationMemberRows(
       relsF: DataFrame,
       assembled: DataFrame,
+      ways: DataFrame,
       nodesXY: DataFrame,
       relIdCol: Column): Option[DataFrame] = {
     if (!mapping.conf.tables.values.exists(_.tableType == TableType.RelationMember))
@@ -213,7 +223,9 @@ final class ImportPipeline(
     val nodeSide = nodesXY.select(col("id").as("n_id"), col("x").as("n_x"),
       col("y").as("n_y"), col("tags").as("n_tags"))
     val relSide = relsF.select(col("id").as("r_id"), col("tags").as("r_tags"))
-    val waySide = assembled.select(col("id").as("w_id"), col("nodes").as("w_nodes"))
+    val waySide = assembled
+      .join(ways.select(col("id"), col("tags").as("w_tags")), Seq("id"))
+      .select(col("id").as("w_id"), col("nodes").as("w_nodes"), col("w_tags"))
 
     val resolved = m
       .join(nodeSide, col("__member_type") === 0 && col("__member_id") === col("n_id"), "left")
@@ -225,8 +237,8 @@ final class ImportPipeline(
           .otherwise(col("r_id").isNotNull))
       .withColumn("__member_tags",
         when(col("__member_type") === 0, coalesce(col("n_tags"), map()))
-          .when(col("__member_type") === 2, coalesce(col("r_tags"), map()))
-          .otherwise(map()))
+          .when(col("__member_type") === 1, coalesce(col("w_tags"), map()))
+          .otherwise(coalesce(col("r_tags"), map())))
       .withColumn("__geom",
         when(col("__member_type") === 0, pointWkb(srid)(col("n_x"), col("n_y")))
           .when(col("__member_type") === 1, lineWkb(srid)(col("w_nodes"))))

@@ -140,8 +140,13 @@ object DiffPipeline {
       .filter(col("m.type") === 1)
       .select(col("m.id").as("id")).distinct()
     val rebuildW = depW.union(memberWayIds).distinct().cache()
+    // coords touched by THIS batch resolve at full precision (reference
+    // LRU-bunch artifact — see ImportPipeline.projectXY)
+    val freshCoords = nw.coords.join(
+      broadcast(chN.withColumn("fresh", lit(true))), Seq("id"), "left")
+      .withColumn("fresh", coalesce(col("fresh"), lit(false)))
     val bundleR = Bundle(
-      coords = nw.coords,
+      coords = freshCoords,
       nodes = nw.nodes.join(broadcast(chN), Seq("id"), "left_semi"),
       ways = nw.ways.join(broadcast(rebuildW), Seq("id"), "left_semi"),
       relations = driverRels)
@@ -164,11 +169,20 @@ object DiffPipeline {
       case TableType.Relation | TableType.RelationMember => rDel
       case other => throw new IllegalArgumentException(other)
     }
+    val expireGeoms = Seq.newBuilder[DataFrame]
     for ((name, t) <- mapping.conf.tables) {
       val del = deleteIdsFor(t.tableType)
-      val kept = store.read(tbl(name), seq)
-        .join(broadcast(del), Seq("osm_id"), "left_anti")
+      val old = store.read(tbl(name), seq)
+      val kept = old.join(broadcast(del), Seq("osm_id"), "left_anti")
       store.write(tbl(name), next, kept.unionByName(delta(name)))
+      // ST5 inputs: OLD geometries of replaced/deleted rows (the reference
+      // expires via its deleter, update/deleter.go) plus the rebuilt ones
+      if (expireDir.nonEmpty && t.tableType != TableType.Relation &&
+        t.tableType != TableType.RelationMember) {
+        expireGeoms += old.join(broadcast(del), Seq("osm_id"), "left_semi")
+          .select("geometry")
+        expireGeoms += delta(name).select("geometry")
+      }
     }
     // generalized tables: keyed refresh from the delta (ST6)
     for ((name, g) <- mapping.conf.generalizedTables) {
@@ -180,11 +194,7 @@ object DiffPipeline {
 
     // ST5: expire-tiles side output — every geometry touched by this batch
     expireDir.foreach { dir =>
-      val geoms = mapping.conf.tables.collect {
-        case (name, t) if t.tableType != TableType.Relation &&
-          t.tableType != TableType.RelationMember =>
-          delta(name).select(col("geometry"))
-      }
+      val geoms = expireGeoms.result()
       if (geoms.nonEmpty) {
         val tiles = graft.operators.ExpireTiles.expire(
           geoms.reduce(_ unionByName _).filter(col("geometry").isNotNull))
