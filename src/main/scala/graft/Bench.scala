@@ -37,9 +37,40 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+
+    // pipeline-level benchmark: full Monaco PBF import (decode, match,
+    // way/relation assembly, geometry build) against BASELINE.md's
+    // elements/s target; skipped if the fixture is absent.
+    val monaco = "/root/reference/vendor/github.com/omniscale/go-osm/parser/pbf/monaco-20150428.osm.pbf"
+    val osmResult =
+      if (sys.env.get("SPARK_GRAFT_BENCH_OSM").contains("0") ||
+        !new java.io.File(monaco).exists()) Seq.empty
+      else try {
+        val t0 = System.nanoTime()
+        val mapping = new graft.mapping.CompiledMapping(
+          graft.mapping.MappingConf.fromFile("/root/reference/test/complete_db_mapping.json"))
+        val tables = new ImportPipeline(spark, mapping)
+          .run(graft.sources.OsmPbf.read(spark, monaco))
+        // concurrent jobs share the persisted assembly stages
+        import java.util.concurrent.Executors
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = Executors.newFixedThreadPool(8)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        Await.result(
+          Future.sequence(tables.values.toSeq.map(df => Future {
+            df.write.format("noop").mode("overwrite").save()
+          })), Duration.Inf)
+        pool.shutdown()
+        Seq("osm_import_monaco" -> (System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] osm_import_monaco failed: ${e.getMessage}")
+        Seq.empty
+      }
+    val all = results ++ osmResult
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = all.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

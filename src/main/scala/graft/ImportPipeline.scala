@@ -102,6 +102,7 @@ final class ImportPipeline(
         size(col("refs")) >= 4 && col("refs").getItem(0) === element_at(col("refs"), -1))
       .withColumn("__line", matchLine(col("tags"), col("__closed")))
       .withColumn("__poly", matchWayPoly(col("tags"), col("__closed")))
+      .persist() // shared by every line/polygon table action
 
     val matchedWayIds = waysF
       .filter(size(col("__line")) > 0 || size(col("__poly")) > 0)
@@ -154,6 +155,7 @@ final class ImportPipeline(
         expr("transform(nodes, n -> n.x)").as("xs"),
         expr("transform(nodes, n -> n.y)").as("ys"))
     val relGeoms = RelationAssembly.multiPolygons(spark, wayMembers, assembledXY, srid)
+      .persist() // ring/multipolygon assembly runs once, not per table
     val relPolyRows = clipped(polyRels
       .join(relGeoms, polyRels("id") === relGeoms("rel_id")))
       .withColumn("__id", relIdCol)

@@ -122,20 +122,20 @@ object TextOps {
   // near-dup pairs via 2 byte-bands (pigeonhole: hamming<=1 always caught;
   // the <=3 filter below is exact on the banded candidates on both engines).
   private def simhashSigs(s: SparkSession, dir: String): DataFrame = {
+    // one shuffle: (doc, token) counts; the 16 bit-sums are plain aggregate
+    // columns (no bit explode), then recombined — same math as the oracle's
+    // unnested form, 2x fewer shuffles
     val tf = docs(s, dir)
       .select(col("doc_id"), explode(tokensExpr).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
       .withColumn("h", expr("cast(conv(substring(md5(tok), 1, 4), 16, 10) as bigint)"))
-    tf.select(col("doc_id"),
-        explode(expr(
-          "transform(sequence(0, 15), b -> " +
-            "struct(b as b, c * (2 * ((shiftright(h, b) % 2)) - 1) as contrib))"))
-          .as("bc"))
-      .select(col("doc_id"), col("bc.b").as("b"), col("bc.contrib").as("contrib"))
-      .groupBy("doc_id", "b").agg(sum(col("contrib")).as("v"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("v") > 0, expr("shiftleft(1L, cast(b as int))"))
-        .otherwise(0L)).as("simhash"))
+    val bitSums = (0 until 16).map(b =>
+      sum(col("c") * (expr(s"shiftright(h, $b) % 2") * 2 - 1)).as(s"v$b"))
+    tf.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
   }
 
   private def dedupSimHash(s: SparkSession, dir: String): DataFrame = {
