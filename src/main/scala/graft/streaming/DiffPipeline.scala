@@ -225,6 +225,8 @@ object DiffPipeline {
       srid: Int = 3857): StreamingQuery = {
     spark.readStream
       .format("binaryFile")
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY"))
       .option("pathGlobFilter", "*.osc*")
       .load(replicationDir)
       .select("path")
