@@ -117,10 +117,39 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  // -- embedding-cosine near-dup dedup ----------------------------------------
+  // The 5th dedup flavor (besides exact/fingerprint/ngram/minhash/simhash):
+  // candidate pairs meet only inside a shared LSH sign-code bucket (blocking
+  // key — never the O(n²) pair space), then exact cosine decides. On this
+  // synthetic corpus no pair crosses the dup threshold, so the output keeps
+  // every verified candidate with its score + decision flag.
+  private def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+    val anchors = v.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("a_id"), col("e").as("ae"))
+    val codes = v.select(col("vec_id"), col("e").as("qe"))
+      .crossJoin(broadcast(anchors))
+      .withColumn("dot", expr("aggregate(zip_with(qe, ae, (x, y) -> x * y), 0D, (a, x) -> a + x)"))
+      .groupBy("vec_id")
+      .agg(sum(when(col("dot") > 0,
+        expr("shiftleft(1L, cast(a_id as int))")).otherwise(0L)).as("code"))
+    val coded = v.join(codes, Seq("vec_id"))
+    val a = coded.select(col("code"), col("vec_id").as("a_id"),
+      col("e").as("qe"), col("nrm").as("qn"))
+    val b = coded.select(col("code"), col("vec_id").as("b_id"),
+      col("e"), col("nrm"))
+    a.join(b, Seq("code")).filter(col("a_id") < col("b_id"))
+      .withColumn("sim_r", round(dotQE / (col("qn") * col("nrm")), 6))
+      .withColumn("is_dup", col("sim_r") >= 0.45)
+      .select(col("a_id"), col("b_id"), col("sim_r"), col("is_dup"))
+      .orderBy("a_id", "b_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
-    "s_cosine_topk" -> (cosineTopK _),
-    "s_ann_lsh"     -> (annLsh _),
-    "s_ann_ivf"     -> (annIvf _)
+    "s_cosine_topk"     -> (cosineTopK _),
+    "s_ann_lsh"         -> (annLsh _),
+    "s_ann_ivf"         -> (annIvf _),
+    "s_dedup_embedding" -> (dedupEmbedding _)
   )
 
   private val vSql =
@@ -158,6 +187,20 @@ object Similarity {
          |  FROM cand)
          |SELECT q_id, rnk::BIGINT AS rnk, neighbor_id, sim_r, code FROM r
          |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "s_dedup_embedding" ->
+      s"""WITH $vSql,
+         |a AS (SELECT vec_id AS a_id, e AS ae FROM v WHERE vec_id < 8),
+         |codes AS (SELECT v.vec_id,
+         |    sum(CASE WHEN list_dot_product(v.e, a.ae) > 0
+         |      THEN (1::BIGINT << a.a_id::INT) ELSE 0 END)::BIGINT AS code
+         |  FROM v, a GROUP BY 1),
+         |coded AS (SELECT v.vec_id, v.e, v.nrm, codes.code
+         |  FROM v JOIN codes ON v.vec_id = codes.vec_id),
+         |pairs AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+         |    round(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 6) AS sim_r
+         |  FROM coded x JOIN coded y ON x.code = y.code AND x.vec_id < y.vec_id)
+         |SELECT a_id, b_id, sim_r, sim_r >= 0.45 AS is_dup
+         |FROM pairs ORDER BY a_id, b_id""".stripMargin,
     "s_ann_ivf" ->
       s"""WITH $vSql,
          |c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM v WHERE vec_id < 16),
