@@ -75,10 +75,12 @@ object ColumnBuilders {
     when(l.between(Int.MinValue.toLong, Int.MaxValue.toLong), l.cast(IntegerType))
   }
 
-  /** ParseInt 64-bit, parse failure -> 0 (wayzorder layer). Capped at 17
-    * digits so downstream ×levelOffset arithmetic can't overflow LONG. */
+  /** ParseInt 64-bit, parse failure -> 0 (wayzorder layer; columns.go:279).
+    * 18 digits always fit int64; the downstream ×levelOffset multiply may
+    * wrap LONG exactly like Go's int64 arithmetic does, and the final
+    * int32-range check turns overflow into NULL either way. */
   private def parseInt64OrZero(v: Column): Column =
-    coalesce(when(v.rlike("^[+-]?[0-9]{1,17}$"), v.cast(LongType)), lit(0L))
+    coalesce(when(v.rlike("^[+-]?[0-9]{1,18}$"), v.cast(LongType)), lit(0L))
 
   private def isMemberType(t: String): Boolean =
     t == "member_id" || t == "member_role" || t == "member_type" || t == "member_index"
@@ -224,7 +226,9 @@ object ColumnBuilders {
       if (s == null || s.isEmpty) s
       else {
         val m = java.util.regex.Pattern.compile(pattern).matcher(s)
-        val sb = new StringBuilder
+        // NB: java.lang.StringBuilder — the Scala one resolves the 3-arg
+        // append to append(Any) and stringifies a tuple
+        val sb = new java.lang.StringBuilder
         var last = 0
         while (m.find()) {
           sb.append(s, last, m.start()).append(changes(m.group(1)))
