@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the generic event stream (the
+  * `events` table shape) — the engine's non-OSM streaming surface:
+  * watermarked windowed aggregation and custom per-key session state via
+  * flatMapGroupsWithState.
+  *
+  * Scale notes: both operators shuffle on their grouping key once; state
+  * (open windows / open sessions) lives in the state store, sized by
+  * distinct active keys, and the watermark bounds it — late events beyond
+  * 10 minutes are dropped, closed sessions are freed by the event-time
+  * timeout.
+  */
+object EventsStream {
+
+  final case class Event(
+      event_id: Long,
+      ts: java.sql.Timestamp,
+      user_id: Long,
+      event_type: String,
+      value: Double)
+
+  final case class SessionAcc(
+      startMs: Long, lastMs: Long, nEvents: Long, totalValue: Double)
+
+  final case class Session(
+      user_id: Long,
+      start_ms: Long,
+      end_ms: Long,
+      n_events: Long,
+      total_value: Double)
+
+  /** Tumbling 5-minute counts per event type, 10-minute watermark. */
+  def windowedTypeCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Gap-based sessionization (default 30 min): a session closes when the
+    * watermark passes its last event + gap; closed sessions are emitted in
+    * Append mode and their state is freed. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.startMs, s.lastMs, s.nEvents, s.totalValue))
+          } else {
+            val events = batch.toSeq.sortBy(_.ts.getTime)
+            val closed = Seq.newBuilder[Session]
+            var acc = state.getOption
+            for (e <- events) {
+              val t = e.ts.getTime
+              acc match {
+                case Some(a) if t - a.lastMs <= gapMs =>
+                  // min() the start too: a late event inside the watermark
+                  // may precede the session's current first event
+                  acc = Some(a.copy(startMs = math.min(a.startMs, t),
+                    lastMs = math.max(a.lastMs, t),
+                    nEvents = a.nEvents + 1, totalValue = a.totalValue + e.value))
+                case Some(a) =>
+                  closed += Session(userId, a.startMs, a.lastMs, a.nEvents, a.totalValue)
+                  acc = Some(SessionAcc(t, t, 1, e.value))
+                case None =>
+                  acc = Some(SessionAcc(t, t, 1, e.value))
+              }
+            }
+            acc.foreach { a =>
+              state.update(a)
+              state.setTimeoutTimestamp(a.lastMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpecBase
+import graft.streaming.EventsStream.{Event, Session}
+
+class EventsStreamSpec extends SparkSpecBase {
+
+  // +1h base: an event at exactly epoch 0 sits on the initial watermark
+  // boundary and is discarded as late (ts <= watermark)
+  private val base = 3600L * 1000L
+  private def ts(minute: Int) = new Timestamp(base + minute * 60L * 1000L)
+
+  test("watermarked windowed counts per event type") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStream.windowedTypeCounts(input.toDF())
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Append()).start()
+
+    input.addData(
+      Event(1, ts(0), 1, "view", 1.0),
+      Event(2, ts(1), 2, "view", 2.0),
+      Event(3, ts(2), 1, "purchase", 10.0),
+      Event(4, ts(7), 1, "view", 3.0))
+    q.processAllAvailable()
+    // advance watermark far enough to close the first windows
+    input.addData(Event(5, ts(60), 9, "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("win_counts")
+      .selectExpr("cast(window_start as long) ws", "event_type", "n_events", "total_value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val b = base / 1000
+    assert(rows.contains((b, "view", 2L, 3.0)), rows.toString)
+    assert(rows.contains((b, "purchase", 1L, 10.0)))
+    assert(rows.contains((b + 5 * 60L, "view", 1L, 3.0)))
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions on gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStream.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+
+    // user 1: two events 5 min apart (one session), then a 40-min gap
+    input.addData(
+      Event(1, ts(0), 1, "view", 1.0),
+      Event(2, ts(5), 1, "view", 2.0),
+      Event(3, ts(45), 1, "view", 4.0))
+    q.processAllAvailable()
+    // watermark push: closes the open session via event-time timeout
+    input.addData(Event(9, ts(200), 2, "view", 0.0))
+    q.processAllAvailable()
+    input.addData(Event(10, ts(400), 2, "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val sessions = spark.table("sessions").as[Session].collect()
+      .filter(_.user_id == 1).sortBy(_.start_ms)
+    assert(sessions.length == 2, sessions.mkString(", "))
+    assert(sessions(0).n_events == 2 && sessions(0).total_value == 3.0)
+    assert(sessions(0).start_ms == base && sessions(0).end_ms == base + 5 * 60000L)
+    assert(sessions(1).n_events == 1 && sessions(1).total_value == 4.0)
+  }
+}
