@@ -186,7 +186,35 @@ object Relational {
       .orderBy("type_prefix")
   }
 
+  // -- correlated scalar subquery (TPC-H Q17 shape) --------------------------
+  // small-quantity orders below 20% of the part's average quantity
+  private def qSmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val avgQ = li.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg((avg(dec(col("l_quantity"))) * 0.2).as("qty_threshold"))
+    li.join(broadcast(avgQ), li("l_partkey") === avgQ("ap_partkey"))
+      .filter(dec(col("l_quantity")) < col("qty_threshold"))
+      .agg(
+        coalesce(sum(dec(col("l_extendedprice"))), lit(0).cast("decimal(18,2)"))
+          .cast("double").as("total_price"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  // -- grouping sets ----------------------------------------------------------
+  private def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.groupingSets(
+        Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+          Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total_price"))
+      .orderBy(asc_nulls_first("o_orderpriority"), asc_nulls_first("o_orderstatus"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q17_small_qty_revenue" -> (qSmallQtyRevenue _),
+    "q_grouping_sets"       -> (qGroupingSets _),
     "q1_pricing_summary"    -> (q1PricingSummary _),
     "q6_filtered_revenue"   -> (q6Revenue _),
     "q3_revenue_by_segment" -> (q3RevenueBySegment _),
@@ -204,6 +232,20 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q17_small_qty_revenue" ->
+      """SELECT
+        | CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_price,
+        | COUNT(*) AS n_rows
+        |FROM lineitem l
+        |WHERE CAST(l_quantity AS DECIMAL(18,2)) < (
+        |  SELECT AVG(CAST(l_quantity AS DECIMAL(18,2))) * 0.2
+        |  FROM lineitem WHERE l_partkey = l.l_partkey)""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
