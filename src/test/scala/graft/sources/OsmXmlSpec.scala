@@ -39,3 +39,19 @@ class OsmXmlSpec extends SparkSpecBase {
     assert(ops.contains(Op.Delete))
   }
 }
+
+class OsmXmlGzSpec extends graft.SparkSpecBase {
+  test("gzipped .osc parses identically to the plain file") {
+    val src = java.nio.file.Paths.get("/root/reference/test/complete_db.osc")
+    val dir = java.nio.file.Files.createTempDirectory("graft-gz")
+    val gz = dir.resolve("complete_db.osc.gz")
+    val out = new java.util.zip.GZIPOutputStream(java.nio.file.Files.newOutputStream(gz))
+    try out.write(java.nio.file.Files.readAllBytes(src)) finally out.close()
+
+    val plain = OsmXml.readDiff(spark, src.toString).collect()
+    val zipped = OsmXml.readDiff(spark, gz.toString).collect()
+    assert(zipped.length == plain.length && zipped.length > 0)
+    assert(zipped.map(e => (e.kind, e.id, e.op)).toSet ==
+      plain.map(e => (e.kind, e.id, e.op)).toSet)
+  }
+}
