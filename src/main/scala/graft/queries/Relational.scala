@@ -212,9 +212,21 @@ object Relational {
       .orderBy(asc_nulls_first("o_orderpriority"), asc_nulls_first("o_orderstatus"))
   }
 
+  // -- exact percentiles (linear interpolation on both engines) --------------
+  private def qPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.groupBy("o_orderpriority")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q17_small_qty_revenue" -> (qSmallQtyRevenue _),
     "q_grouping_sets"       -> (qGroupingSets _),
+    "q_percentiles"         -> (qPercentiles _),
     "q1_pricing_summary"    -> (q1PricingSummary _),
     "q6_filtered_revenue"   -> (q6Revenue _),
     "q3_revenue_by_segment" -> (q3RevenueBySegment _),
@@ -240,6 +252,12 @@ object Relational {
         |WHERE CAST(l_quantity AS DECIMAL(18,2)) < (
         |  SELECT AVG(CAST(l_quantity AS DECIMAL(18,2))) * 0.2
         |  FROM lineitem WHERE l_partkey = l.l_partkey)""".stripMargin,
+    "q_percentiles" ->
+      """SELECT o_orderpriority,
+        | quantile_cont(o_totalprice, 0.5) AS p50,
+        | quantile_cont(o_totalprice, 0.9) AS p90,
+        | COUNT(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_grouping_sets" ->
       """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
