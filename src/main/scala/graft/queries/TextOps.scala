@@ -262,11 +262,13 @@ object TextOps {
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "d_dedup_ngram" ->
       s"""WITH sh AS (SELECT doc_id, $shingleSql AS ss FROM documents),
+         |inv AS (SELECT doc_id, len(ss) AS n_sh, unnest(ss) AS s FROM sh),
          |pairs AS (
          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         |    len(list_intersect(a.ss, b.ss))::BIGINT AS n_common,
-         |    (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)))::BIGINT AS n_union
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |    count(*)::BIGINT AS n_common,
+         |    (any_value(a.n_sh) + any_value(b.n_sh) - count(*))::BIGINT AS n_union
+         |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
          |SELECT a_id, b_id, n_common, n_union,
          |  n_common::DOUBLE / n_union::DOUBLE AS jaccard
          |FROM pairs WHERE n_common::DOUBLE / n_union::DOUBLE > 0.5
