@@ -44,8 +44,10 @@ object Relational {
     val li = t(s, dir, "lineitem")
     val o  = t(s, dir, "orders")
     val c  = t(s, dir, "customer")
+    // customer scales with SF (~15M rows at sf100): no forced broadcast —
+    // AQE picks broadcast when the build side is actually small.
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_mktsegment"), year(col("o_orderdate")).cast("long").as("order_year"))
       .agg(
         sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
@@ -62,10 +64,12 @@ object Relational {
     val su = t(s, dir, "supplier")
     val n  = t(s, dir, "nation")
     val r  = t(s, dir, "region")
+    // customer/supplier scale with SF — leave those joins to AQE; only
+    // nation (25 rows) and region (5 rows) are bounded forever.
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .join(broadcast(su), li("l_suppkey") === su("s_suppkey") &&
-                           c("c_nationkey") === su("s_nationkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(su, li("l_suppkey") === su("s_suppkey") &&
+                c("c_nationkey") === su("s_nationkey"))
       .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy("r_name", "n_name")
@@ -109,7 +113,8 @@ object Relational {
   // -- sessionize: gap>30min sessions from the events stream table ----------
   private def qSessionize(s: SparkSession, dir: String): DataFrame = {
     // ts arrives as a long (ns since epoch) via nanosAsLong; DuckDB sees a
-    // TIMESTAMP_NS — oracles use epoch(ts)::BIGINT == ts DIV 1e9 here.
+    // TIMESTAMP_NS — the oracle must floor (epoch_ns // 1e9) to match integer
+    // DIV here; DuckDB's epoch(ts)::BIGINT rounds and diverges on .5s+.
     val ev = t(s, dir, "events")
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     ev.withColumn("prev_ts", lag(col("ts"), 1).over(w))
@@ -135,7 +140,8 @@ object Relational {
   private def qTopParts(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     val p  = t(s, dir, "part")
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    // part scales with SF (~20M rows at sf100) — AQE decides the join.
+    li.join(p, li("l_partkey") === p("p_partkey"))
       .groupBy("p_partkey", "p_brand")
       .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
              .cast("double").as("revenue"))
@@ -192,7 +198,9 @@ object Relational {
     val li = t(s, dir, "lineitem")
     val avgQ = li.groupBy(col("l_partkey").as("ap_partkey"))
       .agg((avg(dec(col("l_quantity"))) * 0.2).as("qty_threshold"))
-    li.join(broadcast(avgQ), li("l_partkey") === avgQ("ap_partkey"))
+    // the per-part aggregate has ~|part| rows, which scales with SF — AQE
+    // decides; at sf100 this must be a shuffle join on l_partkey.
+    li.join(avgQ, li("l_partkey") === avgQ("ap_partkey"))
       .filter(dec(col("l_quantity")) < col("qty_threshold"))
       .agg(
         coalesce(sum(dec(col("l_extendedprice"))), lit(0).cast("decimal(18,2)"))
@@ -316,7 +324,7 @@ object Relational {
       """SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events FROM (
         | SELECT user_id,
         |  CASE WHEN prev_ts IS NULL
-        |        OR (epoch(ts)::BIGINT - epoch(prev_ts)::BIGINT) > 1800 THEN 1 ELSE 0 END AS new_sess
+        |        OR ((epoch_ns(ts) // 1000000000) - (epoch_ns(prev_ts) // 1000000000)) > 1800 THEN 1 ELSE 0 END AS new_sess
         | FROM (SELECT user_id, ts, event_id,
         |        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         |       FROM events))
