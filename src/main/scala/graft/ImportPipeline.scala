@@ -28,8 +28,17 @@ final class ImportPipeline(
 
   private val single = mapping.conf.singleIdSpace
 
-  /** Run the import; returns table name -> rows (lazy frames). */
-  def run(bundle: Bundle): Map[String, DataFrame] = {
+  /** Run the import; returns table name -> rows (lazy frames).
+    *
+    * `resolve` carries resolution-only inputs for relation-member lookup:
+    * the diff path drives rows from the rebuild closure (`bundle`) but must
+    * resolve member tags against the FULL maintained state, exactly as the
+    * reference resolves members from its cache (writer/relations.go:216-251)
+    * regardless of which relations the diff rebuilds. Without it, a rebuilt
+    * relation whose sub-relation member (route_master shape) or tagged-node
+    * member is unchanged would fail resolution / lose `from_member` tags.
+    */
+  def run(bundle: Bundle, resolve: Option[Bundle] = None): Map[String, DataFrame] = {
     // -- shared inputs --------------------------------------------------------
     // every coordinate passes through the reference's uint32 cache codec —
     // EXCEPT coords flagged `fresh` by the diff path: the reference's
@@ -173,10 +182,17 @@ final class ImportPipeline(
 
     // relation_member rows (handleRelationMembers): resolve EVERY member;
     // any unresolved member drops the whole relation. Node members fall
-    // back to untagged coords (relations.go:236-246).
+    // back to untagged coords (relations.go:236-246). Tag/sub-relation
+    // lookups go against the resolution bundle when provided (diff path).
     val allNodesXY = coords.join(
-      bundle.nodes.select(col("id"), col("tags")), Seq("id"), "left")
-    val memberRows = relationMemberRows(relsF, assembled, bundle.ways, allNodesXY, relIdCol)
+      resolve.getOrElse(bundle).nodes.select(col("id"), col("tags")),
+      Seq("id"), "left")
+    val resolveRels = resolve match {
+      case Some(r) => r.relations.select(col("id"), relFilter(col("tags")).as("tags"))
+      case None => relsF.select(col("id"), col("tags"))
+    }
+    val memberRows =
+      relationMemberRows(relsF, resolveRels, assembled, bundle.ways, allNodesXY, relIdCol)
 
     // -- route rows to destination tables --------------------------------------
     val stages: Seq[DataFrame] =
@@ -203,9 +219,13 @@ final class ImportPipeline(
     flat.select(table.columns.map(c => ColumnBuilders.build(table, c, isMember)): _*)
   }
 
-  /** handleRelationMembers (writer/relations.go:216-283). */
+  /** handleRelationMembers (writer/relations.go:216-283). `resolveRels`
+    * is the (id, tags) frame sub-relation members resolve against — the
+    * full relation state on the diff path, `relsF` itself in batch mode.
+    */
   private def relationMemberRows(
       relsF: DataFrame,
+      resolveRels: DataFrame,
       assembled: DataFrame,
       ways: DataFrame,
       nodesXY: DataFrame,
@@ -224,7 +244,7 @@ final class ImportPipeline(
     // node members: tagged nodes first, coords fallback (relations.go:232-251)
     val nodeSide = nodesXY.select(col("id").as("n_id"), col("x").as("n_x"),
       col("y").as("n_y"), col("tags").as("n_tags"))
-    val relSide = relsF.select(col("id").as("r_id"), col("tags").as("r_tags"))
+    val relSide = resolveRels.select(col("id").as("r_id"), col("tags").as("r_tags"))
     val waySide = assembled
       .join(ways.select(col("id"), col("tags").as("w_tags")), Seq("id"))
       .select(col("id").as("w_id"), col("nodes").as("w_nodes"), col("w_tags"))

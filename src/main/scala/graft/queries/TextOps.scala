@@ -26,7 +26,7 @@ object TextOps {
     t(s, dir, "documents")
 
   /** Distinct 5-char shingles (character n-grams spanning token boundaries). */
-  private val shingleExpr: Column = expr(
+  private[queries] val shingleExpr: Column = expr(
     "array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)), " +
       "i -> substring(text, i, 5)))")
 
@@ -51,21 +51,35 @@ object TextOps {
       .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_docs"))
       .orderBy("fingerprint")
 
+  /** Document-frequency cap for the shingle inverted index: shingles present
+    * in more documents are stop-shingles — a single one would otherwise join
+    * quadratically (a df-10⁶ bucket at 100 TB ⇒ 10¹² candidate rows).
+    * Shared with the oracle CTE; candidates lost to the cap could only have
+    * been pairs whose ENTIRE overlap is stop-shingles.
+    */
+  private[queries] val NgramDfCap = 100
+
   // -- n-gram Jaccard near-dup pairs via shingle inverted index ---------------
-  // Scale path: explode shingles -> self-join on shingle (high-cardinality
-  // shuffle key) -> count common per pair -> jaccard from exact set sizes.
-  // A pair with J > 0.5 must share shingles, so the index join is a lossless
-  // candidate generator (frequency capping would be the knob at 100 TB).
+  // Scale path: explode shingles -> df-cap the postings -> self-join on
+  // shingle (high-cardinality shuffle key, no bucket larger than the cap) ->
+  // exact jaccard re-verified from the FULL shingle sets, so the cap is a
+  // candidate-pruning step only (same shape as the MinHash LSH verify).
   private def dedupNgram(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), shingleExpr.as("ss"))
-    val sized = d.withColumn("n_sh", size(col("ss")))
-    val inv = sized.select(col("doc_id"), col("n_sh"), explode(col("ss")).as("s"))
-    val a = inv.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"), col("s"))
-    val b = inv.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"), col("s"))
-    a.join(b, Seq("s")).filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id", "a_n", "b_n")
-      .agg(count(lit(1)).as("n_common"))
-      .withColumn("n_union", col("a_n") + col("b_n") - col("n_common"))
+    val inv = d.select(col("doc_id"), explode(col("ss")).as("s"))
+    val rare = inv.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= NgramDfCap).select("s")
+    val capped = inv.join(rare, Seq("s"), "left_semi")
+    val a = capped.select(col("doc_id").as("a_id"), col("s"))
+    val b = capped.select(col("doc_id").as("b_id"), col("s"))
+    val cand = a.join(b, Seq("s")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(d.select(col("doc_id").as("a_id"), col("ss").as("a_ss")), Seq("a_id"))
+      .join(d.select(col("doc_id").as("b_id"), col("ss").as("b_ss")), Seq("b_id"))
+      .withColumn("n_common", size(array_intersect(col("a_ss"), col("b_ss"))).cast("long"))
+      .withColumn("n_union",
+        (size(col("a_ss")) + size(col("b_ss"))).cast("long") - col("n_common"))
       .withColumn("jaccard",
         col("n_common").cast("double") / col("n_union").cast("double"))
       .filter(col("jaccard") > 0.5)
@@ -118,31 +132,47 @@ object TextOps {
   }
 
   // -- SimHash dedup -----------------------------------------------------------
-  // 16-bit simhash over weighted word tokens (hash = first 4 md5 hex chars);
-  // near-dup pairs via 2 byte-bands (pigeonhole: hamming<=1 always caught;
-  // the <=3 filter below is exact on the banded candidates on both engines).
-  private def simhashSigs(s: SparkSession, dir: String): DataFrame = {
-    // one shuffle: (doc, token) counts; the 16 bit-sums are plain aggregate
+  // 64-bit simhash over weighted word tokens; the per-token hash is the first
+  // 16 md5 hex chars taken as two 32-bit halves (a single conv() of 16 chars
+  // would overflow signed BIGINT). Near-dup pairs via 4 disjoint 16-bit bands
+  // (pigeonhole: hamming<=3 always caught). Band-value cardinality is 2^16,
+  // so candidate pairs stay ~Σ bucket² / 2 instead of the old 256-value
+  // bands' ~n²/512 — the scale path at n≫10⁵.
+  // Sign-bit care, identical on both engines: bit 63 contributes
+  // Long.MinValue by ADDITION (DuckDB raises on 1::BIGINT << 63); band
+  // extraction masks after the arithmetic shift, so sign extension cancels.
+  private[queries] def simhashSigs(s: SparkSession, dir: String): DataFrame = {
+    // one shuffle: (doc, token) counts; the 64 bit-sums are plain aggregate
     // columns (no bit explode), then recombined — same math as the oracle's
     // unnested form, 2x fewer shuffles
     val tf = docs(s, dir)
       .select(col("doc_id"), explode(tokensExpr).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-      .withColumn("h", expr("cast(conv(substring(md5(tok), 1, 4), 16, 10) as bigint)"))
-    val bitSums = (0 until 16).map(b =>
-      sum(col("c") * (expr(s"shiftright(h, $b) % 2") * 2 - 1)).as(s"v$b"))
+      .withColumn("h_hi", expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint)"))
+      .withColumn("h_lo", expr("cast(conv(substring(md5(tok), 9, 8), 16, 10) as bigint)"))
+    val bitSums = (0 until 64).map { b =>
+      val bit =
+        if (b < 32) expr(s"shiftright(h_lo, $b) % 2")
+        else expr(s"shiftright(h_hi, ${b - 32}) % 2")
+      sum(col("c") * (bit * 2 - 1)).as(s"v$b")
+    }
     tf.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
-        (0 until 16).map(b =>
-          when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+        ((0 until 63).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)) :+
+          when(col("v63") > 0, lit(Long.MinValue)).otherwise(0L))
           .reduce(_ + _).as("simhash"))
   }
 
-  private def dedupSimHash(s: SparkSession, dir: String): DataFrame = {
-    val sig = simhashSigs(s, dir)
-    val bands = sig.select(col("doc_id"), col("simhash"),
-      posexplode(array(expr("simhash DIV 256"), expr("simhash % 256")))
+  /** 4 disjoint 16-bit bands of a 64-bit signature, for LSH bucketing. */
+  private[queries] def simhashBands(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        expr(s"shiftright(simhash, ${16 * b}) & 65535")): _*))
         .as(Seq("band_idx", "band_val")))
+
+  private def dedupSimHash(s: SparkSession, dir: String): DataFrame = {
+    val bands = simhashBands(simhashSigs(s, dir))
     val a = bands.select(col("band_idx"), col("band_val"),
       col("doc_id").as("a_id"), col("simhash").as("a_sh"))
     val b = bands.select(col("band_idx"), col("band_val"),
@@ -262,16 +292,19 @@ object TextOps {
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "d_dedup_ngram" ->
       s"""WITH sh AS (SELECT doc_id, $shingleSql AS ss FROM documents),
-         |inv AS (SELECT doc_id, len(ss) AS n_sh, unnest(ss) AS s FROM sh),
-         |pairs AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         |    count(*)::BIGINT AS n_common,
-         |    (any_value(a.n_sh) + any_value(b.n_sh) - count(*))::BIGINT AS n_union
-         |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
+         |inv AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+         |rare AS (SELECT s FROM inv GROUP BY s HAVING count(*) <= $NgramDfCap),
+         |capped AS (SELECT doc_id, s FROM inv WHERE s IN (SELECT s FROM rare)),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id),
+         |scored AS (SELECT a_id, b_id,
+         |  len(list_intersect(sa.ss, sb.ss))::BIGINT AS n_common,
+         |  (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)))::BIGINT AS n_union
+         |  FROM cand JOIN sh sa ON cand.a_id = sa.doc_id
+         |            JOIN sh sb ON cand.b_id = sb.doc_id)
          |SELECT a_id, b_id, n_common, n_union,
          |  n_common::DOUBLE / n_union::DOUBLE AS jaccard
-         |FROM pairs WHERE n_common::DOUBLE / n_union::DOUBLE > 0.5
+         |FROM scored WHERE n_common::DOUBLE / n_union::DOUBLE > 0.5
          |ORDER BY a_id, b_id""".stripMargin,
     "d_dedup_minhash" ->
       s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -301,20 +334,25 @@ object TextOps {
     "d_dedup_simhash" ->
       s"""WITH tf AS (
          |  SELECT doc_id, tok, count(*)::BIGINT AS c,
-         |    ('0x' || substr(md5(tok), 1, 4))::BIGINT AS h
+         |    ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h_hi,
+         |    ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h_lo
          |  FROM (SELECT doc_id, unnest($tokensSql) AS tok FROM documents)
          |  GROUP BY 1, 2),
          |bits AS (
-         |  SELECT doc_id, b, sum(c * (2 * ((h >> b) & 1) - 1)) AS v
-         |  FROM tf, unnest(generate_series(0, 15)) AS t(b) GROUP BY 1, 2),
+         |  SELECT doc_id, b,
+         |    sum(c * (2 * ((CASE WHEN b < 32 THEN h_lo >> b
+         |                        ELSE h_hi >> (b - 32) END) & 1) - 1)) AS v
+         |  FROM tf, unnest(generate_series(0, 63)) AS t(b) GROUP BY 1, 2),
          |sig AS (
          |  SELECT doc_id,
-         |    sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+         |    (sum(CASE WHEN v > 0 AND b < 63 THEN (1::BIGINT << b) ELSE 0 END)
+         |     + sum(CASE WHEN v > 0 AND b = 63
+         |           THEN -9223372036854775808::HUGEINT ELSE 0 END))::BIGINT AS simhash
          |  FROM bits GROUP BY 1),
          |bands AS (
-         |  SELECT doc_id, simhash, 0 AS band_idx, simhash // 256 AS band_val FROM sig
-         |  UNION ALL
-         |  SELECT doc_id, simhash, 1, simhash % 256 FROM sig),
+         |  SELECT doc_id, simhash, b AS band_idx,
+         |    (simhash >> (16 * b)) & 65535 AS band_val
+         |  FROM sig, unnest(generate_series(0, 3)) AS t(b)),
          |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
          |    a.simhash AS a_sh, b.simhash AS b_sh
          |  FROM bands a JOIN bands b

@@ -150,7 +150,10 @@ object DiffPipeline {
       nodes = nw.nodes.join(broadcast(chN), Seq("id"), "left_semi"),
       ways = nw.ways.join(broadcast(rebuildW), Seq("id"), "left_semi"),
       relations = driverRels)
-    val delta = new ImportPipeline(spark, mapping, srid).run(bundleR)
+    // member-tag / sub-relation resolution sees the FULL maintained state
+    // (reference writer/relations.go:216-251 resolves from the whole cache);
+    // only the row-driving set is restricted to the closure.
+    val delta = new ImportPipeline(spark, mapping, srid).run(bundleR, resolve = Some(nw))
     val genDelta = Generalize(spark, mapping, delta)
 
     // -- 4. output tables: delete mangled closure ids, append delta -----------

@@ -49,6 +49,42 @@ class TextSimSpec extends SparkSpecBase {
     }
   }
 
+  test("simhash signature is 64-bit; 4 disjoint 16-bit bands reconstruct it") {
+    import org.apache.spark.sql.functions._
+    val sigs = TextOps.simhashSigs(spark, sf001).cache()
+    // the signature space must actually use the high bits (a 16-bit simhash
+    // would leave bits 16..63 at zero for every doc)
+    assert(sigs.filter(abs(col("simhash")) >= (1L << 16)).count() > 0,
+      "no signature uses bits above 15 — banding space collapsed")
+    val bands = TextOps.simhashBands(sigs).collect()
+    bands.foreach { r =>
+      val v = r.getAs[Long]("band_val")
+      assert(v >= 0 && v <= 0xFFFFL, s"band value $v outside 16-bit range")
+    }
+    // the 4 bands partition the 64 bits exactly: shifting them back together
+    // must reproduce the signature (two's complement included)
+    bands.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      val byIdx = rs.map(r => r.getAs[Int]("band_idx") -> r.getAs[Long]("band_val")).toMap
+      val rebuilt = (0 until 4).map(b => byIdx(b) << (16 * b)).reduce(_ | _)
+      assert(rebuilt == rs.head.getAs[Long]("simhash"))
+    }
+    sigs.unpersist()
+  }
+
+  test("ngram inverted index is df-capped: no posting list exceeds the cap") {
+    import org.apache.spark.sql.functions._
+    val inv = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), TextOps.shingleExpr.as("ss"))
+      .select(explode(col("ss")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+    val capped = inv.filter(col("df") <= TextOps.NgramDfCap)
+    val maxDf = capped.agg(max("df")).head.getLong(0)
+    assert(maxDf <= TextOps.NgramDfCap)
+    // the cap itself must be small enough that a single shuffle bucket stays
+    // bounded: df<=K means a shingle contributes at most K(K-1)/2 candidates
+    assert(TextOps.NgramDfCap <= 1000)
+  }
+
   test("brute-force topk: 5 ranked neighbors per query, sims descending") {
     val rows = run("s_cosine_topk").collect()
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))
