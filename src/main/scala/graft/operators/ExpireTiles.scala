@@ -110,12 +110,14 @@ object ExpireTiles {
             if (x1.toLong == x2.toLong && y1.toLong == y2.toLong)
               out += Tile(zoom, x1.toLong, y1.toLong)
             else out ++= walkSegment(x1, y1, x2, y2).map(t => Tile(zoom, t._1, t._2))
-          case _ => aborted = true // reference aborts the whole line
+          case _ => aborted = true // reference stops walking the line here
         }
       }
       i += 1
     }
-    if (aborted) Set.empty else out.result()
+    // keep tiles accumulated before the abort (expire/tilelist.go keeps the
+    // list built so far when a segment leaves the mercator square)
+    out.result()
   }
 
   private def expireBox(b: (Double, Double, Double, Double), zoom: Int): Set[Tile] =

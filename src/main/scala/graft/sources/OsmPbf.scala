@@ -31,25 +31,47 @@ object OsmPbf {
 
   // ---- public API -----------------------------------------------------------
 
-  def read(spark: SparkSession, path: String): Bundle =
-    OsmXml.bundleOf(readElements(spark, path).toDF().cache())
+  /** Parse into the four element frames. The raw cache is Dataset-cached
+    * (MEMORY_AND_DISK — partitions that don't fit spill); pass
+    * `StorageLevel.DISK_ONLY` for planet-scale runs where the decoded
+    * corpus shouldn't compete with shuffle memory at all, and a
+    * [[TagFilters]] so the cache never materializes unmapped tags. */
+  def read(spark: SparkSession, path: String,
+      filters: Option[TagFilters] = None,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): Bundle =
+    OsmXml.bundleOf(readElements(spark, path, filters).toDF().persist(storage))
 
-  def readElements(spark: SparkSession, path: String): Dataset[RawElement] = {
+  def readElements(spark: SparkSession, path: String,
+      filters: Option[TagFilters] = None): Dataset[RawElement] = {
     import spark.implicits._
     val index = blobIndex(spark, path)
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val parallelism = math.max(spark.sparkContext.defaultParallelism, 1)
+    val tf = filters // local: don't capture the session in the task closure
     spark.createDataset(index)
       .repartition(math.min(math.max(index.size / 4, 1), parallelism * 4))
       .mapPartitions { it =>
-        it.flatMap { br =>
+        val raw = it.flatMap { br =>
           val fs = new Path(br.path).getFileSystem(conf.value)
           val in = fs.open(new Path(br.path))
           val buf = new Array[Byte](br.length)
           try { in.seek(br.offset); in.readFully(buf) } finally in.close()
           decodeDataBlob(buf)
         }
+        tf match {
+          case Some(f) => raw.map(prefilter(_, f))
+          case None => raw
+        }
       }
+  }
+
+  /** Apply the per-kind tag prefilter to one decoded element (P1 at parse
+    * time — mapping/filter.go:71-89 via reader/reader.go:124). */
+  private def prefilter(e: RawElement, f: TagFilters): RawElement = e.kind match {
+    case Kind.Node => if (e.tags.isEmpty) e else e.copy(tags = f.nodes.filter(e.tags))
+    case Kind.Way => if (e.tags.isEmpty) e else e.copy(tags = f.ways.filter(e.tags))
+    case _ => if (e.tags.isEmpty) e else e.copy(tags = f.relations.filter(e.tags))
   }
 
   /** Header-only scan: returns the byte ranges of all OSMData blobs. */
@@ -160,7 +182,7 @@ object OsmPbf {
     }
   }
 
-  private def decodeBlobHeader(buf: Array[Byte]): (String, Int) = {
+  private[sources] def decodeBlobHeader(buf: Array[Byte]): (String, Int) = {
     val pb = new Pb(buf, 0, buf.length)
     var tpe = ""
     var dataSize = 0

@@ -39,9 +39,24 @@ object OsmXml {
       .flatMap { case (p, content) => parseBytes(p, content) }
   }
 
-  def read(spark: SparkSession, path: String): Bundle = {
-    val elems = readElements(spark, path).toDF().cache()
-    bundleOf(elems)
+  def read(spark: SparkSession, path: String,
+      filters: Option[TagFilters] = None,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): Bundle = {
+    import spark.implicits._
+    val raw = readElements(spark, path)
+    val filtered = filters match {
+      case Some(f) => raw.map { e =>
+        if (e.tags.isEmpty) e
+        else e.kind match {
+          case Kind.Node => e.copy(tags = f.nodes.filter(e.tags))
+          case Kind.Way => e.copy(tags = f.ways.filter(e.tags))
+          case _ => e.copy(tags = f.relations.filter(e.tags))
+        }
+      }
+      case None => raw
+    }
+    bundleOf(filtered.toDF().persist(storage))
   }
 
   def bundleOf(elems: DataFrame): Bundle = {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.ImportPipeline
-import graft.mapping.{CompiledMapping, TableType}
+import graft.mapping.{CompiledMapping, TableConf, TableType}
 import graft.model.{Ids, Kind, Op}
 import graft.operators.Generalize
 import graft.sources.OsmXml
@@ -43,18 +43,26 @@ object DiffPipeline {
   private val ElementTables = Seq("coords", "nodes", "ways", "relations")
   private def tbl(name: String): String = s"tbl_$name"
 
-  /** Initial import: write element state + all output tables as v0. */
+  /** Initial import: write element state + all output tables as v0, all
+    * range-bucketed by id so later diffs rewrite only touched buckets.
+    * `bucketBits` fixes the bucket span (id >> bits) for the store's life;
+    * 22 ⇒ ~4M ids per bucket ⇒ ~3k buckets over planet node ids. */
   def init(spark: SparkSession, mapping: CompiledMapping, stateDir: String,
-      bundle: Bundle, srid: Int = 3857): Map[String, DataFrame] = {
+      bundle: Bundle, srid: Int = 3857, bucketBits: Int = 22): Map[String, DataFrame] = {
     val store = new StateStore(spark, stateDir)
-    store.write("coords", 0, bundle.coords)
-    store.write("nodes", 0, bundle.nodes)
-    store.write("ways", 0, bundle.ways)
-    store.write("relations", 0, bundle.relations)
+    store.setBucketBits(bucketBits)
+    store.writeBucketed("coords", 0, bundle.coords, "id")
+    store.writeBucketed("nodes", 0, bundle.nodes, "id")
+    store.writeBucketed("ways", 0, bundle.ways, "id")
+    store.writeBucketed("relations", 0, bundle.relations, "id")
     val stored = storedBundle(store, 0)
-    val tables = new ImportPipeline(spark, mapping, srid).run(stored)
+    val pipeline = new ImportPipeline(spark, mapping, srid)
+    val tables = pipeline.run(stored)
     val gens = Generalize(spark, mapping, tables)
-    (tables ++ gens).foreach { case (n, df) => store.write(tbl(n), 0, df) }
+    (tables ++ gens).foreach { case (n, df) =>
+      store.writeBucketed(tbl(n), 0, df, idColFor(mapping, n))
+    }
+    pipeline.unpersistAll()
     store.commit(0)
     readTables(spark, mapping, stateDir)
   }
@@ -94,27 +102,36 @@ object DiffPipeline {
     val chW = d.filter(col("kind") === Kind.Way).select("id").distinct().cache()
     val chR = d.filter(col("kind") === Kind.Relation).select("id").distinct().cache()
 
-    // -- 1. element tables: delete-then-insert --------------------------------
-    def anti(old: DataFrame, ch: DataFrame): DataFrame =
-      old.join(broadcast(ch), Seq("id"), "left_anti")
-    val old = storedBundle(store, seq)
+    // -- 1. element tables: delete-then-insert, bucket-pruned -----------------
+    // a changed element's insert row has the same id as its delete, so the
+    // touched buckets are exactly the changed ids' buckets: read only those,
+    // anti-join the change set, append inserts, write only those buckets
+    val bN = store.bucketsOf(chN, "id")
+    val bW = store.bucketsOf(chW, "id")
+    val bR = store.bucketsOf(chR, "id")
+    def keptIn(name: String, ch: DataFrame, bs: Set[Long]): DataFrame =
+      store.readBuckets(name, seq, bs).join(broadcast(ch), Seq("id"), "left_anti")
     val insN = d.filter(col("kind") === Kind.Node && col("op") =!= Op.Delete)
-    store.write("coords", next,
-      anti(old.coords, chN).unionByName(insN.select("id", "lon", "lat")))
-    store.write("nodes", next,
-      anti(old.nodes, chN).unionByName(
-        insN.filter(size(col("tags")) > 0).select("id", "lon", "lat", "tags")))
-    store.write("ways", next,
-      anti(old.ways, chW).unionByName(
+    store.writeBucketedDelta("coords", next, seq,
+      keptIn("coords", chN, bN).unionByName(insN.select("id", "lon", "lat")),
+      "id", bN)
+    store.writeBucketedDelta("nodes", next, seq,
+      keptIn("nodes", chN, bN).unionByName(
+        insN.filter(size(col("tags")) > 0).select("id", "lon", "lat", "tags")),
+      "id", bN)
+    store.writeBucketedDelta("ways", next, seq,
+      keptIn("ways", chW, bW).unionByName(
         d.filter(col("kind") === Kind.Way && col("op") =!= Op.Delete)
-          .select("id", "refs", "tags")))
-    store.write("relations", next,
-      anti(old.relations, chR).unionByName(
+          .select("id", "refs", "tags")),
+      "id", bW)
+    store.writeBucketedDelta("relations", next, seq,
+      keptIn("relations", chR, bR).unionByName(
         d.filter(col("kind") === Kind.Relation && col("op") =!= Op.Delete)
           .select(col("id"),
             expr("transform(members, m -> struct(m.id as id, m.mtype as type, m.role as role))")
               .as("members"),
-            col("tags"))))
+            col("tags"))),
+      "id", bR)
     val nw = storedBundle(store, next) // short lineage for the joins below
 
     // -- 2. dependency closure (J4) -------------------------------------------
@@ -153,7 +170,8 @@ object DiffPipeline {
     // member-tag / sub-relation resolution sees the FULL maintained state
     // (reference writer/relations.go:216-251 resolves from the whole cache);
     // only the row-driving set is restricted to the closure.
-    val delta = new ImportPipeline(spark, mapping, srid).run(bundleR, resolve = Some(nw))
+    val pipeline = new ImportPipeline(spark, mapping, srid)
+    val delta = pipeline.run(bundleR, resolve = Some(nw))
     val genDelta = Generalize(spark, mapping, delta)
 
     // -- 4. output tables: delete mangled closure ids, append delta -----------
@@ -172,27 +190,51 @@ object DiffPipeline {
       case TableType.Relation | TableType.RelationMember => rDel
       case other => throw new IllegalArgumentException(other)
     }
+    // the rebuilt delta's ids are a subset of the delete ids by
+    // construction (rows are driven by the closure), so each table's
+    // touched buckets are the delete ids' buckets: read only those, drop
+    // mangled closure ids, append delta, write only those buckets
+    val bNDel = bN // point deletes are the changed node ids themselves
+    val bWDel = store.bucketsOf(wDel, "osm_id")
+    val bRDel = store.bucketsOf(rDel, "osm_id")
+    def bucketsFor(tableType: String): Set[Long] = tableType match {
+      case TableType.Point => bNDel
+      case TableType.LineString | TableType.Polygon => bWDel ++ bRDel
+      case TableType.Geometry => bNDel ++ bWDel ++ bRDel
+      case TableType.Relation | TableType.RelationMember => bRDel
+      case other => throw new IllegalArgumentException(other)
+    }
     val expireGeoms = Seq.newBuilder[DataFrame]
     for ((name, t) <- mapping.conf.tables) {
-      val del = deleteIdsFor(t.tableType)
-      val old = store.read(tbl(name), seq)
-      val kept = old.join(broadcast(del), Seq("osm_id"), "left_anti")
-      store.write(tbl(name), next, kept.unionByName(delta(name)))
+      val idc = idColName(t)
+      val del = deleteIdsFor(t.tableType).withColumnRenamed("osm_id", idc)
+      val bs = bucketsFor(t.tableType)
+      val touched = store.readBuckets(tbl(name), seq, bs)
+      val kept = touched.join(broadcast(del), Seq(idc), "left_anti")
+      store.writeBucketedDelta(tbl(name), next, seq,
+        kept.unionByName(delta(name)), idc, bs)
       // ST5 inputs: OLD geometries of replaced/deleted rows (the reference
       // expires via its deleter, update/deleter.go) plus the rebuilt ones
       if (expireDir.nonEmpty && t.tableType != TableType.Relation &&
         t.tableType != TableType.RelationMember) {
-        expireGeoms += old.join(broadcast(del), Seq("osm_id"), "left_semi")
-          .select("geometry")
-        expireGeoms += delta(name).select("geometry")
+        geomColName(t).foreach { gc =>
+          expireGeoms += touched.join(broadcast(del), Seq(idc), "left_semi")
+            .select(col(gc).as("geometry"))
+          expireGeoms += delta(name).select(col(gc).as("geometry"))
+        }
       }
     }
-    // generalized tables: keyed refresh from the delta (ST6)
+    // generalized tables: keyed refresh from the delta (ST6); columns are
+    // inherited from the root source table's conf
     for ((name, g) <- mapping.conf.generalizedTables) {
-      val del = deleteIdsFor(rootType(mapping, g.source))
-      val kept = store.read(tbl(name), seq)
-        .join(broadcast(del), Seq("osm_id"), "left_anti")
-      store.write(tbl(name), next, kept.unionByName(genDelta(name)))
+      val rc = rootConf(mapping, g.source)
+      val idc = idColName(rc)
+      val del = deleteIdsFor(rc.tableType).withColumnRenamed("osm_id", idc)
+      val bs = bucketsFor(rc.tableType)
+      val kept = store.readBuckets(tbl(name), seq, bs)
+        .join(broadcast(del), Seq(idc), "left_anti")
+      store.writeBucketedDelta(tbl(name), next, seq,
+        kept.unionByName(genDelta(name)), idc, bs)
     }
 
     // ST5: expire-tiles side output — every geometry touched by this batch
@@ -205,16 +247,31 @@ object DiffPipeline {
       }
     }
 
+    pipeline.unpersistAll()
     store.commit(next)
     Seq(d, chN, chW, chR, depW, depR, rebuildW).foreach(_.unpersist())
     readTables(spark, mapping, stateDir)
   }
 
-  private def rootType(mapping: CompiledMapping, source: String): String = {
+  // id/geometry columns are whatever the mapping names them (colType is
+  // the authority, not the default "osm_id"/"geometry" spellings)
+  private def idColName(t: TableConf): String =
+    t.columns.find(_.colType == "id").map(_.name).getOrElse("osm_id")
+
+  private def geomColName(t: TableConf): Option[String] =
+    t.columns.find(c =>
+      c.colType == "geometry" || c.colType == "validated_geometry").map(_.name)
+
+  /** The id column of a base or generalized table (generalized tables
+    * inherit the root source table's columns). */
+  private def idColFor(mapping: CompiledMapping, name: String): String =
+    idColName(mapping.conf.tables.getOrElse(name, rootConf(mapping, name)))
+
+  private def rootConf(mapping: CompiledMapping, source: String): TableConf = {
     var src = source
     while (mapping.conf.generalizedTables.contains(src))
       src = mapping.conf.generalizedTables(src).source
-    mapping.conf.tables(src).tableType
+    mapping.conf.tables(src)
   }
 
   /** Continuous mode (§3.2 `imposm run`): every .osc(.gz) landing in

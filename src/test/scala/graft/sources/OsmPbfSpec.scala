@@ -53,6 +53,29 @@ class OsmPbfSpec extends SparkSpecBase {
     assert(Seq("highway", "name", "amenity").count(keys.contains) >= 2, keys.toString)
   }
 
+  test("source-side tag pushdown drops unmapped tags at parse time") {
+    import graft.mapping.{CompiledMapping, MappingConf}
+    val mapping = new CompiledMapping(
+      MappingConf.fromFile("/root/reference/test/complete_db_mapping.json"))
+    val filtered = OsmPbf.read(spark, fixture, Some(TagFilters(mapping)))
+    // unmapped bookkeeping keys must be gone from every kind
+    val droppedKeys = Seq("created_by", "source", "note")
+    for (frame <- Seq(filtered.nodes, filtered.ways, filtered.relations)) {
+      val leaked = frame
+        .select(explode(map_keys(col("tags"))).as("k"))
+        .filter(col("k").isin(droppedKeys: _*)).count()
+      assert(leaked == 0, s"unmapped keys survived the pushdown")
+    }
+    // mapped keys survive; nodes whose tags all dropped became coords
+    val kept = filtered.ways.select(explode(map_keys(col("tags"))).as("k"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(kept.contains("highway"), kept.toString)
+    assert(filtered.nodes.count() < bundle.nodes.count(),
+      "pushdown should demote fully-filtered nodes to coords")
+    assert(filtered.coords.count() == bundle.coords.count(),
+      "coords (geometry carriers) must be untouched")
+  }
+
   test("relations carry typed members with roles") {
     val m = bundle.relations
       .select(explode(col("members")).as("m"))
