@@ -8,21 +8,27 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Materialize every output table via the noop sink: the first table runs
-    * alone (it populates the shared stage caches without 8 threads racing to
-    * compute the same partitions), the rest drain concurrently off the
-    * warmed caches.
+  /** Materialize every output table via the noop sink: stage caches are
+    * forced first (dependency order), then all tables drain concurrently
+    * off the warmed caches.
     */
-  private def sinkAll(tables: Map[String, org.apache.spark.sql.DataFrame]): Unit = {
+  private def sinkAll(pipeline: ImportPipeline,
+      tables: Map[String, org.apache.spark.sql.DataFrame],
+      eagerStages: Boolean): Unit = {
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     val dfs = tables.values.toSeq
-    dfs.head.write.format("noop").mode("overwrite").save()
+    // at scale, force the shared caches first (concurrent first-touch jobs
+    // duplicate partition computation); on tiny inputs the extra count jobs
+    // are pure scheduling overhead — let the first table write warm them
+    if (eagerStages) pipeline.materializeStages()
+    else dfs.head.write.format("noop").mode("overwrite").save()
+    val rest = if (eagerStages) dfs else dfs.tail
     val pool = Executors.newFixedThreadPool(8)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     Await.result(
-      Future.sequence(dfs.tail.map(df => Future {
+      Future.sequence(rest.map(df => Future {
         df.write.format("noop").mode("overwrite").save()
       })), Duration.Inf)
     pool.shutdown()
@@ -83,7 +89,7 @@ object Bench {
           graft.mapping.MappingConf.fromFile("/root/reference/test/complete_db_mapping.json"))
         val pipeline = new ImportPipeline(spark, mapping)
         val tables = pipeline.run(graft.sources.OsmPbf.read(spark, monaco))
-        sinkAll(tables)
+        sinkAll(pipeline, tables, eagerStages = false)
         pipeline.unpersistAll()
         Seq("osm_import_monaco" -> (System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable =>
@@ -118,7 +124,7 @@ object Bench {
         val t1 = System.nanoTime()
         val pipeline = new ImportPipeline(spark, mapping)
         val tables = pipeline.run(bundle)
-        sinkAll(tables)
+        sinkAll(pipeline, tables, eagerStages = true)
         pipeline.unpersistAll()
         val tImport = (System.nanoTime() - t1) / 1e9
         System.err.println(

@@ -50,6 +50,12 @@ final class ImportPipeline(
     persisted.clear()
   }
 
+  /** Force every tracked cache, in dependency (insertion) order, before
+    * fanning out per-table sinks — concurrent first-touch jobs would
+    * otherwise duplicate partition computation (Spark's cache dedups only
+    * registered blocks, not in-flight ones). */
+  def materializeStages(): Unit = persisted.foreach(_.count())
+
   /** Run the import; returns table name -> rows (lazy frames).
     *
     * `resolve` carries resolution-only inputs for relation-member lookup:
@@ -149,14 +155,14 @@ final class ImportPipeline(
     val wayIdCol = (if (single) -col("id") else col("id")).cast(LongType)
     val lineRows = tracked(clipped(waysF
       .filter(size(col("__line")) > 0)
-      .join(assembled, Seq("id"))
+      .join(assembled.select("id", "nodes"), Seq("id"))
       .withColumn("__geom", lineWkb(srid)(col("nodes"))))
       .withColumn("__id", wayIdCol)
       .withColumn("__matches", col("__line"))
       .transform(explodeMatches))
     val wayPolyRows = tracked(clipped(waysF
       .filter(size(col("__poly")) > 0)
-      .join(assembled, Seq("id"))
+      .join(assembled.select("id", "nodes"), Seq("id"))
       .withColumn("__geom", polygonValidWkb(srid)(col("nodes"))))
       .withColumn("__id", wayIdCol)
       .withColumn("__matches", col("__poly"))
@@ -178,8 +184,8 @@ final class ImportPipeline(
       .select(col("id").as("rel_id"), explode(col("members")).as("m"))
       .filter(col("m.type") === 1)
       .select(col("rel_id"), col("m.id").as("m_id"))
+    // refs came through the assembly shuffle — no re-join against ways
     val assembledXY = assembled
-      .join(bundle.ways.select(col("id"), col("refs")), Seq("id"))
       .select(col("id"), col("refs"),
         expr("transform(nodes, n -> n.x)").as("xs"),
         expr("transform(nodes, n -> n.y)").as("ys"))
@@ -270,7 +276,7 @@ final class ImportPipeline(
     val nodeSide = nodesXY.select(col("id").as("n_id"), col("x").as("n_x"),
       col("y").as("n_y"), col("tags").as("n_tags"))
     val relSide = resolveRels.select(col("id").as("r_id"), col("tags").as("r_tags"))
-    val waySide = assembled
+    val waySide = assembled.select("id", "nodes")
       .join(ways.select(col("id"), col("tags").as("w_tags")), Seq("id"))
       .select(col("id").as("w_id"), col("nodes").as("w_nodes"), col("w_tags"))
 

@@ -21,6 +21,17 @@ object Op {
 
 final case class RawMember(id: Long, mtype: Byte, role: String)
 
+/** Element metadata (go-osm element.go:23-29), parsed only when the
+  * source's `includeMetadata` flag is set — the reference's
+  * `IncludeMetadata` analog (parser/pbf/parser.go:17). `timestamp` is
+  * epoch milliseconds. */
+final case class ElemMeta(
+    version: Int,
+    timestamp: Long,
+    changeset: Long,
+    uid: Int,
+    user: String)
+
 /** One parsed OSM element; unused fields are null/empty per kind. */
 final case class RawElement(
     kind: Byte,
@@ -30,7 +41,8 @@ final case class RawElement(
     tags: Map[String, String],
     refs: Seq[Long],
     members: Seq[RawMember],
-    op: Byte)
+    op: Byte,
+    meta: Option[ElemMeta] = None)
 
 object Ids {
   /** RelIDOffset (reference element/element.go:36-48): single-table imports

@@ -5,7 +5,7 @@ import java.util.zip.Inflater
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Dataset, SparkSession}
 
-import graft.model.{Kind, Op, RawElement, RawMember}
+import graft.model.{ElemMeta, Kind, Op, RawElement, RawMember}
 import graft.sources.OsmXml.Bundle
 
 /** OSM PBF source (SURVEY.md §2 S1; reference vendor/.../parser/pbf/).
@@ -42,13 +42,18 @@ object OsmPbf {
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): Bundle =
     OsmXml.bundleOf(readElements(spark, path, filters).toDF().persist(storage))
 
+  /** `includeMetadata` is the reference's IncludeMetadata analog
+    * (parser/pbf/parser.go:17): version/timestamp/changeset/uid/user decode
+    * only when asked — the planet-scale default never materializes them. */
   def readElements(spark: SparkSession, path: String,
-      filters: Option[TagFilters] = None): Dataset[RawElement] = {
+      filters: Option[TagFilters] = None,
+      includeMetadata: Boolean = false): Dataset[RawElement] = {
     import spark.implicits._
     val index = blobIndex(spark, path)
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val parallelism = math.max(spark.sparkContext.defaultParallelism, 1)
     val tf = filters // local: don't capture the session in the task closure
+    val withMeta = includeMetadata
     spark.createDataset(index)
       .repartition(math.min(math.max(index.size / 4, 1), parallelism * 4))
       .mapPartitions { it =>
@@ -57,7 +62,7 @@ object OsmPbf {
           val in = fs.open(new Path(br.path))
           val buf = new Array[Byte](br.length)
           try { in.seek(br.offset); in.readFully(buf) } finally in.close()
-          decodeDataBlob(buf)
+          decodeDataBlob(buf, withMeta)
         }
         tf match {
           case Some(f) => raw.map(prefilter(_, f))
@@ -195,7 +200,8 @@ object OsmPbf {
   }
 
   /** Blob msg → decompressed PrimitiveBlock bytes → elements. */
-  private[sources] def decodeDataBlob(blob: Array[Byte]): Iterator[RawElement] = {
+  private[sources] def decodeDataBlob(blob: Array[Byte],
+      withMeta: Boolean = false): Iterator[RawElement] = {
     val pb = new Pb(blob, 0, blob.length)
     var raw: Array[Byte] = null
     var rawSize = -1
@@ -219,28 +225,51 @@ object OsmPbf {
         inflater.end()
         out
       }
-    decodePrimitiveBlock(block)
+    decodePrimitiveBlock(block, withMeta)
   }
 
-  private def decodePrimitiveBlock(buf: Array[Byte]): Iterator[RawElement] = {
+  private def decodePrimitiveBlock(buf: Array[Byte], withMeta: Boolean): Iterator[RawElement] = {
     val pb = new Pb(buf, 0, buf.length)
     var strings: Array[String] = Array.empty
     val groups = Seq.newBuilder[Pb]
     var granularity = 100L
+    var dateGranularity = 1000L
     var latOffset = 0L
     var lonOffset = 0L
     while (pb.hasMore) pb.readTag() match {
       case 1 => strings = decodeStringTable(pb.readSlice())
       case 2 => groups += pb.readSlice()
       case 17 => granularity = pb.readVarint()
+      case 18 => dateGranularity = pb.readVarint()
       case 19 => latOffset = pb.readVarint()
       case 20 => lonOffset = pb.readVarint()
       case _ => pb.skip()
     }
     val st = strings
+    val dg = dateGranularity
     def coordOf(offset: Long, v: Long): Double = 1e-9 * (offset + granularity * v)
     groups.result().iterator.flatMap(g =>
-      decodeGroup(g, st, coordOf(latOffset, _), coordOf(lonOffset, _)))
+      decodeGroup(g, st, coordOf(latOffset, _), coordOf(lonOffset, _),
+        if (withMeta) dg else 0L))
+  }
+
+  /** Info message (version/timestamp/changeset/uid/user_sid); timestamps
+    * scale by the block's date_granularity to epoch millis. */
+  private def decodeInfo(pb: Pb, st: Array[String], dateGran: Long): ElemMeta = {
+    var version = 0
+    var ts = 0L
+    var changeset = 0L
+    var uid = 0
+    var user = ""
+    while (pb.hasMore) pb.readTag() match {
+      case 1 => version = pb.readVarint().toInt
+      case 2 => ts = pb.readVarint() * dateGran
+      case 3 => changeset = pb.readVarint()
+      case 4 => uid = pb.readVarint().toInt
+      case 5 => user = st(pb.readVarint().toInt)
+      case _ => pb.skip()
+    }
+    ElemMeta(version, ts, changeset, uid, user)
   }
 
   private def decodeStringTable(pb: Pb): Array[String] = {
@@ -252,17 +281,19 @@ object OsmPbf {
     out.result()
   }
 
+  /** `dateGran` == 0 means "skip metadata" (the default fast path). */
   private def decodeGroup(
       pb: Pb,
       st: Array[String],
       lat: Long => Double,
-      lon: Long => Double): Iterator[RawElement] = {
+      lon: Long => Double,
+      dateGran: Long): Iterator[RawElement] = {
     val out = Iterator.newBuilder[RawElement] // preserves in-file order
     while (pb.hasMore) pb.readTag() match {
-      case 1 => out += decodeNode(pb.readSlice(), st, lat, lon)
-      case 2 => out ++= decodeDense(pb.readSlice(), st, lat, lon)
-      case 3 => out += decodeWay(pb.readSlice(), st)
-      case 4 => out += decodeRelation(pb.readSlice(), st)
+      case 1 => out += decodeNode(pb.readSlice(), st, lat, lon, dateGran)
+      case 2 => out ++= decodeDense(pb.readSlice(), st, lat, lon, dateGran)
+      case 3 => out += decodeWay(pb.readSlice(), st, dateGran)
+      case 4 => out += decodeRelation(pb.readSlice(), st, dateGran)
       case _ => pb.skip()
     }
     out.result()
@@ -282,36 +313,58 @@ object OsmPbf {
   }
 
   private def decodeNode(
-      pb: Pb, st: Array[String], lat: Long => Double, lon: Long => Double): RawElement = {
+      pb: Pb, st: Array[String], lat: Long => Double, lon: Long => Double,
+      dateGran: Long): RawElement = {
     var id = 0L
     var rawLat = 0L
     var rawLon = 0L
     var keys: Array[Long] = Array.empty
     var vals: Array[Long] = Array.empty
+    var meta: Option[ElemMeta] = None
     while (pb.hasMore) pb.readTag() match {
       case 1 => id = pb.readZigzag()
       case 2 => keys = pb.packedVarints()
       case 3 => vals = pb.packedVarints()
+      case 4 if dateGran > 0 => meta = Some(decodeInfo(pb.readSlice(), st, dateGran))
       case 8 => rawLat = pb.readZigzag()
       case 9 => rawLon = pb.readZigzag()
       case _ => pb.skip()
     }
     RawElement(Kind.Node, id, Some(lon(rawLon)), Some(lat(rawLat)),
-      tagsOf(st, keys, vals), Vector.empty, Vector.empty, Op.Create)
+      tagsOf(st, keys, vals), Vector.empty, Vector.empty, Op.Create, meta)
   }
 
   private def decodeDense(
-      pb: Pb, st: Array[String], lat: Long => Double, lon: Long => Double): Iterator[RawElement] = {
+      pb: Pb, st: Array[String], lat: Long => Double, lon: Long => Double,
+      dateGran: Long): Iterator[RawElement] = {
     var ids: Array[Long] = Array.empty
     var lats: Array[Long] = Array.empty
     var lons: Array[Long] = Array.empty
     var keysVals: Array[Long] = Array.empty
+    var denseInfo: Pb = null
     while (pb.hasMore) pb.readTag() match {
       case 1 => ids = pb.packedZigzags()
+      case 5 if dateGran > 0 => denseInfo = pb.readSlice()
       case 8 => lats = pb.packedZigzags()
       case 9 => lons = pb.packedZigzags()
       case 10 => keysVals = pb.packedVarints()
       case _ => pb.skip()
+    }
+    // DenseInfo: versions plain, the rest delta-coded (zigzag)
+    var versions: Array[Long] = Array.empty
+    var timestamps: Array[Long] = Array.empty
+    var changesets: Array[Long] = Array.empty
+    var uids: Array[Long] = Array.empty
+    var userSids: Array[Long] = Array.empty
+    if (denseInfo != null) {
+      while (denseInfo.hasMore) denseInfo.readTag() match {
+        case 1 => versions = denseInfo.packedVarints()
+        case 2 => timestamps = denseInfo.packedZigzags()
+        case 3 => changesets = denseInfo.packedZigzags()
+        case 4 => uids = denseInfo.packedZigzags()
+        case 5 => userSids = denseInfo.packedZigzags()
+        case _ => denseInfo.skip()
+      }
     }
     val n = ids.length
     val out = new Array[RawElement](n)
@@ -319,11 +372,24 @@ object OsmPbf {
     var la = 0L
     var lo = 0L
     var kv = 0
+    var ts = 0L
+    var cs = 0L
+    var uid = 0L
+    var usid = 0L
     var i = 0
     while (i < n) {
       id += ids(i)
       la += lats(i)
       lo += lons(i)
+      var meta: Option[ElemMeta] = None
+      if (denseInfo != null && i < versions.length) {
+        ts += (if (i < timestamps.length) timestamps(i) else 0L)
+        cs += (if (i < changesets.length) changesets(i) else 0L)
+        uid += (if (i < uids.length) uids(i) else 0L)
+        usid += (if (i < userSids.length) userSids(i) else 0L)
+        meta = Some(ElemMeta(versions(i).toInt, ts * dateGran, cs, uid.toInt,
+          if (usid.toInt < st.length) st(usid.toInt) else ""))
+      }
       var tags: Map[String, String] = Map.empty
       if (kv < keysVals.length) {
         val b = Map.newBuilder[String, String]
@@ -337,41 +403,45 @@ object OsmPbf {
         if (any) tags = b.result()
       }
       out(i) = RawElement(Kind.Node, id, Some(lon(lo)), Some(lat(la)),
-        tags, Vector.empty, Vector.empty, Op.Create)
+        tags, Vector.empty, Vector.empty, Op.Create, meta)
       i += 1
     }
     out.iterator
   }
 
-  private def decodeWay(pb: Pb, st: Array[String]): RawElement = {
+  private def decodeWay(pb: Pb, st: Array[String], dateGran: Long): RawElement = {
     var id = 0L
     var keys: Array[Long] = Array.empty
     var vals: Array[Long] = Array.empty
     var refs: Array[Long] = Array.empty
+    var meta: Option[ElemMeta] = None
     while (pb.hasMore) pb.readTag() match {
       case 1 => id = pb.readVarint()
       case 2 => keys = pb.packedVarints()
       case 3 => vals = pb.packedVarints()
+      case 4 if dateGran > 0 => meta = Some(decodeInfo(pb.readSlice(), st, dateGran))
       case 8 => refs = pb.packedZigzags()
       case _ => pb.skip()
     }
     var acc = 0L
     val resolved = refs.map { d => acc += d; acc }
     RawElement(Kind.Way, id, None, None, tagsOf(st, keys, vals),
-      resolved.toVector, Vector.empty, Op.Create)
+      resolved.toVector, Vector.empty, Op.Create, meta)
   }
 
-  private def decodeRelation(pb: Pb, st: Array[String]): RawElement = {
+  private def decodeRelation(pb: Pb, st: Array[String], dateGran: Long): RawElement = {
     var id = 0L
     var keys: Array[Long] = Array.empty
     var vals: Array[Long] = Array.empty
     var roles: Array[Long] = Array.empty
     var memids: Array[Long] = Array.empty
     var types: Array[Long] = Array.empty
+    var meta: Option[ElemMeta] = None
     while (pb.hasMore) pb.readTag() match {
       case 1 => id = pb.readVarint()
       case 2 => keys = pb.packedVarints()
       case 3 => vals = pb.packedVarints()
+      case 4 if dateGran > 0 => meta = Some(decodeInfo(pb.readSlice(), st, dateGran))
       case 8 => roles = pb.packedVarints()
       case 9 => memids = pb.packedZigzags()
       case 10 => types = pb.packedVarints()
@@ -386,7 +456,7 @@ object OsmPbf {
       i += 1
     }
     RawElement(Kind.Relation, id, None, None, tagsOf(st, keys, vals),
-      Vector.empty, members.result(), Op.Create)
+      Vector.empty, members.result(), Op.Create, meta)
   }
 
   /** Hadoop Configuration is not serializable; standard wrapper. */

@@ -7,7 +7,7 @@ import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.model.{Kind, Op, RawElement, RawMember}
+import graft.model.{ElemMeta, Kind, Op, RawElement, RawMember}
 
 /** OSM XML (.osm) and OSC change-file (.osc/.osc.gz) sources.
   *
@@ -31,12 +31,14 @@ object OsmXml {
       ways: DataFrame, // id, refs, tags
       relations: DataFrame) // id, members(id,type,role), tags
 
-  def readElements(spark: SparkSession, path: String): Dataset[RawElement] = {
+  def readElements(spark: SparkSession, path: String,
+      includeMetadata: Boolean = false): Dataset[RawElement] = {
     import spark.implicits._
+    val withMeta = includeMetadata
     spark.read.format("binaryFile").load(path)
       .select("path", "content")
       .as[(String, Array[Byte])]
-      .flatMap { case (p, content) => parseBytes(p, content) }
+      .flatMap { case (p, content) => parseBytes(p, content, withMeta) }
   }
 
   def read(spark: SparkSession, path: String,
@@ -79,13 +81,15 @@ object OsmXml {
 
   // ---- StAX parsing ---------------------------------------------------------
 
-  private[sources] def parseBytes(path: String, content: Array[Byte]): Iterator[RawElement] = {
+  private[sources] def parseBytes(path: String, content: Array[Byte],
+      withMeta: Boolean = false): Iterator[RawElement] = {
     val raw: InputStream = new ByteArrayInputStream(content)
     val in = if (path.endsWith(".gz")) new GZIPInputStream(raw) else raw
-    parseStream(in)
+    parseStream(in, withMeta)
   }
 
-  private[sources] def parseStream(in: InputStream): Iterator[RawElement] = {
+  private[sources] def parseStream(in: InputStream,
+      withMeta: Boolean = false): Iterator[RawElement] = {
     val f = XMLInputFactory.newInstance()
     f.setProperty(XMLInputFactory.IS_NAMESPACE_AWARE, false)
     f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
@@ -102,6 +106,7 @@ object OsmXml {
     var tags = Map.newBuilder[String, String]
     var refs = Vector.newBuilder[Long]
     var members = Vector.newBuilder[RawMember]
+    var meta: Option[ElemMeta] = None
 
     def attr(name: String): String = {
       var i = 0
@@ -120,10 +125,20 @@ object OsmXml {
       tags = Map.newBuilder
       refs = Vector.newBuilder
       members = Vector.newBuilder
+      meta =
+        if (!withMeta) None
+        else Some(ElemMeta(
+          version = Option(attr("version")).map(_.toInt).getOrElse(0),
+          timestamp = Option(attr("timestamp"))
+            .map(java.time.Instant.parse(_).toEpochMilli).getOrElse(0L),
+          changeset = Option(attr("changeset")).map(_.toLong).getOrElse(0L),
+          uid = Option(attr("uid")).map(_.toInt).getOrElse(0),
+          user = Option(attr("user")).getOrElse("")))
     }
 
     def endElem(): Unit = {
-      out += RawElement(kind, id, lon, lat, tags.result(), refs.result(), members.result(), op)
+      out += RawElement(kind, id, lon, lat, tags.result(), refs.result(),
+        members.result(), op, meta)
       kind = -1
     }
 

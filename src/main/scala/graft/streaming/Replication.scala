@@ -4,10 +4,16 @@ import java.io.{InputStream, OutputStream}
 import java.time.{Duration, Instant}
 import java.time.format.DateTimeFormatter
 
-/** Replication sequencing (SURVEY.md §2 S3/ST4; reference import_/state.go,
-  * update/cmd.go). The network fetch is pluggable (`fetch`) — this container
-  * has no egress, so tests exercise the sequencing/state logic and a real
-  * deployment plugs an HTTP getter feeding the DiffPipeline's watched dir.
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+import graft.mapping.CompiledMapping
+
+/** Replication sequencing + the assembled poll→download→apply→advance loop
+  * (SURVEY.md §2 S3/ST4; reference import_/state.go, update/cmd.go:231-257,
+  * 386-411). The fetch is pluggable: the default copies through the Hadoop
+  * filesystem layer, so a `file://` endpoint (tests, mirrored dumps) and any
+  * mounted store work as-is; a real deployment passes an HTTP getter.
   */
 object Replication {
 
@@ -77,5 +83,88 @@ object Replication {
       if (ok) seq += 1
     }
     seq - 1
+  }
+
+  /** Default fetch: copy `url` → local `target` through Hadoop FS (handles
+    * file://, hdfs://, s3a:// — whatever the classpath mounts). */
+  def hadoopFetch(spark: SparkSession)(url: String, target: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new Path(url)
+    val fs = src.getFileSystem(conf)
+    if (!fs.exists(src)) false
+    else {
+      val dst = new Path(target)
+      val dstFs = dst.getFileSystem(conf)
+      val in = fs.open(src)
+      try {
+        val out = dstFs.create(dst, true)
+        try {
+          val buf = new Array[Byte](64 * 1024)
+          var n = in.read(buf)
+          while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+        } finally out.close()
+      } finally in.close()
+      true
+    }
+  }
+
+  private def localStatePath(stateDir: String) = new Path(stateDir, "replication.state.txt")
+
+  /** Local replication pointer (the reference's `last.state.txt`). */
+  def readLocalState(spark: SparkSession, stateDir: String): Option[State] = {
+    val p = localStatePath(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(parseState(in)) finally in.close()
+    }
+  }
+
+  def writeLocalState(spark: SparkSession, stateDir: String, s: State): Unit = {
+    val p = localStatePath(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try writeState(s, out) finally out.close()
+  }
+
+  /** One full replication cycle (update/cmd.go:231-257 assembled):
+    *
+    *  1. resume from the local pointer (or `from` on first run);
+    *  2. download every already-published diff into `workDir/downloads`;
+    *  3. apply them in sequence order through [[DiffPipeline.runStream]]
+    *     (Structured Streaming file source + checkpoint = exactly-once
+    *     discovery; StateStore commit = idempotent re-apply, so a crash
+    *     between files replays safely);
+    *  4. advance the local pointer to the endpoint's state.txt for the
+    *     last applied sequence (timestamp included when published).
+    *
+    * Returns the last applied sequence, or `from - 1` when nothing was
+    * available. Call in a scheduler loop for continuous `imposm run`.
+    */
+  def replicate(spark: SparkSession, mapping: CompiledMapping, stateDir: String,
+      endpoint: String, workDir: String, from: Long, srid: Int = 3857,
+      fetch: Option[(String, String) => Boolean] = None): Long = {
+    val doFetch = fetch.getOrElse(hadoopFetch(spark) _)
+    val start = readLocalState(spark, stateDir).map(_.sequence + 1).getOrElse(from)
+    val downloads = s"$workDir/downloads"
+    val last = fetchAvailable(endpoint, start, downloads, doFetch)
+    if (last < start) return start - 1
+    val q = DiffPipeline.runStream(spark, mapping, stateDir, downloads,
+      s"$workDir/checkpoint", srid)
+    q.awaitTermination()
+    // the endpoint publishes a state.txt per sequence; fall back to a
+    // timestamp-less pointer when it doesn't
+    val ts = {
+      val tmp = s"$downloads/${f"$last%09d"}.state.txt"
+      if (doFetch(stateUrl(endpoint, last), tmp)) {
+        val p = new Path(tmp)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val in = fs.open(p)
+        try parseState(in).timestamp finally in.close()
+      } else Instant.EPOCH
+    }
+    writeLocalState(spark, stateDir, State(last, ts))
+    last
   }
 }

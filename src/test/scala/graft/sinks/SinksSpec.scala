@@ -103,4 +103,39 @@ class SinksSpec extends SparkSpecBase {
     assert(CacheQuery.waysForNodes(b, Seq(15001L)).count() >= 1)
     assert(CacheQuery.relationsForWays(b, Seq(15001L)).count() == 1)
   }
+
+  test("COPY text rendering: escaping, hstore, geometry hex, nulls") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // field escaping: tab/newline/backslash per COPY TEXT; booleans t/f
+    assert(CopyRows.escape("a\tb\nc\\d\re") == "a\\tb\\nc\\\\d\\re")
+    assert(CopyRows.renderField(true, BooleanType) == "t")
+    assert(CopyRows.renderField(null, StringType) == "\\N")
+    // hstore: "k"=>"v" with \ and " doubled inside quotes
+    // (reference mapping/columns.go:171 hstoreReplacer semantics)
+    assert(CopyRows.hstore(Map("name" -> """say "hi"""")) ==
+      """"name"=>"say \"hi\""""")
+    assert(CopyRows.hstore(Map("""a\b""" -> "c")) == """"a\\b"=>"c"""")
+    // geometry rides as hex EWKB
+    val wkb = Array[Byte](0x01, 0x2a, -1)
+    assert(CopyRows.renderField(wkb, BinaryType) == "012AFF")
+    // one full row: tab-separated in schema order
+    val schema = StructType(Seq(
+      StructField("osm_id", LongType), StructField("name", StringType),
+      StructField("tags", MapType(StringType, StringType)),
+      StructField("geometry", BinaryType)))
+    val line = CopyRows.renderRow(
+      Row(42L, "a\tb", Map("k" -> "v"), Array[Byte](0x01)), schema)
+    assert(line == "42\ta\\tb\t\"k\"=>\"v\"\t01")
+  }
+
+  test("COPY statement matches the reference's CopySQL shape") {
+    val mapping = new graft.mapping.CompiledMapping(
+      graft.mapping.MappingConf.fromFile("/root/reference/test/complete_db_mapping.json"))
+    val t = mapping.conf.tables("roads")
+    val sql = CopySink.copyStatement(mapping, "import", "osm_", t)
+    assert(sql.startsWith("""COPY "import"."osm_roads" ("""))
+    assert(sql.endsWith(") FROM STDIN"))
+    for (c <- t.columns) assert(sql.contains("\"" + c.name + "\""), c.name)
+  }
 }

@@ -76,6 +76,36 @@ class OsmPbfSpec extends SparkSpecBase {
       "coords (geometry carriers) must be untouched")
   }
 
+  test("includeMetadata decodes version/timestamp/changeset/user") {
+    import spark.implicits._
+    val withMeta = OsmPbf.readElements(spark, fixture, includeMetadata = true)
+    val metas = withMeta.filter(_.meta.isDefined).map(_.meta.get)
+    val n = metas.count()
+    assert(n > 10000, s"only $n elements carried metadata")
+    // timestamps inside [2005, extract date]; versions >= 1; users resolve
+    val (tsMin, tsMax) = metas.map(m => (m.timestamp, m.timestamp))
+      .reduce((a, b) => (math.min(a._1, b._1), math.max(a._2, b._2)))
+    assert(tsMin > java.time.Instant.parse("2004-01-01T00:00:00Z").toEpochMilli, tsMin.toString)
+    assert(tsMax < java.time.Instant.parse("2015-04-29T00:00:00Z").toEpochMilli, tsMax.toString)
+    assert(metas.filter(_.version >= 1).count() == n)
+    assert(metas.filter(_.user.nonEmpty).count() > n / 2,
+      "most elements should resolve a user name")
+    assert(metas.filter(_.changeset > 0).count() == n)
+    // the default path stays metadata-free (planet row-size)
+    assert(OsmPbf.readElements(spark, fixture).filter(_.meta.isDefined).count() == 0)
+  }
+
+  test("xml source parses metadata attributes behind the same flag") {
+    import spark.implicits._
+    val withMeta = OsmXml
+      .readElements(spark, "/root/reference/test/complete_db.osm", includeMetadata = true)
+      .filter(_.meta.isDefined)
+    assert(withMeta.count() > 0)
+    val m = withMeta.head().meta.get
+    assert(m.version >= 1)
+    assert(m.timestamp > 0)
+  }
+
   test("relations carry typed members with roles") {
     val m = bundle.relations
       .select(explode(col("members")).as("m"))
