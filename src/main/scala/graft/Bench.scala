@@ -51,8 +51,11 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
 
     val names = {
-      val b = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
-      if (b.nonEmpty) b else SparkEntry.queries.keys.toSeq.sorted
+      if (sys.env.get("SPARK_GRAFT_BENCH_QUERIES").contains("0")) Seq.empty
+      else {
+        val b = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
+        if (b.nonEmpty) b else SparkEntry.queries.keys.toSeq.sorted
+      }
     }
 
     // Warm whole-stage codegen + JIT per plan shape on the smallest SF —
@@ -113,11 +116,15 @@ object Bench {
           spark, monaco, synthDir, copies)
         val mapping = new graft.mapping.CompiledMapping(
           graft.mapping.MappingConf.fromFile("/root/reference/test/complete_db_mapping.json"))
+        // A5 import statistics: observe-based per-kind counters audit the
+        // elem/s claim from inside the query (stats/stats.go analog)
+        val stats = graft.operators.ImportStats.attach(spark)
         val t0 = System.nanoTime()
         // the reference's reader applies the tag prefilter during parse
         // (mapping/filter.go via reader/reader.go:124) — so do we
-        val bundle = graft.sources.OsmPbf.read(spark, synthDir,
-          Some(graft.sources.TagFilters(mapping)))
+        val bundle = graft.operators.ImportStats.instrument(
+          graft.sources.OsmPbf.read(spark, synthDir,
+            Some(graft.sources.TagFilters(mapping))))
         val parsed = bundle.coords.count() + bundle.ways.count() +
           bundle.relations.count()
         val tParse = (System.nanoTime() - t0) / 1e9
@@ -132,6 +139,8 @@ object Bench {
             f"parse=$tParse%.1fs (${parsed / tParse}%.0f elem/s) " +
             f"import=$tImport%.1fs total=${tParse + tImport}%.1fs " +
             f"(${parsed / (tParse + tImport)}%.0f elem/s end-to-end)")
+        System.err.println(s"[bench] stats ${stats.report()}")
+        graft.operators.ImportStats.detach(spark, stats)
         Seq(s"osm_parse_synth$copies" -> tParse,
           s"osm_import_synth$copies" -> tImport)
       } catch { case e: Throwable =>

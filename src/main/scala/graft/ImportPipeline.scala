@@ -37,24 +37,42 @@ final class ImportPipeline(
     * Spill-safe: `storage` defaults to MEMORY_AND_DISK; planet-scale runs
     * pass DISK_ONLY.
     */
-  @transient private val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
+  @transient private val persisted = scala.collection.mutable.Buffer.empty[(Int, DataFrame)]
 
-  private def tracked(df: DataFrame): DataFrame = {
-    persisted += df
+  /** `wave` encodes cache dependencies: a frame only reads caches from
+    * strictly earlier waves, so materializeStages() can run each wave's
+    * counts concurrently without two in-flight jobs recomputing a shared
+    * uncached parent. */
+  private def tracked(df: DataFrame, wave: Int = 0): DataFrame = {
+    persisted += wave -> df
     df.persist(storage)
   }
 
   /** Release every frame run() persisted (call after sinking all tables). */
   def unpersistAll(): Unit = {
-    persisted.foreach(_.unpersist())
+    persisted.foreach(_._2.unpersist())
     persisted.clear()
   }
 
-  /** Force every tracked cache, in dependency (insertion) order, before
-    * fanning out per-table sinks — concurrent first-touch jobs would
-    * otherwise duplicate partition computation (Spark's cache dedups only
-    * registered blocks, not in-flight ones). */
-  def materializeStages(): Unit = persisted.foreach(_.count())
+  /** Force every tracked cache before fanning out per-table sinks —
+    * concurrent first-touch jobs would otherwise duplicate partition
+    * computation (Spark's cache dedups only registered blocks, not
+    * in-flight ones). Frames within a wave are independent given earlier
+    * waves, so each wave materializes in parallel: small stage jobs fill
+    * the cores the wave's big shuffle leaves idle. */
+  def materializeStages(): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try persisted.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, dfs) =>
+      Await.result(Future.sequence(dfs.map { case (_, df) => Future(df.count()) }),
+        Duration.Inf)
+    } finally pool.shutdown()
+  }
+
+  /** Tracked stage frames in dependency order (profiling/audit hook). */
+  private[graft] def stageFrames: Seq[DataFrame] = persisted.toSeq.map(_._2)
 
   /** Run the import; returns table name -> rows (lazy frames).
     *
@@ -130,7 +148,7 @@ final class ImportPipeline(
       .filter(size(col("__matches")) > 0)
       .withColumn("__geom", pointWkb(srid)(col("x"), col("y")))
       .withColumn("__id", col("id"))
-      .transform(explodeMatches))
+      .transform(explodeMatches), wave = 0)
 
     // -- way branch (writer/ways.go:67-130) -----------------------------------
     val waysF = tracked(bundle.ways
@@ -138,7 +156,7 @@ final class ImportPipeline(
       .withColumn("__closed",
         size(col("refs")) >= 4 && col("refs").getItem(0) === element_at(col("refs"), -1))
       .withColumn("__line", matchLine(col("tags"), col("__closed")))
-      .withColumn("__poly", matchWayPoly(col("tags"), col("__closed"))))
+      .withColumn("__poly", matchWayPoly(col("tags"), col("__closed"))), wave = 0)
       // shared by every line/polygon table action
 
     val matchedWayIds = waysF
@@ -150,30 +168,41 @@ final class ImportPipeline(
       .select(col("m.id").as("id"))
     val assembleIds = matchedWayIds.union(memberWayIds).distinct()
     val assembled = tracked(WayAssembly
-      .resolve(bundle.ways.join(assembleIds, Seq("id"), "left_semi"), coords))
+      .resolve(bundle.ways.join(assembleIds, Seq("id"), "left_semi"), coords), wave = 1)
 
     val wayIdCol = (if (single) -col("id") else col("id")).cast(LongType)
-    val lineRows = tracked(clipped(waysF
-      .filter(size(col("__line")) > 0)
-      .join(assembled.select("id", "nodes"), Seq("id"))
-      .withColumn("__geom", lineWkb(srid)(col("nodes"))))
-      .withColumn("__id", wayIdCol)
-      .withColumn("__matches", col("__line"))
-      .transform(explodeMatches))
-    val wayPolyRows = tracked(clipped(waysF
-      .filter(size(col("__poly")) > 0)
-      .join(assembled.select("id", "nodes"), Seq("id"))
-      .withColumn("__geom", polygonValidWkb(srid)(col("nodes"))))
-      .withColumn("__id", wayIdCol)
-      .withColumn("__matches", col("__poly"))
-      .transform(explodeMatches))
+    // ONE join + ONE cache for both line and polygon flavors (two separate
+    // caches would shuffle `assembled` twice and cache the tag maps twice).
+    // Geometry UDFs run once per way BEFORE the match explode; the cache
+    // holds flat exploded rows so each table's scan batch-prunes on the
+    // __table min/max stats.
+    def flavored(matches: String, isLine: Boolean): Column =
+      transform(col(matches), m => struct(
+        m.getField("key").as("key"), m.getField("value").as("value"),
+        m.getField("table").as("table"), lit(isLine).as("line")))
+    val wayRows = tracked(clipped(waysF
+      .filter(size(col("__line")) > 0 || size(col("__poly")) > 0)
+      .join(assembled.select("id", "xs", "ys"), Seq("id"))
+      .withColumn("__geom_line",
+        when(size(col("__line")) > 0, lineWkb(srid)(col("xs"), col("ys"))))
+      .withColumn("__geom_poly",
+        when(size(col("__poly")) > 0, polygonValidWkb(srid)(col("xs"), col("ys"))))
+      .select(wayIdCol.as("__id"), col("tags"),
+        explode(concat(flavored("__line", isLine = true),
+          flavored("__poly", isLine = false))).as("__m"),
+        col("__geom_line"), col("__geom_poly"))
+      .withColumn("__geom",
+        when(col("__m.line"), col("__geom_line")).otherwise(col("__geom_poly"))))
+      .select(col("__id"), col("tags"), col("__geom"),
+        col("__m.key").as("__key"), col("__m.value").as("__value"),
+        col("__m.table").as("__table")), wave = 2)
 
     // -- relation branch (writer/relations.go:72-136) --------------------------
     val relsF = tracked(bundle.relations
       .withColumn("tags", relFilter(col("tags")))
       .withColumn("__poly", matchRelPoly(col("tags")))
       .withColumn("__rel", matchRel(col("tags")))
-      .withColumn("__member", matchRelMember(col("tags"))))
+      .withColumn("__member", matchRelMember(col("tags"))), wave = 0)
 
     val relIdCol = (if (single) lit(Ids.RelIDOffset) - col("rel_id")
                     else -col("rel_id")).cast(LongType)
@@ -185,18 +214,15 @@ final class ImportPipeline(
       .filter(col("m.type") === 1)
       .select(col("rel_id"), col("m.id").as("m_id"))
     // refs came through the assembly shuffle — no re-join against ways
-    val assembledXY = assembled
-      .select(col("id"), col("refs"),
-        expr("transform(nodes, n -> n.x)").as("xs"),
-        expr("transform(nodes, n -> n.y)").as("ys"))
+    val assembledXY = assembled.select(col("id"), col("refs"), col("xs"), col("ys"))
     val relGeoms = tracked(
-      RelationAssembly.multiPolygons(spark, wayMembers, assembledXY, srid))
+      RelationAssembly.multiPolygons(spark, wayMembers, assembledXY, srid), wave = 2)
       // ring/multipolygon assembly runs once, not per table
     val relPolyRows = tracked(clipped(polyRels
       .join(relGeoms, polyRels("id") === relGeoms("rel_id")))
       .withColumn("__id", relIdCol)
       .withColumn("__matches", col("__poly"))
-      .transform(explodeMatches))
+      .transform(explodeMatches), wave = 3)
 
     // relation rows: matched relations, no geometry (handleRelation)
     val relRows = tracked(relsF
@@ -205,7 +231,7 @@ final class ImportPipeline(
       .withColumn("__geom", lit(null).cast("binary"))
       .withColumn("__id", relIdCol)
       .withColumn("__matches", col("__rel"))
-      .transform(explodeMatches))
+      .transform(explodeMatches), wave = 1)
 
     // relation_member rows (handleRelationMembers): resolve EVERY member;
     // any unresolved member drops the whole relation. Node members fall
@@ -220,15 +246,15 @@ final class ImportPipeline(
     }
     val memberRows =
       relationMemberRows(relsF, resolveRels, assembled, bundle.ways, allNodesXY, relIdCol)
-        .map(tracked)
+        .map(tracked(_, wave = 2))
 
     // -- route rows to destination tables --------------------------------------
     val stages: Seq[DataFrame] =
-      Seq(nodeRows, lineRows, wayPolyRows, relPolyRows, relRows) ++ memberRows.toSeq
+      Seq(nodeRows, wayRows, relPolyRows, relRows) ++ memberRows.toSeq
 
     mapping.conf.tables.values.map { table =>
       val isMember = table.tableType == TableType.RelationMember
-      val parts = (if (isMember) memberRows.toSeq else stages.take(5))
+      val parts = (if (isMember) memberRows.toSeq else stages.take(4))
         .map(df => projectTable(df, table, isMember))
       table.name -> parts.reduce(_ unionByName _)
     }.toMap
@@ -276,9 +302,9 @@ final class ImportPipeline(
     val nodeSide = nodesXY.select(col("id").as("n_id"), col("x").as("n_x"),
       col("y").as("n_y"), col("tags").as("n_tags"))
     val relSide = resolveRels.select(col("id").as("r_id"), col("tags").as("r_tags"))
-    val waySide = assembled.select("id", "nodes")
+    val waySide = assembled.select("id", "xs", "ys")
       .join(ways.select(col("id"), col("tags").as("w_tags")), Seq("id"))
-      .select(col("id").as("w_id"), col("nodes").as("w_nodes"), col("w_tags"))
+      .select(col("id").as("w_id"), col("xs").as("w_xs"), col("ys").as("w_ys"), col("w_tags"))
 
     val resolved = m
       .join(nodeSide, col("__member_type") === 0 && col("__member_id") === col("n_id"), "left")
@@ -294,7 +320,7 @@ final class ImportPipeline(
           .otherwise(coalesce(col("r_tags"), map())))
       .withColumn("__geom",
         when(col("__member_type") === 0, pointWkb(srid)(col("n_x"), col("n_y")))
-          .when(col("__member_type") === 1, lineWkb(srid)(col("w_nodes"))))
+          .when(col("__member_type") === 1, lineWkb(srid)(col("w_xs"), col("w_ys"))))
 
     // all-or-nothing per relation across ALL members
     val okRels = resolved.groupBy(col("rel_id").as("ok_rel"))

@@ -24,26 +24,30 @@ object GeomFunctions {
   def quantizeCoord(c: Column): Column =
     floor((c + lit(180.0)) * lit(CoordFactor)) / lit(CoordFactor) - lit(180.0)
 
-  private type Node = org.apache.spark.sql.Row
-
-  private def pts(nodes: Seq[org.apache.spark.sql.Row]): IndexedSeq[Pt] =
-    nodes.map(r => Pt(r.getDouble(0), r.getDouble(1))).toIndexedSeq
+  private def pts(xs: Seq[Double], ys: Seq[Double]): IndexedSeq[Pt] = {
+    val n = xs.length
+    val out = new Array[Pt](n)
+    var i = 0
+    while (i < n) { out(i) = Pt(xs(i), ys(i)); i += 1 }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+  }
 
   /** point(x, y) -> WKB. */
   def pointWkb(srid: Int) = udf { (x: Double, y: Double) =>
     Geom.toWkb(Geom.point(x, y), srid)
   }
 
-  /** linestring(nodes ARRAY<STRUCT<x,y>>) -> WKB or null (<2 distinct). */
-  def lineWkb(srid: Int) = udf { (nodes: Seq[org.apache.spark.sql.Row]) =>
-    if (nodes == null) null
-    else Geom.lineString(pts(nodes)).map(Geom.toWkb(_, srid)).orNull
+  /** linestring(xs, ys) -> WKB or null (<2 distinct). Parallel primitive
+    * arrays (WayAssembly's output shape) keep the UDF boundary unboxed. */
+  def lineWkb(srid: Int) = udf { (xs: Seq[Double], ys: Seq[Double]) =>
+    if (xs == null || ys == null) null
+    else Geom.lineString(pts(xs, ys)).map(Geom.toWkb(_, srid)).orNull
   }
 
-  /** polygon(nodes) + MakeValid -> WKB or null (writer/ways.go:146-150). */
-  def polygonValidWkb(srid: Int) = udf { (nodes: Seq[org.apache.spark.sql.Row]) =>
-    if (nodes == null) null
-    else Geom.polygon(pts(nodes)).map(p => Geom.toWkb(Geom.makeValid(p), srid)).orNull
+  /** polygon(xs, ys) + MakeValid -> WKB or null (writer/ways.go:146-150). */
+  def polygonValidWkb(srid: Int) = udf { (xs: Seq[Double], ys: Seq[Double]) =>
+    if (xs == null || ys == null) null
+    else Geom.polygon(pts(xs, ys)).map(p => Geom.toWkb(Geom.makeValid(p), srid)).orNull
   }
 
   val areaUdf = udf { (wkb: Array[Byte]) => Geom.area(wkb) }

@@ -74,12 +74,12 @@ object DriveScale {
 
     time("line WKB build") {
       println(waysF.filter(size(col("__line")) > 0).join(assembled, Seq("id"))
-        .withColumn("g", lineWkb(3857)(col("nodes")))
+        .withColumn("g", lineWkb(3857)(col("xs"), col("ys")))
         .filter(col("g").isNotNull).count() + " lines")
     }
     time("polygon WKB build+validate") {
       println(waysF.filter(size(col("__poly")) > 0).join(assembled, Seq("id"))
-        .withColumn("g", polygonValidWkb(3857)(col("nodes")))
+        .withColumn("g", polygonValidWkb(3857)(col("xs"), col("ys")))
         .filter(col("g").isNotNull).count() + " polys")
     }
 
