@@ -105,12 +105,13 @@ final class ImportPipeline(
     val coords = projectXY(bundle.coords).select(col("id"), col("x"), col("y"))
 
     // capture matchers/filters as locals: UDF closures must not drag the
-    // pipeline (and the full parsed config) into the serialized task
+    // pipeline (and the full parsed config) into the serialized task.
+    // One FUSED udf per element kind — filter + every matcher flavor in a
+    // single call — so each row pays ONE Catalyst-map -> Scala-map
+    // conversion instead of one per filter/matcher (2-4× before).
     val ntf = mapping.nodeTagFilter
     val wtf = mapping.wayTagFilter
     val rtf = mapping.relationTagFilter
-    val nodeFilter = udf((t: Map[String, String]) => ntf.filter(t))
-    val wayFilter = udf((t: Map[String, String]) => wtf.filter(t))
     val relFilter = udf((t: Map[String, String]) => rtf.filter(t))
 
     val pm = mapping.pointMatcher
@@ -118,12 +119,18 @@ final class ImportPipeline(
     val gm = mapping.polygonMatcher
     val rm = mapping.relationMatcher
     val mm = mapping.relationMemberMatcher
-    val matchNode = udf((t: Map[String, String]) => pm.matchNode(t))
-    val matchLine = udf((t: Map[String, String], closed: Boolean) => lm.matchWay(t, closed))
-    val matchWayPoly = udf((t: Map[String, String], closed: Boolean) => gm.matchWay(t, closed))
-    val matchRelPoly = udf((t: Map[String, String]) => gm.matchRelation(t))
-    val matchRel = udf((t: Map[String, String]) => rm.matchRelation(t))
-    val matchRelMember = udf((t: Map[String, String]) => mm.matchRelation(t))
+    val nodeFused = udf { (t: Map[String, String]) =>
+      val ft = ntf.filter(t)
+      (ft, pm.matchNode(ft))
+    }
+    val wayFused = udf { (t: Map[String, String], closed: Boolean) =>
+      val ft = wtf.filter(t)
+      (ft, lm.matchWay(ft, closed), gm.matchWay(ft, closed))
+    }
+    val relFused = udf { (t: Map[String, String]) =>
+      val ft = rtf.filter(t)
+      (ft, gm.matchRelation(ft), rm.matchRelation(ft), mm.matchRelation(ft))
+    }
 
     // limitto (P6 point filter + J5 clip, geom/limit/limit.go): a clipped
     // geometry may split into several parts — each part is its own row with
@@ -143,20 +150,23 @@ final class ImportPipeline(
     val nodesXY = projectXY(bundle.nodes).select(col("id"), col("x"), col("y"), col("tags"))
       .filter(pointInCoverage(col("x"), col("y")))
     val nodeRows = tracked(nodesXY
-      .withColumn("tags", nodeFilter(col("tags")))
-      .withColumn("__matches", matchNode(col("tags")))
+      .withColumn("__nm", nodeFused(col("tags")))
+      .withColumn("tags", col("__nm._1"))
+      .withColumn("__matches", col("__nm._2"))
       .filter(size(col("__matches")) > 0)
       .withColumn("__geom", pointWkb(srid)(col("x"), col("y")))
       .withColumn("__id", col("id"))
-      .transform(explodeMatches), wave = 0)
+      // reads only the bundle, no stage cache: wave 1 so it fills cores
+      // while the way-assembly shuffle (the wave's long pole) runs
+      .transform(explodeMatches), wave = 1)
 
     // -- way branch (writer/ways.go:67-130) -----------------------------------
     val waysF = tracked(bundle.ways
-      .withColumn("tags", wayFilter(col("tags")))
       .withColumn("__closed",
         size(col("refs")) >= 4 && col("refs").getItem(0) === element_at(col("refs"), -1))
-      .withColumn("__line", matchLine(col("tags"), col("__closed")))
-      .withColumn("__poly", matchWayPoly(col("tags"), col("__closed"))), wave = 0)
+      .withColumn("__wm", wayFused(col("tags"), col("__closed")))
+      .select(col("id"), col("refs"), col("__wm._1").as("tags"), col("__closed"),
+        col("__wm._2").as("__line"), col("__wm._3").as("__poly")), wave = 0)
       // shared by every line/polygon table action
 
     val matchedWayIds = waysF
@@ -166,7 +176,9 @@ final class ImportPipeline(
       .select(explode(col("members")).as("m"))
       .filter(col("m.type") === 1)
       .select(col("m.id").as("id"))
-    val assembleIds = matchedWayIds.union(memberWayIds).distinct()
+    // no .distinct(): left_semi dedups the probe side by construction, so
+    // a distinct here would only add a shuffle over every way id
+    val assembleIds = matchedWayIds.union(memberWayIds)
     val assembled = tracked(WayAssembly
       .resolve(bundle.ways.join(assembleIds, Seq("id"), "left_semi"), coords), wave = 1)
 
@@ -199,10 +211,10 @@ final class ImportPipeline(
 
     // -- relation branch (writer/relations.go:72-136) --------------------------
     val relsF = tracked(bundle.relations
-      .withColumn("tags", relFilter(col("tags")))
-      .withColumn("__poly", matchRelPoly(col("tags")))
-      .withColumn("__rel", matchRel(col("tags")))
-      .withColumn("__member", matchRelMember(col("tags"))), wave = 0)
+      .withColumn("__rm", relFused(col("tags")))
+      .select(col("id"), col("members"), col("__rm._1").as("tags"),
+        col("__rm._2").as("__poly"), col("__rm._3").as("__rel"),
+        col("__rm._4").as("__member")), wave = 0)
 
     val relIdCol = (if (single) lit(Ids.RelIDOffset) - col("rel_id")
                     else -col("rel_id")).cast(LongType)

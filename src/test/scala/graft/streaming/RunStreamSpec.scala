@@ -26,8 +26,10 @@ class RunStreamSpec extends SparkSpecBase {
       java.nio.file.Paths.get("/root/reference/test/complete_db.osc"),
       java.nio.file.Paths.get(s"$replDir/000000001.osc"))
 
+    // generous: late in a full-suite run the shared JVM carries 27 suites
+    // of cached state and this batch plans noticeably slower than alone
     val q = DiffPipeline.runStream(spark, mapping, stateDir, replDir, ckpt)
-    q.awaitTermination(180000)
+    assert(q.awaitTermination(480000), "stream did not finish in 480s")
     assert(store.currentSeq == 1, s"seq=${store.currentSeq}")
 
     val places = DiffPipeline.readTables(spark, mapping, stateDir)("places")
@@ -36,7 +38,7 @@ class RunStreamSpec extends SparkSpecBase {
 
     // restart with the same checkpoint: file already processed, no re-apply
     val q2 = DiffPipeline.runStream(spark, mapping, stateDir, replDir, ckpt)
-    q2.awaitTermination(60000)
+    assert(q2.awaitTermination(240000), "restart did not finish in 240s")
     assert(store.currentSeq == 1)
   }
 }

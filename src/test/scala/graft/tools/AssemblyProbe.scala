@@ -53,6 +53,27 @@ object AssemblyProbe {
       WayAssembly.resolve(ways, coords).write.format("noop").mode("overwrite").save())
     timed("full resolve again")(
       WayAssembly.resolve(ways, coords).write.format("noop").mode("overwrite").save())
+
+    val cached = WayAssembly.resolve(ways, coords).persist()
+    timed("resolve + cache write + count")(cached.count())
+    timed("cached re-count")(cached.count())
+    cached.unpersist()
+    val cachedNoRefs = WayAssembly.resolve(ways, coords).drop("refs").persist()
+    timed("resolve + cache (no refs)")(cachedNoRefs.count())
+    cachedNoRefs.unpersist()
+
+    val mWays = ways.select(col("id"))
+    val matched = mWays.sample(0.9)
+    timed("semi-join + resolve (distinct ids)") {
+      WayAssembly.resolve(
+        ways.join(matched.union(mWays.sample(0.2)).distinct(), Seq("id"), "left_semi"),
+        coords).write.format("noop").mode("overwrite").save()
+    }
+    timed("semi-join + resolve (no distinct)") {
+      WayAssembly.resolve(
+        ways.join(matched.union(mWays.sample(0.2)), Seq("id"), "left_semi"),
+        coords).write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }
