@@ -79,6 +79,15 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
+    // phase hygiene: queries leave persisted frames (e.g. the minhash
+    // signature cache) and old-gen garbage behind; measured +60% on the
+    // scale import when they stay resident. Each phase starts clean.
+    def resetCaches(): Unit = {
+      spark.catalog.clearCache()
+      System.gc()
+    }
+    resetCaches()
+
     // pipeline-level benchmark: full Monaco PBF import (decode, match,
     // way/relation assembly, geometry build) against BASELINE.md's
     // elements/s target; skipped if the fixture is absent.
@@ -99,6 +108,7 @@ object Bench {
         System.err.println(s"[bench] osm_import_monaco failed: ${e.getMessage}")
         Seq.empty
       }
+    resetCaches()
     // scale-representative import bench (BASELINE.md ~350k elem/s target):
     // ~100 MB of PBF — N translated Monaco copies — so fixed stage-scheduling
     // overhead (the whole story at 270 KB) amortizes below ~20% of wall time.
