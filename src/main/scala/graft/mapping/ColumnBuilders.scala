@@ -116,21 +116,27 @@ object ColumnBuilders {
 
   /** hstore literal rendering (columns.go:171-196); keys sorted for
     * determinism (Go map iteration is random). */
+  /** hstore rendering as a pure codegen expression — no UDF on this
+    * per-row sink hot path. array_sort on ARRAY<STRUCT<key,value>> orders
+    * by key first (keys are unique in a map), matching the reference's
+    * sorted output; SQL replace() is literal, so escaping needs no regex
+    * quoting. An `include` arg that parses empty keeps ALL tags, like the
+    * reference's empty include set. */
   private def hstoreTags(tagsCol: Column, conf: ColumnConf): Column = {
-    val include: Set[String] =
-      if (conf.args.contains("include")) argList(conf, "include").toSet else Set.empty
-    val hstore = udf { (tags: Map[String, String]) =>
-      if (tags == null) ""
-      else {
-        def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-        tags.toSeq
-          .filter { case (k, _) => include.isEmpty || include.contains(k) }
-          .sortBy(_._1)
-          .map { case (k, v) => "\"" + esc(k) + "\"=>\"" + esc(v) + "\"" }
-          .mkString(", ")
-      }
-    }
-    hstore(tagsCol)
+    val include: Seq[String] =
+      if (conf.args.contains("include")) argList(conf, "include") else Seq.empty
+    def esc(c: Column): Column =
+      call_function("replace",
+        call_function("replace", c, lit("\\"), lit("\\\\")),
+        lit("\""), lit("\\\""))
+    val entries0 = map_entries(tagsCol)
+    val entries =
+      if (include.isEmpty) entries0
+      else filter(entries0, e => e.getField("key").isin(include: _*))
+    val rendered = transform(array_sort(entries), e =>
+      concat(lit("\""), esc(e.getField("key")), lit("\"=>\""),
+        esc(e.getField("value")), lit("\"")))
+    when(tagsCol.isNull, lit("")).otherwise(array_join(rendered, ", "))
   }
 
   /** layer*offset + rank(match value) ± offset for tunnel/bridge
