@@ -268,13 +268,28 @@ final class ImportPipeline(
         .map(tracked(_, wave = 2))
 
     // -- route rows to destination tables --------------------------------------
-    val stages: Seq[DataFrame] =
-      Seq(nodeRows, wayRows, relPolyRows, relRows) ++ memberRows.toSeq
+    // A stage frame can only carry rows for tables its matcher targets, so
+    // each table unions exactly the stages that can feed it (a point table
+    // scans ONE cache, not four — the __table filter alone would be
+    // correct but forces every sink to scan every stage cache).
+    def targetsOf(m: TagMatcher): Set[String] =
+      m.mappings.valuesIterator
+        .flatMap(_.valuesIterator.flatMap(_.iterator.map(_._1.name))).toSet
+    val stageTargets: Seq[(DataFrame, Set[String])] = Seq(
+      nodeRows -> targetsOf(pm),
+      wayRows -> (targetsOf(lm) ++ targetsOf(gm)),
+      relPolyRows -> targetsOf(gm),
+      relRows -> targetsOf(rm))
 
     mapping.conf.tables.values.map { table =>
       val isMember = table.tableType == TableType.RelationMember
-      val parts = (if (isMember) memberRows.toSeq else stages.take(4))
-        .map(df => projectTable(df, table, isMember))
+      val sources =
+        if (isMember) memberRows.toSeq
+        else stageTargets.collect { case (df, t) if t.contains(table.name) => df } match {
+          case Seq() => Seq(nodeRows.filter(lit(false))) // unmatched table: empty, right schema
+          case s => s
+        }
+      val parts = sources.map(df => projectTable(df, table, isMember))
       table.name -> parts.reduce(_ unionByName _)
     }.toMap
   }
