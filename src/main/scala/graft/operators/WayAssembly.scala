@@ -38,6 +38,9 @@ object WayAssembly {
     val exploded = ways
       .select(col("id").as("way_id"), size(col("refs")).as("nrefs"),
         posexplode(col("refs")).as(Seq("pos", "ref")))
+    // no join-strategy hint: a shuffle_hash hint on coords A/B'd within
+    // noise of AQE's own choice — AQE keeps owning it (it can also flip
+    // the decision at planet scale where the build side no longer fits)
     val joined = exploded.join(coords, exploded("ref") === coords("id"))
       .select(col("way_id"), col("nrefs"), col("pos"), col("ref"), col("x"), col("y"))
     joined
