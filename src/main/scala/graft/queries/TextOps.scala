@@ -94,23 +94,35 @@ object TextOps {
       "i -> concat_ws(' ', slice(split(text, ' '), i, 3))))")
 
   // -- MinHash + LSH dedup -----------------------------------------------------
-  // k=12 md5-seeded min-hashes over word trigrams, 4 bands of 3; candidates =
+  // k=12 min-hashes over word trigrams via ONE md5 per shingle + 12 affine
+  // transforms h_i(x) = ((2i+3)·x + 17i+1) mod (2^31−1) over the 60-bit md5
+  // prefix (the classic universal family — hashing every shingle k times
+  // was the query's dominant cost, ~2× slower). 4 bands of 3; candidates =
   // band-bucket join; candidates then verified with EXACT jaccard >= 0.7 (so
   // LSH is purely a pruning step and the result is deterministic on both
-  // engines). Shape matters at scale: the band join and the pair-distinct run
-  // over (band, id) longs only — the shingle sets are re-joined per candidate
+  // engines — the oracle mirrors the same family, and all values stay in
+  // [0, 2^31) so BIGINT arithmetic agrees between Spark and DuckDB). Shape
+  // matters at scale: the band join and the pair-distinct run over
+  // (band, id) longs only — the shingle sets are re-joined per candidate
   // id afterwards, so the shuffle never carries the big arrays.
   private def dedupMinHash(s: SparkSession, dir: String): DataFrame = {
+    // the persist is the optimization barrier that keeps md5 at ONE eval
+    // per shingle: deriving `sig` in the same projection would let
+    // Catalyst inline `bm` into all 12 lambda bodies (subexpression
+    // elimination cannot reach inside higher-order-function lambdas)
     val d = docs(s, dir).select(col("doc_id"), trigramExpr.as("ss"))
-      .withColumn("sig", expr(
-        "transform(sequence(0, 11), i -> " +
-          "array_min(transform(ss, s -> md5(concat(cast(i as string), ':', s)))))"))
+      .withColumn("bm", expr(
+        "transform(ss, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % 2147483647)"))
       .persist()
+    // per-band mins inline (i = 3b, 3b+1, 3b+2): exactly 12 array_min
+    // evals per doc in one projection — an intermediate `sig` column
+    // would be re-inlined into every band lambda by CollapseProject
+    def minExpr(i: String) =
+      s"array_min(transform(bm, h -> ((2*($i) + 3) * h + 17*($i) + 1) % 2147483647))"
     val bands = d.select(col("doc_id"),
       posexplode(expr(
-        "transform(sequence(0, 3), b -> md5(concat(" +
-          "element_at(sig, 3*b + 1), '|', element_at(sig, 3*b + 2), '|', " +
-          "element_at(sig, 3*b + 3))))"))
+        s"transform(sequence(0, 3), b -> md5(concat(${minExpr("3*b")}, '|', " +
+          s"${minExpr("3*b + 1")}, '|', ${minExpr("3*b + 2")})))"))
         .as(Seq("band_idx", "band_hash")))
     val a = bands.select(col("band_idx"), col("band_hash"), col("doc_id").as("a_id"))
     val b = bands.select(col("band_idx"), col("band_hash"), col("doc_id").as("b_id"))
@@ -312,12 +324,16 @@ object TextOps {
          |  list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
          |    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS ss
          |  FROM tk),
+         |bm AS (SELECT doc_id, ss,
+         |  list_transform(ss, s ->
+         |    ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS hs
+         |  FROM sh),
          |sig AS (SELECT doc_id, ss,
          |  list_transform(generate_series(0, 11), i ->
-         |    list_min(list_transform(ss, s -> md5(i::VARCHAR || ':' || s)))) AS sg
-         |  FROM sh),
+         |    list_min(list_transform(hs, h -> ((2*i + 3) * h + 17*i + 1) % 2147483647))) AS sg
+         |  FROM bm),
          |bands AS (SELECT doc_id, b,
-         |  md5(sg[3*b + 1] || '|' || sg[3*b + 2] || '|' || sg[3*b + 3]) AS band_hash
+         |  md5(sg[3*b + 1]::VARCHAR || '|' || sg[3*b + 2]::VARCHAR || '|' || sg[3*b + 3]::VARCHAR) AS band_hash
          |  FROM sig, unnest(generate_series(0, 3)) AS t(b)),
          |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |  FROM bands a JOIN bands b
