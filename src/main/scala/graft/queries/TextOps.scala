@@ -88,10 +88,14 @@ object TextOps {
   }
 
   /** Distinct word-trigram shingles (the MinHash item space — far more
-    * discriminative than char n-grams on natural text, and 5-10× smaller). */
-  private val trigramExpr: Column = expr(
-    "array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), " +
-      "i -> concat_ws(' ', slice(split(text, ' '), i, 3))))")
+    * discriminative than char n-grams on natural text, and 5-10× smaller).
+    * Slices a pre-split `toks` column: putting split(text) inside the
+    * lambda would re-tokenize the whole text once PER SHINGLE POSITION
+    * (outer computed subexpressions in HOF lambdas re-evaluate per
+    * element; only bound attribute reads are free). */
+  private val trigramOfToks: Column = expr(
+    "array_distinct(transform(sequence(1, greatest(size(toks) - 2, 1)), " +
+      "i -> concat_ws(' ', slice(toks, i, 3))))")
 
   // -- MinHash + LSH dedup -----------------------------------------------------
   // k=12 min-hashes over word trigrams via ONE md5 per shingle + 12 affine
@@ -106,11 +110,14 @@ object TextOps {
   // (band, id) longs only — the shingle sets are re-joined per candidate
   // id afterwards, so the shuffle never carries the big arrays.
   private def dedupMinHash(s: SparkSession, dir: String): DataFrame = {
-    // the persist is the optimization barrier that keeps md5 at ONE eval
-    // per shingle: deriving `sig` in the same projection would let
-    // Catalyst inline `bm` into all 12 lambda bodies (subexpression
+    // the persists are optimization barriers (CollapseProject cannot cross
+    // an InMemoryRelation): `toked` keeps split(text) at one eval per doc
+    // instead of one per shingle position, and `d` keeps md5 at ONE eval
+    // per shingle instead of one per min-hash function (subexpression
     // elimination cannot reach inside higher-order-function lambdas)
-    val d = docs(s, dir).select(col("doc_id"), trigramExpr.as("ss"))
+    val toked = docs(s, dir)
+      .select(col("doc_id"), expr("split(text, ' ')").as("toks")).persist()
+    val d = toked.select(col("doc_id"), trigramOfToks.as("ss"))
       .withColumn("bm", expr(
         "transform(ss, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % 2147483647)"))
       .persist()
