@@ -460,7 +460,7 @@ object OsmPbf {
   }
 
   /** Hadoop Configuration is not serializable; standard wrapper. */
-  private final class SerializableHadoopConf(
+  private[sources] final class SerializableHadoopConf(
       @transient private var conf: org.apache.hadoop.conf.Configuration)
       extends Serializable {
     def value: org.apache.hadoop.conf.Configuration = conf

@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** DataSource V2 surface: spark.read.format("osmpbf") must agree with the
+  * library reader on the Monaco fixture.
+  */
+class OsmPbfV2Spec extends SparkSpecBase {
+
+  private val fixture =
+    "/root/reference/vendor/github.com/omniscale/go-osm/parser/pbf/monaco-20150428.osm.pbf"
+
+  test("format(osmpbf) matches the library reader element-for-element") {
+    val v2 = spark.read.format("osmpbf").load(fixture)
+    val lib = OsmPbf.readElements(spark, fixture).toDF()
+    assert(v2.count() == lib.count())
+    // per-kind counts agree
+    val v2k = v2.groupBy("kind").count().collect().map(r => r.getByte(0) -> r.getLong(1)).toMap
+    val libk = lib.groupBy("kind").count().collect().map(r => r.getByte(0) -> r.getLong(1)).toMap
+    assert(v2k == libk, s"$v2k vs $libk")
+    // spot-check: same id+tag content for tagged nodes
+    val a = v2.filter(size(col("tags")) > 0 && col("kind") === 0)
+      .agg(sum(col("id")), count(lit(1))).collect()(0)
+    val b = lib.filter(size(col("tags")) > 0 && col("kind") === 0)
+      .agg(sum(col("id")), count(lit(1))).collect()(0)
+    assert(a == b, s"$a vs $b")
+  }
+
+  test("bundleOf over the v2 frame drives the normal pipeline inputs") {
+    val bundle = OsmXml.bundleOf(spark.read.format("osmpbf").load(fixture))
+    val r = bundle.coords.agg(min("lon"), max("lon")).collect()(0)
+    assert(r.getDouble(0) > 7.3 && r.getDouble(1) < 7.6, r.toString)
+    assert(bundle.ways.count() > 1000)
+  }
+
+  test("includeMetadata option decodes versions; default leaves meta null") {
+    val withMeta = spark.read.format("osmpbf")
+      .option("includeMetadata", "true").load(fixture)
+    assert(withMeta.filter(col("meta").isNotNull && col("meta.version") > 0).count() > 0)
+    val bare = spark.read.format("osmpbf").load(fixture)
+    assert(bare.filter(col("meta").isNotNull).count() == 0)
+  }
+}
