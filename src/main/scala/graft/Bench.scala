@@ -146,17 +146,26 @@ object Bench {
         val pipeline = new ImportPipeline(spark, mapping)
         val tables = pipeline.run(bundle)
         sinkAll(pipeline, tables, eagerStages = true)
-        pipeline.unpersistAll()
         val tImport = (System.nanoTime() - t1) / 1e9
+        // generalized tables are part of the reference's 7h30m planet
+        // figure (postgis.go:236-362 runs inside the import) — timed as
+        // their own entry so the stage split stays visible
+        val t2 = System.nanoTime()
+        graft.operators.Generalize(spark, mapping, tables).values
+          .foreach(_.write.format("noop").mode("overwrite").save())
+        val tGen = (System.nanoTime() - t2) / 1e9
+        pipeline.unpersistAll()
         System.err.println(
           f"[bench] osm_scale copies=$copies elems=$parsed/$nElems " +
             f"parse=$tParse%.1fs (${parsed / tParse}%.0f elem/s) " +
-            f"import=$tImport%.1fs total=${tParse + tImport}%.1fs " +
-            f"(${parsed / (tParse + tImport)}%.0f elem/s end-to-end)")
+            f"import=$tImport%.1fs gen=$tGen%.1fs " +
+            f"total=${tParse + tImport + tGen}%.1fs " +
+            f"(${parsed / (tParse + tImport + tGen)}%.0f elem/s end-to-end)")
         System.err.println(s"[bench] stats ${stats.report()}")
         graft.operators.ImportStats.detach(spark, stats)
         Seq(s"osm_parse_synth$copies" -> tParse,
-          s"osm_import_synth$copies" -> tImport)
+          s"osm_import_synth$copies" -> tImport,
+          s"osm_generalize_synth$copies" -> tGen)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] osm_import_synth failed: ${e.getMessage}")
         Seq.empty
