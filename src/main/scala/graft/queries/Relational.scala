@@ -321,7 +321,7 @@ object Relational {
         | FROM orders)
         |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
     "q_sessionize" ->
-      """SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events FROM (
+      """SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
         | SELECT user_id,
         |  CASE WHEN prev_ts IS NULL
         |        OR ((epoch_ns(ts) // 1000000000) - (epoch_ns(prev_ts) // 1000000000)) > 1800 THEN 1 ELSE 0 END AS new_sess
