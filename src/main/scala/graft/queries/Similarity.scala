@@ -145,10 +145,22 @@ object Similarity {
       .orderBy("a_id", "b_id")
   }
 
+  // -- IVF over the cell-bucketed index (operators.IvfIndex) -------------------
+  // Same algebra as annIvf but the corpus is first WRITTEN partitioned by
+  // cell id and the probe is a partition-pruned scan — the 100 TB path,
+  // value-gated against the same oracle as the on-the-fly plan.
+  private def annIvfIndexed(s: SparkSession, dir: String): DataFrame = {
+    val idx = java.nio.file.Files.createTempDirectory("ivf-index").toString + "/idx"
+    graft.operators.IvfIndex.build(s, t(s, dir, "embeddings"), idx)
+    graft.operators.IvfIndex.search(s, idx,
+      t(s, dir, "embeddings").filter(col("vec_id") < 10))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "s_cosine_topk"     -> (cosineTopK _),
     "s_ann_lsh"         -> (annLsh _),
     "s_ann_ivf"         -> (annIvf _),
+    "s_ann_ivf_indexed" -> (annIvfIndexed _),
     "s_dedup_embedding" -> (dedupEmbedding _)
   )
 
@@ -201,6 +213,28 @@ object Similarity {
          |  FROM coded x JOIN coded y ON x.code = y.code AND x.vec_id < y.vec_id)
          |SELECT a_id, b_id, sim_r, sim_r >= 0.45 AS is_dup
          |FROM pairs ORDER BY a_id, b_id""".stripMargin,
+    // identical result set to s_ann_ivf by construction (same centroids,
+    // same probe ranking) — the entry exists so the INDEXED path is gated
+    "s_ann_ivf_indexed" ->
+      s"""WITH $vSql,
+         |c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM v WHERE vec_id < 16),
+         |sims AS (SELECT v.vec_id, v.e, v.nrm, c.c_id,
+         |    round(list_dot_product(v.e, c.ce) / (v.nrm * c.cn), 6) AS csim
+         |  FROM v, c),
+         |ranked AS (SELECT vec_id, e, nrm, c_id AS cell, csim,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS crk
+         |  FROM sims),
+         |cells AS (SELECT vec_id, e, nrm, cell FROM ranked WHERE crk = 1),
+         |probes AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn, cell
+         |  FROM ranked WHERE crk <= 2 AND vec_id < 10),
+         |cand AS (SELECT p.q_id, cl.vec_id AS neighbor_id, p.cell,
+         |    round(list_dot_product(p.qe, cl.e) / (p.qn * cl.nrm), 6) AS sim_r
+         |  FROM probes p JOIN cells cl ON p.cell = cl.cell AND p.q_id != cl.vec_id),
+         |r AS (SELECT q_id, neighbor_id, sim_r, cell,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sim_r DESC, neighbor_id) AS rnk
+         |  FROM cand)
+         |SELECT q_id, rnk::BIGINT AS rnk, neighbor_id, sim_r, cell FROM r
+         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "s_ann_ivf" ->
       s"""WITH $vSql,
          |c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM v WHERE vec_id < 16),
