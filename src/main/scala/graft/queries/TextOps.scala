@@ -270,6 +270,49 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // -- rolling-hash document fingerprint ---------------------------------------
+  // Rabin–Karp polynomial rolling hash (base 131, mod 2^31−1 so every
+  // intermediate stays < 2^39 — overflow-free BIGINT on both engines):
+  // one whole-document hash plus a winnowing-style signature (the minimum
+  // over all 8-char window hashes). Codegen'd HOFs over char positions, no
+  // UDF; embarrassingly parallel per row, so the 100 TB path is just a scan.
+  private val RollMod = 2147483647L // 2^31 − 1
+  private val RollBase = 131L
+
+  private def fingerprintRolling(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("roll_hash", expr(
+        s"aggregate(sequence(1, length(text)), 0L, " +
+          s"(a, i) -> (a * $RollBase + ascii(substring(text, i, 1))) % $RollMod)"))
+      .withColumn("min_window_hash", expr(
+        s"array_min(transform(sequence(1, greatest(length(text) - 7, 1)), " +
+          s"i -> aggregate(sequence(i, i + 7), 0L, " +
+          s"(a, j) -> (a * $RollBase + ascii(substring(text, j, 1))) % $RollMod)))"))
+      .select(col("doc_id"), col("roll_hash"), col("min_window_hash"))
+      .orderBy("doc_id")
+
+  // -- token counting: whitespace vs BPE-ish subword regex ---------------------
+  // Three tokenizer proxies per doc: whitespace split, the alnum word regex,
+  // and a BPE-ish segmentation (letter runs, single digits, punctuation
+  // marks — the shape of GPT-style pre-tokenizers) with a chars-per-token
+  // ratio, the usual "how many tokens is this corpus" estimator.
+  private val BpeIshRe = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+
+  private def bpeTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("n_ws", size(split(col("text"), " +")).cast("long"))
+      .withColumn("n_words", size(tokensExpr).cast("long"))
+      // regex via the Column API: a `\s` inside expr()'s SQL literal would
+      // lose its backslash to the parser's escape handling
+      .withColumn("n_bpe",
+        size(regexp_extract_all(lower(col("text")), lit(BpeIshRe), lit(0))).cast("long"))
+      .withColumn("chars_per_bpe",
+        when(col("n_bpe") > 0,
+          length(col("text")).cast("double") / col("n_bpe").cast("double")))
+      .select(col("doc_id"), col("n_ws"), col("n_words"), col("n_bpe"),
+        col("chars_per_bpe"))
+      .orderBy("doc_id")
+
   // -- multimodal plumbing: opaque binary payload + typed metadata ------------
   // The decode itself is stubbed (no codec libs in-container); the Spark-side
   // schema/partitioning/hashing over `binary` is real — see
@@ -290,6 +333,8 @@ object TextOps {
     "d_dedup_minhash"     -> (dedupMinHash _),
     "d_dedup_simhash"     -> (dedupSimHash _),
     "d_token_stats"       -> (tokenStats _),
+    "d_fingerprint_roll"  -> (fingerprintRolling _),
+    "d_bpe_tokens"        -> (bpeTokens _),
     "d_quality"           -> (quality _),
     "d_lang_id"           -> (langId _),
     "m_binary_meta"       -> (binaryMeta _)
@@ -393,6 +438,25 @@ object TextOps {
          | len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS type_token_ratio
          |FROM (SELECT doc_id, text, $tokensSql AS toks FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    "d_fingerprint_roll" ->
+      s"""SELECT doc_id,
+         | list_reduce(list_prepend(0::BIGINT,
+         |     list_transform(generate_series(1, len(text)), i -> ascii(substr(text, i::INT, 1))::BIGINT)),
+         |   (a, x) -> (a * $RollBase + x) % $RollMod) AS roll_hash,
+         | list_min(list_transform(generate_series(1, greatest(len(text) - 7, 1)),
+         |   i -> list_reduce(list_prepend(0::BIGINT,
+         |       list_transform(generate_series(i, i + 7), j -> ascii(substr(text, j::INT, 1))::BIGINT)),
+         |     (a, x) -> (a * $RollBase + x) % $RollMod))) AS min_window_hash
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_bpe_tokens" ->
+      s"""SELECT doc_id,
+         | len(regexp_split_to_array(text, ' +'))::BIGINT AS n_ws,
+         | len($tokensSql)::BIGINT AS n_words,
+         | len(regexp_extract_all(lower(text), '$BpeIshRe'))::BIGINT AS n_bpe,
+         | CASE WHEN len(regexp_extract_all(lower(text), '$BpeIshRe')) > 0
+         |   THEN len(text)::DOUBLE / len(regexp_extract_all(lower(text), '$BpeIshRe'))::DOUBLE
+         | END AS chars_per_bpe
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "d_quality" ->
       s"""SELECT doc_id, n_tokens, n_stop, n_punct, n_chars,
          | CASE WHEN n_tokens < 10 THEN 'too_short'
