@@ -109,28 +109,44 @@ object TextOps {
   // matters at scale: the band join and the pair-distinct run over
   // (band, id) longs only — the shingle sets are re-joined per candidate
   // id afterwards, so the shuffle never carries the big arrays.
-  private def dedupMinHash(s: SparkSession, dir: String): DataFrame = {
-    // the persists are optimization barriers (CollapseProject cannot cross
-    // an InMemoryRelation): `toked` keeps split(text) at one eval per doc
-    // instead of one per shingle position, and `d` keeps md5 at ONE eval
-    // per shingle instead of one per min-hash function (subexpression
-    // elimination cannot reach inside higher-order-function lambdas)
-    val toked = docs(s, dir)
-      .select(col("doc_id"), expr("split(text, ' ')").as("toks")).persist()
-    val d = toked.select(col("doc_id"), trigramOfToks.as("ss"))
+  /** Persisted (doc_id, ss, bm) frame: trigram shingle sets + their base
+    * hashes. The persist is an optimization barrier (CollapseProject cannot
+    * cross an InMemoryRelation): split(text) stays at one eval per doc
+    * instead of one per shingle position, and md5 at ONE eval per shingle
+    * instead of one per min-hash function (subexpression elimination cannot
+    * reach inside higher-order-function lambdas). Callers unpersist.
+    */
+  private[graft] def minhashPrep(docs: DataFrame): DataFrame = {
+    // the intermediate persist is itself a barrier: without it
+    // CollapseProject inlines split(text) into the trigram lambda and the
+    // text is re-tokenized once per shingle position
+    val toked = docs.select(col("doc_id"), expr("split(text, ' ')").as("toks"))
+      .persist()
+    toked.select(col("doc_id"), trigramOfToks.as("ss"))
       .withColumn("bm", expr(
         "transform(ss, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % 2147483647)"))
       .persist()
+  }
+
+  /** LSH bands (doc_id, band_idx, band_hash) from a minhashPrep frame:
+    * k=12 affine min-hashes in 4 bands of 3.
+    */
+  private[graft] def minhashBandsOf(prep: DataFrame): DataFrame = {
     // per-band mins inline (i = 3b, 3b+1, 3b+2): exactly 12 array_min
     // evals per doc in one projection — an intermediate `sig` column
     // would be re-inlined into every band lambda by CollapseProject
     def minExpr(i: String) =
       s"array_min(transform(bm, h -> ((2*($i) + 3) * h + 17*($i) + 1) % 2147483647))"
-    val bands = d.select(col("doc_id"),
+    prep.select(col("doc_id"),
       posexplode(expr(
         s"transform(sequence(0, 3), b -> md5(concat(${minExpr("3*b")}, '|', " +
           s"${minExpr("3*b + 1")}, '|', ${minExpr("3*b + 2")})))"))
         .as(Seq("band_idx", "band_hash")))
+  }
+
+  private def dedupMinHash(s: SparkSession, dir: String): DataFrame = {
+    val d = minhashPrep(docs(s, dir))
+    val bands = minhashBandsOf(d)
     val a = bands.select(col("band_idx"), col("band_hash"), col("doc_id").as("a_id"))
     val b = bands.select(col("band_idx"), col("band_hash"), col("doc_id").as("b_id"))
     val cand = a.join(b, Seq("band_idx", "band_hash"))
