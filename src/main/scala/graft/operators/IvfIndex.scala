@@ -20,13 +20,16 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  /** Corpus/query frame with double components + L2 norm (same arithmetic
-    * order as the oracle: sequential fold dot product).
+  import graft.functions.VectorFunctions.{vecDot, vecNorm}
+
+  /** Corpus/query frame with raw float vectors + double L2 norm. Arithmetic
+    * matches the oracle (sequential-fold dot product in double; see
+    * functions.VectorExpressions), and keeping `e` as float halves what the
+    * written index stores per vector.
     */
   private def withNorm(df: DataFrame, vec: String): DataFrame =
-    df.withColumn("e", expr(s"transform($vec, x -> cast(x as double))"))
-      .withColumn("nrm",
-        expr("sqrt(aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (a, x) -> a + x))"))
+    df.withColumn("e", col(vec))
+      .withColumn("nrm", vecNorm(col(vec)))
 
   /** Deterministic data-derived centroids: the `nCells` lowest vec_ids. */
   def centroidsOf(corpus: DataFrame, nCells: Int): DataFrame =
@@ -34,8 +37,7 @@ object IvfIndex {
       .select(col("vec_id").as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
 
   private val centroidSim =
-    round(expr("aggregate(zip_with(e, ce, (x, y) -> x * y), 0D, (a, x) -> a + x)")
-      / (col("nrm") * col("cn")), 6)
+    round(vecDot(col("e"), col("ce")) / (col("nrm") * col("cn")), 6)
 
   /** Rank each input vector's cells by centroid similarity, keep top `n`. */
   private def nearestCells(vectors: DataFrame, cents: DataFrame, n: Int): DataFrame = {
@@ -84,8 +86,7 @@ object IvfIndex {
       .join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("sim_r",
-        round(expr("aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (a, x) -> a + x)")
-          / (col("qn") * col("nrm")), 6))
+        round(vecDot(col("qe"), col("e")) / (col("qn") * col("nrm")), 6))
     val w = Window.partitionBy("q_id").orderBy(col("sim_r").desc, col("vec_id"))
     cand.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)

@@ -26,18 +26,24 @@ import org.apache.spark.sql.functions._
   * Determinism: all arithmetic is double-precision with identical operation
   * order on both engines (sequential fold dot products), similarities are
   * rounded to 6 dp before any ordering/threshold decision, ties break on ids.
+  *
+  * Dot products and norms are the native codegen'd `VecDot`/`VecNorm`
+  * expressions (functions.VectorExpressions) rather than
+  * `aggregate(zip_with(…))` HOFs: bit-identical results (same accumulation
+  * order; float→double widening is exact), but the arrays stay raw floats —
+  * no per-pair double-array materialization — and the loop runs inside
+  * whole-stage codegen instead of interpreted lambdas.
   */
 object Similarity {
+  import graft.functions.VectorFunctions.{vecDot, vecNorm}
 
-  /** Corpus with doubled components and precomputed L2 norm. */
+  /** Corpus as raw float vectors with precomputed double L2 norm. */
   private def vecs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
-      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("e"))
-      .withColumn("nrm",
-        expr("sqrt(aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (a, x) -> a + x))"))
+      .select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("nrm", vecNorm(col("e")))
 
-  private val dotQE: Column =
-    expr("aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (a, x) -> a + x)")
+  private val dotQE: Column = vecDot(col("qe"), col("e"))
 
   // -- brute-force cosine top-k ------------------------------------------------
   private def cosineTopK(s: SparkSession, dir: String): DataFrame = {
@@ -62,7 +68,7 @@ object Similarity {
       .select(col("vec_id").as("a_id"), col("e").as("ae"))
     val codes = v.select(col("vec_id"), col("e").as("qe"))
       .crossJoin(broadcast(anchors))
-      .withColumn("dot", expr("aggregate(zip_with(qe, ae, (x, y) -> x * y), 0D, (a, x) -> a + x)"))
+      .withColumn("dot", vecDot(col("qe"), col("ae")))
       .groupBy("vec_id")
       .agg(sum(when(col("dot") > 0,
         expr("shiftleft(1L, cast(a_id as int))")).otherwise(0L)).as("code"))
@@ -92,8 +98,7 @@ object Similarity {
     val simToCent = v.select(col("vec_id"), col("e").as("qe"), col("nrm").as("qn"), col("e"), col("nrm"))
       .crossJoin(broadcast(cents))
       .withColumn("csim", round(
-        expr("aggregate(zip_with(qe, ce, (x, y) -> x * y), 0D, (a, x) -> a + x)")
-          / (col("qn") * col("cn")), 6))
+        vecDot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
     val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("c_id"))
     val assigned = simToCent
       .withColumn("crk", row_number().over(wAssign))
@@ -129,7 +134,7 @@ object Similarity {
       .select(col("vec_id").as("a_id"), col("e").as("ae"))
     val codes = v.select(col("vec_id"), col("e").as("qe"))
       .crossJoin(broadcast(anchors))
-      .withColumn("dot", expr("aggregate(zip_with(qe, ae, (x, y) -> x * y), 0D, (a, x) -> a + x)"))
+      .withColumn("dot", vecDot(col("qe"), col("ae")))
       .groupBy("vec_id")
       .agg(sum(when(col("dot") > 0,
         expr("shiftleft(1L, cast(a_id as int))")).otherwise(0L)).as("code"))
