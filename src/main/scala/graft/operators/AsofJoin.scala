@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, attach the latest right row whose
+  * timestamp is <= the left row's, within the same key group — the
+  * point-in-time lookup every event pipeline needs (DuckDB/Pandas expose it
+  * as ASOF JOIN / merge_asof; Spark has no built-in).
+  *
+  * Spark-first plan, not a range join: tag both sides, UNION them, and run
+  * one `last(_, ignoreNulls) OVER (PARTITION BY keys ORDER BY ts ROWS
+  * UNBOUNDED PRECEDING)` window. Cost is a single hash shuffle on the keys
+  * plus a per-partition sort — the same shape as a groupBy — instead of the
+  * O(|left|·|right|) candidate space a `l.ts >= r.ts` theta-join explodes
+  * into. At 100 TB both inputs shuffle once on the key and nothing else
+  * moves; a skewed key degrades to one fat sorted partition, the usual
+  * salting/AQE-skew knobs apply.
+  *
+  * Tie semantics match DuckDB ASOF (`l.ts >= r.ts`, inclusive): a right row
+  * at exactly the left timestamp wins, because right rows sort before left
+  * rows at equal ts (side marker 0 < 1).
+  */
+object AsofJoin {
+
+  /** Left rows with `payload` columns from the as-of-matched right row
+    * (null when no right row precedes). `keys` must exist on both sides;
+    * `ts` columns are compared raw (any orderable type). Right columns other
+    * than keys/ts/payload are dropped; left columns all survive.
+    */
+  def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    val keyCols = keys.map(col)
+    // one struct carries the whole right payload through the window so a
+    // single `last` resolves the match (not one window per column)
+    val taggedRight = right.select(
+      keyCols :+ col(rightTs).as("__ts") :+ lit(0).as("__side") :+
+        struct(payload.map(col): _*).as("__asof"): _*)
+    val leftCols = left.columns.filterNot(keys.contains).map(col)
+    val taggedLeft = left.select(
+      keyCols :+ col(leftTs).as("__ts") :+ lit(1).as("__side") :+
+        lit(null).cast(taggedRight.schema("__asof").dataType).as("__asof") :+
+        struct(leftCols: _*).as("__left"): _*)
+
+    val unioned = taggedRight
+      .withColumn("__left", lit(null).cast(taggedLeft.schema("__left").dataType))
+      .unionByName(taggedLeft)
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = unioned
+      .withColumn("__match", last(col("__asof"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    val outLeft = left.columns.map(c =>
+      if (keys.contains(c)) col(c) else col(s"__left.$c").as(c))
+    val outRight = payload.map(p => col(s"__match.$p").as(p))
+    matched.select(outLeft ++ outRight: _*)
+  }
+
+  /** Convenience overload: same timestamp column name on both sides. */
+  def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
+      ts: String, payload: Seq[String]): DataFrame =
+    asof(left, right, keys, ts, ts, payload)
+}

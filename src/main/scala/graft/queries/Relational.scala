@@ -127,6 +127,21 @@ object Relational {
       .orderBy("user_id")
   }
 
+  // -- as-of join: each click gets the latest preceding view per user -------
+  private def qAsofViews(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("ts_ns"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("view_id"),
+        col("value").as("view_value"))
+    graft.operators.AsofJoin
+      .asof(clicks, views, Seq("user_id"), "ts_ns", "ts", Seq("view_id", "view_value"))
+      // DuckDB's parquet reader truncates ns timestamps to µs, so expose µs
+      .withColumn("ts_us", expr("ts_ns DIV 1000")).drop("ts_ns")
+      .orderBy("click_id")
+  }
+
   // -- rollup over event_type ------------------------------------------------
   private def qRollupEvents(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
@@ -243,6 +258,7 @@ object Relational {
     "q_anti_orders"         -> (qAntiOrders _),
     "q_window_top3"         -> (qWindowTop3 _),
     "q_sessionize"          -> (qSessionize _),
+    "q_asof_views"          -> (qAsofViews _),
     "q_rollup_events"       -> (qRollupEvents _),
     "q_top_parts"           -> (qTopParts _),
     "q_union_users"         -> (qUnionUsers _),
@@ -329,6 +345,13 @@ object Relational {
         |        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         |       FROM events))
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_asof_views" ->
+      """SELECT c.event_id AS click_id, c.user_id, epoch_us(c.ts) AS ts_us,
+        | v.event_id AS view_id, v.value AS view_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts
+        |ORDER BY click_id""".stripMargin,
     "q_rollup_events" ->
       """SELECT event_type, COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
