@@ -142,6 +142,24 @@ object Relational {
       .orderBy("click_id")
   }
 
+  // -- range join: events inside high-severity error windows ----------------
+  private def qRangeWindows(s: SparkSession, dir: String): DataFrame = {
+    // all time math in epoch µs: DuckDB's parquet reader truncates the ns
+    // timestamps to µs, so comparing in ns would diverge at window edges
+    val ev = t(s, dir, "events").withColumn("ts_us", expr("ts DIV 1000"))
+    val windows = ev.filter(col("event_type") === "error" && col("value") > 90)
+      .select(col("event_id").as("err_id"), col("ts_us").as("w_start"),
+        (col("ts_us") + lit(3600000000L)).as("w_end"))
+    val points = ev.select(col("event_id"), col("ts_us"), col("value"))
+    graft.operators.RangeJoin
+      .pointInInterval(points, windows, "ts_us", "w_start", "w_end",
+        bucketWidth = 3600000000L)
+      .groupBy("err_id")
+      .agg(count(lit(1)).as("n_in"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .orderBy("err_id")
+  }
+
   // -- rollup over event_type ------------------------------------------------
   private def qRollupEvents(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
@@ -259,6 +277,7 @@ object Relational {
     "q_window_top3"         -> (qWindowTop3 _),
     "q_sessionize"          -> (qSessionize _),
     "q_asof_views"          -> (qAsofViews _),
+    "q_range_windows"       -> (qRangeWindows _),
     "q_rollup_events"       -> (qRollupEvents _),
     "q_top_parts"           -> (qTopParts _),
     "q_union_users"         -> (qUnionUsers _),
@@ -352,6 +371,15 @@ object Relational {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON c.user_id = v.user_id AND c.ts >= v.ts
         |ORDER BY click_id""".stripMargin,
+    "q_range_windows" ->
+      """WITH w AS (SELECT event_id AS err_id, epoch_us(ts) AS w_start,
+        |    epoch_us(ts) + 3600000000 AS w_end
+        |  FROM events WHERE event_type = 'error' AND value > 90)
+        |SELECT w.err_id, COUNT(*) AS n_in,
+        | CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w JOIN events p
+        |  ON epoch_us(p.ts) >= w.w_start AND epoch_us(p.ts) <= w.w_end
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_rollup_events" ->
       """SELECT event_type, COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
