@@ -28,7 +28,8 @@ object SparkEntry {
   def benchQueries: Seq[String] = Seq(
     "q1_pricing_summary", "q3_revenue_by_segment", "q5_local_supplier",
     "q_window_top3", "q_sessionize", "q_top_parts",
-    "d_dedup_minhash", "d_dedup_simhash", "d_token_stats",
+    "q_asof_views", "q_range_windows",
+    "d_dedup_minhash", "d_dedup_simhash", "d_token_stats", "d_chunks",
     "s_cosine_topk", "s_ann_lsh"
   )
 }

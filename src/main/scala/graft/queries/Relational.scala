@@ -160,6 +160,25 @@ object Relational {
       .orderBy("err_id")
   }
 
+  // -- stratified sampling: deterministic per-class keep rates ---------------
+  // The training-mix balancer: rare classes kept whole, abundant ones
+  // hash-downsampled. The keep decision is a pure function of the row id
+  // (md5 bucket), so the sample is reproducible across runs/engines and
+  // needs no shuffle, no RNG state, and no driver coordination — at 100 TB
+  // it is a narrow filter that predicate-pushes into the scan.
+  private def qStratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val rates = map(
+      lit("error"), lit(100L), lit("signup"), lit(50L),
+      lit("click"), lit(25L), lit("purchase"), lit(25L), lit("view"), lit(5L))
+    t(s, dir, "events")
+      .withColumn("bucket", expr(
+        "cast(conv(substring(md5(cast(event_id as string)), 1, 8), 16, 10) as bigint) % 100"))
+      .withColumn("rate", coalesce(element_at(rates, col("event_type")), lit(10L)))
+      .filter(col("bucket") < col("rate"))
+      .select(col("event_id"), col("event_type"), col("bucket"))
+      .orderBy("event_id")
+  }
+
   // -- rollup over event_type ------------------------------------------------
   private def qRollupEvents(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
@@ -278,6 +297,7 @@ object Relational {
     "q_sessionize"          -> (qSessionize _),
     "q_asof_views"          -> (qAsofViews _),
     "q_range_windows"       -> (qRangeWindows _),
+    "q_stratified_sample"   -> (qStratifiedSample _),
     "q_rollup_events"       -> (qRollupEvents _),
     "q_top_parts"           -> (qTopParts _),
     "q_union_users"         -> (qUnionUsers _),
@@ -380,6 +400,15 @@ object Relational {
         |FROM w JOIN events p
         |  ON epoch_us(p.ts) >= w.w_start AND epoch_us(p.ts) <= w.w_end
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT event_id, event_type, bucket FROM (
+        | SELECT event_id, event_type,
+        |  ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket,
+        |  CASE event_type WHEN 'error' THEN 100 WHEN 'signup' THEN 50
+        |   WHEN 'click' THEN 25 WHEN 'purchase' THEN 25 WHEN 'view' THEN 5
+        |   ELSE 10 END AS rate
+        | FROM events)
+        |WHERE bucket < rate ORDER BY event_id""".stripMargin,
     "q_rollup_events" ->
       """SELECT event_type, COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

@@ -329,6 +329,29 @@ object TextOps {
         col("chars_per_bpe"))
       .orderBy("doc_id")
 
+  // -- chunking: fixed-size token windows with overlap -------------------------
+  // The RAG/context-window prep step: each doc becomes ceil(n/stride) chunks
+  // of up to `ChunkTokens` word tokens, consecutive chunks overlapping by
+  // ChunkTokens - ChunkStride. One posexplode per doc — rows, not arrays,
+  // leave the operator, so a 100 TB corpus chunks in one narrow pass with no
+  // shuffle at all (the ORDER BY here is gate-determinism only).
+  private val ChunkTokens = 50
+  private val ChunkStride = 40
+
+  private def chunkDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("toks", tokensExpr)
+      .withColumn("n", size(col("toks")).cast("long"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(expr(
+          s"transform(sequence(0, cast(greatest(n - 1, 0) DIV $ChunkStride as int)), " +
+            s"i -> i * $ChunkStride)")).as(Seq("chunk_idx", "start")))
+      .withColumn("chunk", expr(s"slice(toks, start + 1, $ChunkTokens)"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_chunk"),
+        md5(array_join(col("chunk"), " ")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+
   // -- multimodal plumbing: opaque binary payload + typed metadata ------------
   // The decode itself is stubbed (no codec libs in-container); the Spark-side
   // schema/partitioning/hashing over `binary` is real — see
@@ -351,6 +374,7 @@ object TextOps {
     "d_token_stats"       -> (tokenStats _),
     "d_fingerprint_roll"  -> (fingerprintRolling _),
     "d_bpe_tokens"        -> (bpeTokens _),
+    "d_chunks"            -> (chunkDocs _),
     "d_quality"           -> (quality _),
     "d_lang_id"           -> (langId _),
     "m_binary_meta"       -> (binaryMeta _)
@@ -503,6 +527,15 @@ object TextOps {
          |  FROM (SELECT doc_id, $tokensSql AS toks FROM documents))
          |ORDER BY doc_id""".stripMargin
     },
+    "d_chunks" ->
+      s"""WITH d AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |    unnest(generate_series(0, greatest(len(toks) - 1, 0) // $ChunkStride)) AS ci
+         |  FROM d)
+         |SELECT doc_id, ci::BIGINT AS chunk_idx,
+         | len(list_slice(toks, ci * $ChunkStride + 1, ci * $ChunkStride + $ChunkTokens))::BIGINT AS n_chunk,
+         | md5(array_to_string(list_slice(toks, ci * $ChunkStride + 1, ci * $ChunkStride + $ChunkTokens), ' ')) AS chunk_hash
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "m_binary_meta" ->
       """SELECT doc_id,
         | octet_length(encode(text))::BIGINT AS n_bytes,
