@@ -10,7 +10,9 @@ object ExplainAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (name <- Seq("q6_filtered_revenue", "q3_revenue_by_segment", "d_dedup_minhash", "s_cosine_topk")) {
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q6_filtered_revenue", "q3_revenue_by_segment", "d_dedup_minhash", "s_cosine_topk")
+    for (name <- names) {
       println(s"===== $name =====")
       val df = graft.SparkEntry.queries(name)(spark, dir)
       val plan = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
