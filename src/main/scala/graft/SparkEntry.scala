@@ -27,7 +27,7 @@ object SparkEntry {
   /** Headline subset timed by Bench (kept fast enough for sf0.1 per-round). */
   def benchQueries: Seq[String] = Seq(
     "q1_pricing_summary", "q3_revenue_by_segment", "q5_local_supplier",
-    "q_window_top3", "q_sessionize", "q_top_parts",
+    "q_window_top3", "q_window_top3_topk", "q_sessionize", "q_top_parts",
     "q_asof_views", "q_range_windows",
     "d_dedup_minhash", "d_dedup_simhash", "d_token_stats", "d_chunks",
     "s_cosine_topk", "s_ann_lsh"

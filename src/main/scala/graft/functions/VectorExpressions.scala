@@ -186,10 +186,12 @@ object VectorFunctions {
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` (or
-  * `.withExtensions(new GraftExtensions)`) registers the vec_* functions in
-  * every session of the application.
+  * `.withExtensions(new GraftExtensions)`) registers the vec_* functions and
+  * the top-k-per-key planner strategy in every session of the application.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     VectorFunctions.descriptions.foreach(ext.injectFunction)
+    org.apache.spark.sql.graft.TopKPerKey.inject(ext)
+  }
 }

@@ -110,6 +110,18 @@ object Relational {
       .orderBy("o_custkey", "rk")
   }
 
+  // -- same result via the custom TopKPerKeyExec (bounded per-key heap) -----
+  // Identical semantics and oracle as q_window_top3, but planned through the
+  // custom strategy: one hash shuffle, then an O(n log k) heap pass instead
+  // of Window's full partition sort.
+  private def qWindowTop3TopK(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    graft.operators.TopK.perKey(o, Seq(col("o_custkey")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+      .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rk")
+  }
+
   // -- sessionize: gap>30min sessions from the events stream table ----------
   private def qSessionize(s: SparkSession, dir: String): DataFrame = {
     // ts arrives as a long (ns since epoch) via nanosAsLong; DuckDB sees a
@@ -294,6 +306,7 @@ object Relational {
     "q4_semi_join"          -> (q4SemiJoin _),
     "q_anti_orders"         -> (qAntiOrders _),
     "q_window_top3"         -> (qWindowTop3 _),
+    "q_window_top3_topk"    -> (qWindowTop3TopK _),
     "q_sessionize"          -> (qSessionize _),
     "q_asof_views"          -> (qAsofViews _),
     "q_range_windows"       -> (qRangeWindows _),
@@ -370,6 +383,13 @@ object Relational {
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_window_top3" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        | FROM orders)
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    // same oracle as q_window_top3 — gates the custom TopKPerKeyExec path
+    "q_window_top3_topk" ->
       """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
         | SELECT o_custkey, o_orderkey, o_totalprice,
         |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk

@@ -10,5 +10,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
   */
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Lazily wrapped expression — fine inside standard operators that Spark
+    * itself converts (select/filter projections). */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly converted catalyst expression (UnresolvedAttribute/SortOrder
+    * and friends) — required when the expression is embedded in a CUSTOM
+    * logical node, where the analyzer's generic rules must see real
+    * catalyst nodes, not the lazy ColumnNode wrapper. */
+  def catalystExpression(session: org.apache.spark.sql.classic.SparkSession,
+      c: Column): Expression = session.expression(c)
 }

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** Custom top-k-per-key physical operator: agreement with the window
+  * spelling, rank semantics on small/tied groups, and a plan that runs
+  * TopKPerKeyExec with no Window and no full Sort of the input.
+  */
+class TopKSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("matches row_number window spelling on orders (sf0.001)") {
+    val o = spark.read.parquet(s"$sf001/orders.parquet")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val viaTopK = TopK.perKey(o, Seq(col("o_custkey")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+      .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
+      .collect().map(_.toSeq).toSet
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val viaWindow = o.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
+      .collect().map(_.toSeq).toSet
+    assert(viaTopK == viaWindow && viaTopK.nonEmpty)
+  }
+
+  test("groups smaller than k emit all rows, ranked from 1") {
+    val df = Seq((1L, 10.0), (1L, 30.0), (2L, 5.0)).toDF("k", "v")
+    val out = TopK.perKey(df, Seq(col("k")), Seq(col("v").desc), 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 30.0, 1L), (1L, 10.0, 2L), (2L, 5.0, 1L)))
+  }
+
+  test("ties break by the secondary sort column deterministically") {
+    val df = Seq((1L, 7.0, "a"), (1L, 7.0, "b"), (1L, 7.0, "c"))
+      .toDF("k", "v", "t")
+    val out = TopK.perKey(df, Seq(col("k")),
+        Seq(col("v").desc, col("t").asc), 2)
+      .select("t", "rk").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out == Set(("a", 1L), ("b", 2L)))
+  }
+
+  test("plan runs TopKPerKeyExec — no Window, no sort of the full input") {
+    val o = spark.read.parquet(s"$sf001/orders.parquet")
+    val plan = TopK.perKey(o, Seq(col("o_custkey")),
+        Seq(col("o_totalprice").desc), 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Sort "), plan)
+  }
+
+  test("downstream operators compose over the rank column") {
+    val o = spark.read.parquet(s"$sf001/orders.parquet")
+    val best = TopK.perKey(o, Seq(col("o_custkey")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 1)
+      .filter(col("rk") === 1)
+      .groupBy().agg(sum("o_totalprice")).head().getDouble(0)
+    val expected = o.groupBy("o_custkey").agg(max("o_totalprice").as("m"))
+      .groupBy().agg(sum("m")).head().getDouble(0)
+    assert(math.abs(best - expected) < 1e-6)
+  }
+}
