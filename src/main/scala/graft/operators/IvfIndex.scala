@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cell-bucketed IVF index — the storage half of the ANN scale path.
@@ -39,15 +38,14 @@ object IvfIndex {
   private val centroidSim =
     round(vecDot(col("e"), col("ce")) / (col("nrm") * col("cn")), 6)
 
-  /** Rank each input vector's cells by centroid similarity, keep top `n`. */
-  private def nearestCells(vectors: DataFrame, cents: DataFrame, n: Int): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("c_id"))
-    vectors.crossJoin(broadcast(cents))
-      .withColumn("csim", centroidSim)
-      .withColumn("crk", row_number().over(w))
-      .filter(col("crk") <= n)
+  /** Rank each input vector's cells by centroid similarity, keep top `n`
+    * (custom TopKPerKeyExec: bounded heap, no partition sort). */
+  private def nearestCells(vectors: DataFrame, cents: DataFrame, n: Int): DataFrame =
+    TopK.perKey(
+        vectors.crossJoin(broadcast(cents)).withColumn("csim", centroidSim),
+        Seq(col("vec_id")), Seq(col("csim").desc, col("c_id").asc), n)
+      .withColumnRenamed("rk", "crk")
       .drop("ce", "cn", "csim")
-  }
 
   /** Assign every corpus vector to its nearest cell and write the index:
     * parquet partitioned by `cell`, vectors stored with their norm so the
@@ -87,9 +85,9 @@ object IvfIndex {
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("sim_r",
         round(vecDot(col("qe"), col("e")) / (col("qn") * col("nrm")), 6))
-    val w = Window.partitionBy("q_id").orderBy(col("sim_r").desc, col("vec_id"))
-    cand.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
+    TopK.perKey(cand, Seq(col("q_id")),
+        Seq(col("sim_r").desc, col("vec_id").asc), k)
+      .withColumnRenamed("rk", "rnk")
       .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
         col("sim_r"), col("cell"))
       .orderBy("q_id", "rnk")

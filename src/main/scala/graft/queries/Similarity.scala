@@ -45,6 +45,15 @@ object Similarity {
 
   private val dotQE: Column = vecDot(col("qe"), col("e"))
 
+  /** Top-5 neighbors per query via the custom TopKPerKeyExec (bounded
+    * per-key heap, no partition sort) — same rank semantics as
+    * `row_number() OVER (PARTITION BY q_id ORDER BY sim_r DESC, vec_id)`.
+    */
+  private def top5(scored: DataFrame): DataFrame =
+    graft.operators.TopK.perKey(scored, Seq(col("q_id")),
+        Seq(col("sim_r").desc, col("vec_id").asc), 5)
+      .withColumnRenamed("rk", "rnk")
+
   // -- brute-force cosine top-k ------------------------------------------------
   private def cosineTopK(s: SparkSession, dir: String): DataFrame = {
     val v = vecs(s, dir)
@@ -53,10 +62,7 @@ object Similarity {
     val scored = v.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("sim_r", round(dotQE / (col("qn") * col("nrm")), 6))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("q_id").orderBy(col("sim_r").desc, col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 5)
+    top5(scored)
       .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("sim_r"))
       .orderBy("q_id", "rnk")
   }
@@ -79,10 +85,7 @@ object Similarity {
     val cand = coded.join(broadcast(q), Seq("code"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("sim_r", round(dotQE / (col("qn") * col("nrm")), 6))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("q_id").orderBy(col("sim_r").desc, col("vec_id"))
-    cand.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 5)
+    top5(cand)
       .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
         col("sim_r"), col("code"))
       .orderBy("q_id", "rnk")
@@ -90,19 +93,17 @@ object Similarity {
 
   // -- one-shot IVF ANN --------------------------------------------------------
   private def annIvf(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val v = vecs(s, dir)
     val cents = v.filter(col("vec_id") < 16)
       .select(col("vec_id").as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
-    // nearest-cell assignment for every corpus vector
+    // nearest-cell assignment for every corpus vector (top-2 via the heap)
     val simToCent = v.select(col("vec_id"), col("e").as("qe"), col("nrm").as("qn"), col("e"), col("nrm"))
       .crossJoin(broadcast(cents))
       .withColumn("csim", round(
         vecDot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("c_id"))
-    val assigned = simToCent
-      .withColumn("crk", row_number().over(wAssign))
-      .filter(col("crk") <= 2)
+    val assigned = graft.operators.TopK.perKey(simToCent, Seq(col("vec_id")),
+        Seq(col("csim").desc, col("c_id").asc), 2)
+      .withColumnRenamed("rk", "crk")
       .select(col("vec_id"), col("e"), col("nrm"), col("c_id").as("cell"),
         col("crk"))
     val cells = assigned.filter(col("crk") === 1)
@@ -114,9 +115,7 @@ object Similarity {
     val cand = cells.join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("sim_r", round(dotQE / (col("qn") * col("nrm")), 6))
-    val w = Window.partitionBy("q_id").orderBy(col("sim_r").desc, col("vec_id"))
-    cand.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 5)
+    top5(cand)
       .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
         col("sim_r"), col("cell"))
       .orderBy("q_id", "rnk")
