@@ -139,6 +139,39 @@ object Relational {
       .orderBy("user_id")
   }
 
+  // -- q13 shape: outer-join distribution (customers with zero orders) ------
+  private def q13OrderDistribution(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(c("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy("n_orders")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("n_orders")
+  }
+
+  // -- q22 shape: scalar subquery + anti join (idle wealthy customers) ------
+  // "above average balance" decided by exact integer cross-multiplication
+  // (cents * n > total_cents), never a float average — identical boundary
+  // decisions on both engines.
+  private def q22IdleBalance(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val cents = (dec(col("c_acctbal")) * 100).cast("long")
+    // scalar aggregate rides along as a broadcast 1-row cross join
+    val pos = c.filter(col("c_acctbal") > 0)
+      .agg(sum(cents).as("total_cents"), count(lit(1)).as("n_pos"))
+    val recent = o.filter(col("o_orderdate") >= lit("2000-01-01"))
+    c.join(recent, c("c_custkey") === recent("o_custkey"), "left_anti")
+      .crossJoin(broadcast(pos))
+      .filter(cents * col("n_pos") > col("total_cents"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_custs"),
+        sum(dec(col("c_acctbal"))).cast("double").as("total_bal"))
+      .orderBy("c_nationkey")
+  }
+
   // -- as-of join: each click gets the latest preceding view per user -------
   private def qAsofViews(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
@@ -309,6 +342,8 @@ object Relational {
     "q_window_top3_topk"    -> (qWindowTop3TopK _),
     "q_sessionize"          -> (qSessionize _),
     "q_asof_views"          -> (qAsofViews _),
+    "q13_order_distribution" -> (q13OrderDistribution _),
+    "q22_idle_balance"      -> (q22IdleBalance _),
     "q_range_windows"       -> (qRangeWindows _),
     "q_stratified_sample"   -> (qStratifiedSample _),
     "q_rollup_events"       -> (qRollupEvents _),
@@ -403,6 +438,27 @@ object Relational {
         | FROM (SELECT user_id, ts, event_id,
         |        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         |       FROM events))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_order_distribution" ->
+      """SELECT n_orders, COUNT(*) AS n_customers FROM (
+        | SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+        | FROM customer c LEFT JOIN orders o
+        |   ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        | GROUP BY 1)
+        |GROUP BY 1 ORDER BY n_orders""".stripMargin,
+    "q22_idle_balance" ->
+      """WITH pos AS (
+        |  SELECT CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents,
+        |         COUNT(*) AS n_pos
+        |  FROM customer WHERE c_acctbal > 0),
+        |idle AS (
+        |  SELECT * FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= '2000-01-01'))
+        |SELECT c_nationkey, COUNT(*) AS n_custs,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM idle, pos
+        |WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) * n_pos > total_cents
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_asof_views" ->
       """SELECT c.event_id AS click_id, c.user_id, epoch_us(c.ts) AS ts_us,
