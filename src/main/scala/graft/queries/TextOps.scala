@@ -338,10 +338,9 @@ object TextOps {
   private val ChunkTokens = 50
   private val ChunkStride = 40
 
-  private def chunkDocs(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .withColumn("toks", tokensExpr)
-      .withColumn("n", size(col("toks")).cast("long"))
+  /** Chunk rows of (doc_id, toks): one output row per token window. */
+  private def chunksOf(d: DataFrame): DataFrame =
+    d.withColumn("n", size(col("toks")).cast("long"))
       .select(col("doc_id"), col("toks"),
         posexplode(expr(
           s"transform(sequence(0, cast(greatest(n - 1, 0) DIV $ChunkStride as int)), " +
@@ -350,7 +349,45 @@ object TextOps {
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         size(col("chunk")).cast("long").as("n_chunk"),
         md5(array_join(col("chunk"), " ")).as("chunk_hash"))
+
+  private def chunkDocs(s: SparkSession, dir: String): DataFrame =
+    chunksOf(docs(s, dir).withColumn("toks", tokensExpr))
       .orderBy("doc_id", "chunk_idx")
+
+  // -- the composed corpus-prep pipeline ---------------------------------------
+  // What a training-data run actually executes, as ONE dataflow: language
+  // gate (marker argmax == en) → quality gate (bucket ok) → exact dedup
+  // (min doc_id per md5(text)) → chunking. Narrow ops fuse into one scan
+  // stage; the only shuffle is the dedup groupBy — at 100 TB this plan is a
+  // scan + one exchange, which is the point of composing in one DataFrame
+  // instead of materializing each stage.
+  private def corpusPipeline(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).withColumn("toks", tokensExpr)
+    val withCounts = langMarkers.foldLeft(d) { case (df, (lang, markers)) =>
+      val arr = array(markers.map(lit): _*)
+      df.withColumn(s"n_$lang",
+        size(filter(col("toks"), t => array_contains(arr, t))).cast("long"))
+    }
+    val en = withCounts.filter(col("n_en") >= col("n_de") &&
+      col("n_en") >= col("n_fr") && col("n_en") >= col("n_es"))
+    val stopArr = array(stopwords.map(lit): _*)
+    val qual = en
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => array_contains(stopArr, t))).cast("long"))
+      .withColumn("n_punct",
+        (length(col("text")) - length(regexp_replace(lower(col("text")),
+          "[^a-z0-9 ]", ""))).cast("long"))
+      // stricter than the diagnostic d_quality buckets, so the gate prunes
+      // real rows at every SF (sf0.01 corpus: all docs pass the loose cuts)
+      .filter(col("n_tokens") >= 25 &&
+        col("n_stop") * 5 < col("n_tokens") &&
+        col("n_punct") * 5 < col("n_tokens"))
+    val survivors = qual.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    chunksOf(qual.join(survivors.select("doc_id"), Seq("doc_id"), "left_semi"))
+      .orderBy("doc_id", "chunk_idx")
+  }
 
   // -- multimodal plumbing: opaque binary payload + typed metadata ------------
   // The decode itself is stubbed (no codec libs in-container); the Spark-side
@@ -375,6 +412,7 @@ object TextOps {
     "d_fingerprint_roll"  -> (fingerprintRolling _),
     "d_bpe_tokens"        -> (bpeTokens _),
     "d_chunks"            -> (chunkDocs _),
+    "d_corpus_pipeline"   -> (corpusPipeline _),
     "d_quality"           -> (quality _),
     "d_lang_id"           -> (langId _),
     "m_binary_meta"       -> (binaryMeta _)
@@ -536,6 +574,32 @@ object TextOps {
          | len(list_slice(toks, ci * $ChunkStride + 1, ci * $ChunkStride + $ChunkTokens))::BIGINT AS n_chunk,
          | md5(array_to_string(list_slice(toks, ci * $ChunkStride + 1, ci * $ChunkStride + $ChunkTokens), ' ')) AS chunk_hash
          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "d_corpus_pipeline" -> {
+      val counts = langMarkers.map { case (lang, ms) =>
+        val arr = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+        s"len(list_filter(toks, t -> list_contains($arr, t)))::BIGINT AS n_$lang"
+      }.mkString(",\n    ")
+      s"""WITH d AS (SELECT doc_id, text, $tokensSql AS toks FROM documents),
+         |lang AS (SELECT doc_id, text, toks,
+         |    $counts
+         |  FROM d),
+         |en AS (SELECT * FROM lang WHERE n_en >= n_de AND n_en >= n_fr AND n_en >= n_es),
+         |qual AS (SELECT doc_id, text, toks FROM (
+         |    SELECT *, len(toks)::BIGINT AS n_tokens,
+         |      len(list_filter(toks, t -> list_contains($stopSql, t)))::BIGINT AS n_stop,
+         |      (len(text) - len(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::BIGINT AS n_punct
+         |    FROM en)
+         |  WHERE n_tokens >= 25 AND n_stop * 5 < n_tokens AND n_punct * 5 < n_tokens),
+         |surv AS (SELECT min(doc_id) AS doc_id FROM qual GROUP BY md5(text)),
+         |sd AS (SELECT q.doc_id, q.toks FROM qual q JOIN surv s ON q.doc_id = s.doc_id),
+         |c AS (SELECT doc_id, toks,
+         |    unnest(generate_series(0, greatest(len(toks) - 1, 0) // $ChunkStride)) AS ci
+         |  FROM sd)
+         |SELECT doc_id, ci::BIGINT AS chunk_idx,
+         | len(list_slice(toks, ci * $ChunkStride + 1, ci * $ChunkStride + $ChunkTokens))::BIGINT AS n_chunk,
+         | md5(array_to_string(list_slice(toks, ci * $ChunkStride + 1, ci * $ChunkStride + $ChunkTokens), ' ')) AS chunk_hash
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+    },
     "m_binary_meta" ->
       """SELECT doc_id,
         | octet_length(encode(text))::BIGINT AS n_bytes,
