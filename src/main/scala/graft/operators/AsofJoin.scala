@@ -20,7 +20,9 @@ import org.apache.spark.sql.functions._
   *
   * Tie semantics match DuckDB ASOF (`l.ts >= r.ts`, inclusive): a right row
   * at exactly the left timestamp wins, because right rows sort before left
-  * rows at equal ts (side marker 0 < 1).
+  * rows at equal ts (side marker 0 < 1). Multiple right rows sharing the
+  * winning timestamp resolve deterministically to the largest payload
+  * struct (field-by-field comparison).
   */
 object AsofJoin {
 
@@ -46,8 +48,11 @@ object AsofJoin {
     val unioned = taggedRight
       .withColumn("__left", lit(null).cast(taggedLeft.schema("__left").dataType))
       .unionByName(taggedLeft)
+    // __asof as the final sort key makes equal-timestamp right rows resolve
+    // deterministically (largest payload struct wins) instead of by
+    // partition-internal order
     val w = Window.partitionBy(keyCols: _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts"), col("__side"), col("__asof"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = unioned
       .withColumn("__match", last(col("__asof"), ignoreNulls = true).over(w))
