@@ -91,6 +91,39 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  // -- multi-probe LSH: flip the lowest-margin bit ----------------------------
+  // The recall knob named in annLsh's notes, made real: each query probes
+  // its own bucket AND the bucket with its least-confident hyperplane bit
+  // flipped (min |dot|, ties to the lowest anchor id). Candidate set is a
+  // strict superset of annLsh at 2× probe cost — still bucket equi joins,
+  // never the pair space.
+  private def annLshProbe(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+    val anchors = v.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("a_id"), col("e").as("ae"))
+    val dots = v.select(col("vec_id"), col("e").as("qe"))
+      .crossJoin(broadcast(anchors))
+      .withColumn("dot", vecDot(col("qe"), col("ae")))
+    // argmin via struct-min: lexicographic (|dot|, a_id) — deterministic
+    val codes = dots.groupBy("vec_id")
+      .agg(sum(when(col("dot") > 0,
+        expr("shiftleft(1L, cast(a_id as int))")).otherwise(0L)).as("code"),
+        min(struct(abs(col("dot")).as("m"), col("a_id").as("a_id")))
+          .getField("a_id").as("flip_id"))
+    val coded = v.join(codes, Seq("vec_id"))
+    val probes = coded.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"),
+        explode(array(col("code"),
+          expr("code ^ shiftleft(1L, cast(flip_id as int))"))).as("probe"))
+    val cand = coded.join(broadcast(probes), col("code") === col("probe"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("sim_r", round(dotQE / (col("qn") * col("nrm")), 6))
+    top5(cand)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        col("sim_r"))
+      .orderBy("q_id", "rnk")
+  }
+
   // -- one-shot IVF ANN --------------------------------------------------------
   private def annIvf(s: SparkSession, dir: String): DataFrame = {
     val v = vecs(s, dir)
@@ -163,6 +196,7 @@ object Similarity {
   val queries: Map[String, QueryFn] = Map(
     "s_cosine_topk"     -> (cosineTopK _),
     "s_ann_lsh"         -> (annLsh _),
+    "s_ann_lsh_probe"   -> (annLshProbe _),
     "s_ann_ivf"         -> (annIvf _),
     "s_ann_ivf_indexed" -> (annIvfIndexed _),
     "s_dedup_embedding" -> (dedupEmbedding _)
@@ -202,6 +236,33 @@ object Similarity {
          |    row_number() OVER (PARTITION BY q_id ORDER BY sim_r DESC, neighbor_id) AS rnk
          |  FROM cand)
          |SELECT q_id, rnk::BIGINT AS rnk, neighbor_id, sim_r, code FROM r
+         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "s_ann_lsh_probe" ->
+      s"""WITH $vSql,
+         |a AS (SELECT vec_id AS a_id, e AS ae FROM v WHERE vec_id < 8),
+         |dots AS (SELECT v.vec_id, a.a_id, list_dot_product(v.e, a.ae) AS dot FROM v, a),
+         |flips AS (SELECT vec_id, a_id AS flip_id FROM (
+         |    SELECT vec_id, a_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY abs(dot), a_id) AS rn
+         |    FROM dots) WHERE rn = 1),
+         |codes AS (SELECT vec_id,
+         |    sum(CASE WHEN dot > 0 THEN (1::BIGINT << a_id::INT) ELSE 0 END)::BIGINT AS code
+         |  FROM dots GROUP BY 1),
+         |coded AS (SELECT v.vec_id, v.e, v.nrm, c.code
+         |  FROM v JOIN codes c ON v.vec_id = c.vec_id),
+         |probes AS (
+         |  SELECT vec_id AS q_id, e AS qe, nrm AS qn, code AS probe
+         |  FROM coded WHERE vec_id < 10
+         |  UNION ALL
+         |  SELECT c.vec_id, c.e, c.nrm, xor(c.code, 1::BIGINT << f.flip_id::INT)
+         |  FROM coded c JOIN flips f ON c.vec_id = f.vec_id WHERE c.vec_id < 10),
+         |cand AS (SELECT p.q_id, t.vec_id AS neighbor_id,
+         |    round(list_dot_product(p.qe, t.e) / (p.qn * t.nrm), 6) AS sim_r
+         |  FROM probes p JOIN coded t ON t.code = p.probe AND t.vec_id != p.q_id),
+         |r AS (SELECT q_id, neighbor_id, sim_r,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sim_r DESC, neighbor_id) AS rnk
+         |  FROM cand)
+         |SELECT q_id, rnk::BIGINT AS rnk, neighbor_id, sim_r FROM r
          |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "s_dedup_embedding" ->
       s"""WITH $vSql,
