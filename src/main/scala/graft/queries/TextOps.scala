@@ -220,6 +220,16 @@ object TextOps {
       .orderBy("a_id", "b_id")
   }
 
+  // -- dup clusters: transitive closure over MinHash pairs ---------------------
+  // Pairwise verdicts become components (the unit a dedup job actually keeps
+  // or drops): connected components over the verified MinHash pairs,
+  // cluster id = min doc_id of the component.
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ConnectedComponents
+      .clusters(dedupMinHash(s, dir).select("a_id", "b_id"), "a_id", "b_id")
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy("doc_id")
+
   // -- per-doc token statistics ------------------------------------------------
   private def tokenStats(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
@@ -408,6 +418,7 @@ object TextOps {
     "d_dedup_ngram"       -> (dedupNgram _),
     "d_dedup_minhash"     -> (dedupMinHash _),
     "d_dedup_simhash"     -> (dedupSimHash _),
+    "d_dedup_clusters"    -> (dedupClusters _),
     "d_token_stats"       -> (tokenStats _),
     "d_fingerprint_roll"  -> (fingerprintRolling _),
     "d_bpe_tokens"        -> (bpeTokens _),
@@ -417,6 +428,34 @@ object TextOps {
     "d_lang_id"           -> (langId _),
     "m_binary_meta"       -> (binaryMeta _)
   )
+
+  /** Shared CTE chain: word-trigram shingles → MinHash bands → verified
+    * candidate pairs (used by the minhash oracle and the cluster oracle). */
+  private val minhashCtes =
+    """tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (SELECT doc_id,
+      |  list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+      |    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS ss
+      |  FROM tk),
+      |bm AS (SELECT doc_id, ss,
+      |  list_transform(ss, s ->
+      |    ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS hs
+      |  FROM sh),
+      |sig AS (SELECT doc_id, ss,
+      |  list_transform(generate_series(0, 11), i ->
+      |    list_min(list_transform(hs, h -> ((2*i + 3) * h + 17*i + 1) % 2147483647))) AS sg
+      |  FROM bm),
+      |bands AS (SELECT doc_id, b,
+      |  md5(sg[3*b + 1]::VARCHAR || '|' || sg[3*b + 2]::VARCHAR || '|' || sg[3*b + 3]::VARCHAR) AS band_hash
+      |  FROM sig, unnest(generate_series(0, 3)) AS t(b)),
+      |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM bands a JOIN bands b
+      |    ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+      |scored AS (SELECT a_id, b_id,
+      |  len(list_intersect(sa.ss, sb.ss))::BIGINT AS n_common,
+      |  (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)))::BIGINT AS n_union
+      |  FROM cand JOIN sh sa ON cand.a_id = sa.doc_id
+      |            JOIN sh sb ON cand.b_id = sb.doc_id)""".stripMargin
 
   private val shingleSql =
     "list_distinct(list_transform(generate_series(1, greatest(len(text) - 4, 1)), " +
@@ -449,34 +488,26 @@ object TextOps {
          |FROM scored WHERE n_common::DOUBLE / n_union::DOUBLE > 0.5
          |ORDER BY a_id, b_id""".stripMargin,
     "d_dedup_minhash" ->
-      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |sh AS (SELECT doc_id,
-         |  list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
-         |    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS ss
-         |  FROM tk),
-         |bm AS (SELECT doc_id, ss,
-         |  list_transform(ss, s ->
-         |    ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS hs
-         |  FROM sh),
-         |sig AS (SELECT doc_id, ss,
-         |  list_transform(generate_series(0, 11), i ->
-         |    list_min(list_transform(hs, h -> ((2*i + 3) * h + 17*i + 1) % 2147483647))) AS sg
-         |  FROM bm),
-         |bands AS (SELECT doc_id, b,
-         |  md5(sg[3*b + 1]::VARCHAR || '|' || sg[3*b + 2]::VARCHAR || '|' || sg[3*b + 3]::VARCHAR) AS band_hash
-         |  FROM sig, unnest(generate_series(0, 3)) AS t(b)),
-         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM bands a JOIN bands b
-         |    ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
-         |scored AS (SELECT a_id, b_id,
-         |  len(list_intersect(sa.ss, sb.ss))::BIGINT AS n_common,
-         |  (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)))::BIGINT AS n_union
-         |  FROM cand JOIN sh sa ON cand.a_id = sa.doc_id
-         |            JOIN sh sb ON cand.b_id = sb.doc_id)
+      s"""WITH $minhashCtes
          |SELECT a_id, b_id, n_common, n_union,
          |  n_common::DOUBLE / n_union::DOUBLE AS jaccard
          |FROM scored WHERE n_common::DOUBLE / n_union::DOUBLE >= 0.7
          |ORDER BY a_id, b_id""".stripMargin,
+    // transitive closure of the verified pairs via a recursive CTE;
+    // cluster id = least reachable doc_id (incl. self)
+    "d_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |pairs AS (SELECT a_id, b_id FROM scored
+         |  WHERE n_common::DOUBLE / n_union::DOUBLE >= 0.7),
+         |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |reach AS (
+         |  SELECT s AS id, d AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s),
+         |clusters AS (SELECT id, least(id, min(r)) AS cluster_id
+         |  FROM reach GROUP BY id)
+         |SELECT id AS doc_id, cluster_id FROM clusters ORDER BY doc_id""".stripMargin,
     "d_dedup_simhash" ->
       s"""WITH tf AS (
          |  SELECT doc_id, tok, count(*)::BIGINT AS c,
