@@ -30,6 +30,7 @@ object SparkEntry {
     "q_window_top3", "q_window_top3_topk", "q_sessionize", "q_top_parts",
     "q_asof_views", "q_range_windows",
     "d_dedup_minhash", "d_dedup_simhash", "d_token_stats", "d_chunks",
-    "s_cosine_topk", "s_ann_lsh"
+    "d_corpus_pipeline",
+    "s_cosine_topk", "s_ann_lsh", "s_ann_lsh_probe"
   )
 }
