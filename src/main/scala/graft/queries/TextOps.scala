@@ -399,6 +399,35 @@ object TextOps {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  // -- content-defined chunking (CDC) ------------------------------------------
+  // Boundaries where the 8-char rolling hash ≡ 0 (mod 64) instead of fixed
+  // offsets: inserting or deleting text only moves boundaries NEAR the edit,
+  // so unchanged regions keep identical chunk hashes — which is what makes
+  // chunk-level dedup across crawl snapshots work. Expected chunk ≈ 64
+  // chars; production CDC adds min/max guards, elided here to keep the
+  // oracle arithmetic identical. Same Rabin–Karp family as
+  // d_fingerprint_roll; narrow per-row HOFs, no shuffle.
+  private val CdcMask = 64L
+
+  private def chunkCdc(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("cands", expr(
+        s"filter(transform(sequence(1, greatest(length(text) - 7, 1)), " +
+          s"i -> if(aggregate(sequence(i, i + 7), 0L, " +
+          s"(a, j) -> (a * $RollBase + ascii(substring(text, j, 1))) % $RollMod) % $CdcMask = 0, i, -1)), " +
+          "x -> x > 1)"))
+      .withColumn("starts", expr("concat(array(1), cands)"))
+      .select(col("doc_id"), col("text"),
+        posexplode(expr(
+          "transform(starts, (s, j) -> struct(s AS s, " +
+            "if(j = size(starts) - 1, length(text), element_at(starts, j + 2) - 1) AS e))"))
+          .as(Seq("chunk_idx", "se")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("se.s").cast("long").as("start_pos"),
+        (col("se.e") - col("se.s") + 1).cast("long").as("n_chars"),
+        md5(expr("substring(text, se.s, se.e - se.s + 1)")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
   // -- multimodal plumbing: opaque binary payload + typed metadata ------------
   // The decode itself is stubbed (no codec libs in-container); the Spark-side
   // schema/partitioning/hashing over `binary` is real — see
@@ -423,6 +452,7 @@ object TextOps {
     "d_fingerprint_roll"  -> (fingerprintRolling _),
     "d_bpe_tokens"        -> (bpeTokens _),
     "d_chunks"            -> (chunkDocs _),
+    "d_chunks_cdc"        -> (chunkCdc _),
     "d_corpus_pipeline"   -> (corpusPipeline _),
     "d_quality"           -> (quality _),
     "d_lang_id"           -> (langId _),
@@ -605,6 +635,25 @@ object TextOps {
          | len(list_slice(toks, ci * $ChunkStride + 1, ci * $ChunkStride + $ChunkTokens))::BIGINT AS n_chunk,
          | md5(array_to_string(list_slice(toks, ci * $ChunkStride + 1, ci * $ChunkStride + $ChunkTokens), ' ')) AS chunk_hash
          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "d_chunks_cdc" ->
+      s"""WITH d AS (SELECT doc_id, text,
+         |    list_filter(list_transform(generate_series(1, greatest(len(text) - 7, 1)),
+         |      i -> CASE WHEN list_reduce(list_prepend(0::BIGINT,
+         |          list_transform(generate_series(i, i + 7), j -> ascii(substr(text, j::INT, 1))::BIGINT)),
+         |          (a, x) -> (a * $RollBase + x) % $RollMod) % $CdcMask = 0
+         |        THEN i ELSE -1 END), x -> x > 1) AS cands
+         |  FROM documents),
+         |st AS (SELECT doc_id, text, list_concat([1::BIGINT], cands) AS starts FROM d),
+         |c AS (SELECT doc_id, text, starts,
+         |    unnest(generate_series(1, len(starts))) AS j
+         |  FROM st),
+         |se AS (SELECT doc_id, text, (j - 1)::BIGINT AS chunk_idx, starts[j] AS s,
+         |    CASE WHEN j = len(starts) THEN len(text) ELSE starts[j + 1] - 1 END AS e
+         |  FROM c)
+         |SELECT doc_id, chunk_idx, s::BIGINT AS start_pos,
+         | (e - s + 1)::BIGINT AS n_chars,
+         | md5(substr(text, s::INT, (e - s + 1)::INT)) AS chunk_md5
+         |FROM se ORDER BY doc_id, chunk_idx""".stripMargin,
     "d_corpus_pipeline" -> {
       val counts = langMarkers.map { case (lang, ms) =>
         val arr = ms.map(m => s"'$m'").mkString("[", ", ", "]")
