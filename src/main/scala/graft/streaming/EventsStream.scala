@@ -44,6 +44,17 @@ object EventsStream {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Exactly-once-per-id event feed: duplicate deliveries of the same
+    * event_id (at-least-once sources, replayed partitions) are suppressed as
+    * long as they arrive within the watermark. State is one entry per id
+    * seen in the last 10 minutes — bounded by throughput × watermark, freed
+    * by watermark advance, unlike an unbounded dropDuplicates.
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Gap-based sessionization (default 30 min): a session closes when the
     * watermark passes its last event + gap; closed sessions are emitted in
     * Append mode and their state is freed. */

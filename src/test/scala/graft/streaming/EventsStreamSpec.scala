@@ -43,6 +43,30 @@ class EventsStreamSpec extends SparkSpecBase {
     assert(rows.contains((b + 5 * 60L, "view", 1L, 3.0)))
   }
 
+  test("watermarked dedup suppresses replayed event ids across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStream.dedupedEvents(input.toDF())
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append()).start()
+
+    input.addData(
+      Event(1, ts(0), 1, "view", 1.0),
+      Event(1, ts(0), 1, "view", 1.0),   // in-batch duplicate delivery
+      Event(2, ts(1), 2, "view", 2.0))
+    q.processAllAvailable()
+    input.addData(
+      Event(1, ts(2), 1, "view", 1.0),   // cross-batch replay, inside watermark
+      Event(3, ts(3), 1, "purchase", 9.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.table("deduped").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L), ids.mkString(","))
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
