@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed table layout — the co-located-join half of the 100 TB design
+  * notes. Writing both sides of a recurring join bucketed (and sorted) by
+  * the join key lets every subsequent join plan with ZERO exchanges: each
+  * task reads matching buckets from both tables, so the shuffle is paid
+  * once at write time and never again. This is the batch analog of the
+  * StateStore's id-bucketed layout, applied to the relational tables
+  * (lineitem⋈orders being the canonical repeated join).
+  */
+object Bucketing {
+
+  /** Persist `df` as a bucketed+sorted managed table (overwrites). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      nBuckets: Int = 8): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table) // managed: spark.sql.warehouse.dir
+
+  /** True when the physical plan of `df` contains no shuffle exchange —
+    * the property bucketed co-location buys.
+    */
+  def shuffleFree(df: DataFrame): Boolean =
+    !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+
+  /** Join two bucketed tables on their bucket key. */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+      key: String): DataFrame =
+    spark.table(left).join(spark.table(right), key)
+}
