@@ -1,5 +1,8 @@
 package graft.operators
 
+import java.net.URI
+
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Bucketed table layout — the co-located-join half of the 100 TB design
@@ -12,12 +15,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Persist `df` as a bucketed+sorted managed table (overwrites). */
+  /** Persist `df` as a bucketed+sorted managed table (overwrites).
+    *
+    * Idempotent across JVMs: a fresh session's in-memory catalog has no
+    * entry for `table`, but the previous JVM's run may have left the
+    * managed location on disk — `saveAsTable` CTAS then fails with
+    * LOCATION_ALREADY_EXISTS. Drop the catalog entry AND the orphaned
+    * location before writing.
+    */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      nBuckets: Int = 8): Unit =
+      nBuckets: Int = 8): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new Path(new Path(new URI(warehouse)), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(nBuckets, key).sortBy(key)
       .format("parquet").saveAsTable(table) // managed: spark.sql.warehouse.dir
+  }
 
   /** True when the physical plan of `df` contains no shuffle exchange —
     * the property bucketed co-location buys.
