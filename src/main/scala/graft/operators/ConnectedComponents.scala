@@ -14,8 +14,10 @@ import org.apache.spark.storage.StorageLevel
   * large-star/small-star trick would buy that, at far more code), which is
   * the right trade for dedup graphs: near-dup components are dense and
   * shallow, so 2-4 rounds is typical. Each round is one shuffle join + one
-  * aggregate; intermediate labels persist at MEMORY_AND_DISK and the driver
-  * only ever sees a per-round change COUNT, never data.
+  * aggregate; per-round labels are locally checkpointed (lineage cut +
+  * MEMORY_AND_DISK blocks) and the driver only ever sees a per-round
+  * change COUNT, never data. Hitting maxRounds with labels still moving
+  * throws — partial labels would silently split clusters.
   */
 object ConnectedComponents {
 
@@ -29,9 +31,17 @@ object ConnectedComponents {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // Lineage is TRUNCATED every round (eager localCheckpoint → LogicalRDD):
+    // the iterated plan references `labels` twice per round, so without the
+    // cut round N's analyzed tree has 2^N nodes — driver-side planning and
+    // AQE's explain strings blow up exponentially long before the data
+    // does. The checkpoint also materializes each round exactly once (the
+    // `changed` count reads the checkpointed blocks, never recomputes the
+    // join); superseded rounds' blocks are freed by the ContextCleaner once
+    // unreferenced.
     var labels = sym.select(col("s").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var rounds = 0
     var changed = 1L
     while (changed > 0 && rounds < maxRounds) {
@@ -44,16 +54,17 @@ object ConnectedComponents {
         .select(col("id"),
           least(col("label"), coalesce(col("n_min"), col("label"))).as("label"),
           col("label").as("old_label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       changed = next.filter(col("label") =!= col("old_label")).count()
-      val prev = labels
       labels = next.select("id", "label")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      prev.unpersist()
-      next.unpersist()
       rounds += 1
     }
     sym.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected components did not converge after $maxRounds rounds " +
+          s"($changed labels still changing); raise maxRounds — silently " +
+          "returning partial labels would split clusters")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 }

@@ -173,17 +173,26 @@ object Relational {
   }
 
   // -- as-of join: each click gets the latest preceding view per user -------
+  // All time math in epoch µs: DuckDB's parquet reader truncates the ns
+  // timestamps to µs, so comparing raw ns on the Spark side would let a
+  // click and view landing in the same microsecond match in the oracle but
+  // not here. Views are first collapsed to one row per (user, µs) — view_id
+  // = max, view_value = that row's value — so equal-timestamp ties resolve
+  // identically on both engines instead of by ASOF's arbitrary pick.
   private def qAsofViews(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     val clicks = ev.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("ts_ns"))
+      .select(col("event_id").as("click_id"), col("user_id"),
+        expr("ts DIV 1000").as("ts_us"))
     val views = ev.filter(col("event_type") === "view")
-      .select(col("user_id"), col("ts"), col("event_id").as("view_id"),
-        col("value").as("view_value"))
+      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"),
+        col("event_id").as("view_id"), col("value").as("view_value"))
+      .groupBy("user_id", "ts_us")
+      .agg(max("view_id").as("view_id"),
+        expr("max_by(view_value, view_id)").as("view_value"))
     graft.operators.AsofJoin
-      .asof(clicks, views, Seq("user_id"), "ts_ns", "ts", Seq("view_id", "view_value"))
-      // DuckDB's parquet reader truncates ns timestamps to µs, so expose µs
-      .withColumn("ts_us", expr("ts_ns DIV 1000")).drop("ts_ns")
+      .asof(clicks, views, Seq("user_id"), "ts_us", "ts_us",
+        Seq("view_id", "view_value"))
       .orderBy("click_id")
   }
 
@@ -461,11 +470,14 @@ object Relational {
         |WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) * n_pos > total_cents
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_asof_views" ->
-      """SELECT c.event_id AS click_id, c.user_id, epoch_us(c.ts) AS ts_us,
-        | v.event_id AS view_id, v.value AS view_value
-        |FROM (SELECT * FROM events WHERE event_type = 'click') c
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
-        |  ON c.user_id = v.user_id AND c.ts >= v.ts
+      """WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |    MAX(event_id) AS view_id, ARG_MAX(value, event_id) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT c.click_id, c.user_id, c.ts_us, v.view_id, v.view_value
+        |FROM c ASOF LEFT JOIN v
+        |  ON c.user_id = v.user_id AND c.ts_us >= v.ts_us
         |ORDER BY click_id""".stripMargin,
     "q_range_windows" ->
       """WITH w AS (SELECT event_id AS err_id, epoch_us(ts) AS w_start,

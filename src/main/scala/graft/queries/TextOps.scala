@@ -122,10 +122,17 @@ object TextOps {
     // text is re-tokenized once per shingle position
     val toked = docs.select(col("doc_id"), expr("split(text, ' ')").as("toks"))
       .persist()
-    toked.select(col("doc_id"), trigramOfToks.as("ss"))
+    val prep = toked.select(col("doc_id"), trigramOfToks.as("ss"))
       .withColumn("bm", expr(
         "transform(ss, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % 2147483647)"))
       .persist()
+    // materialize the outer cache now so the inner one can be dropped here:
+    // callers only ever see (and unpersist) `prep`, and a long-running
+    // stream calling this per micro-batch must not leak one cached RDD per
+    // batch via an unreachable `toked` handle
+    prep.count()
+    toked.unpersist()
+    prep
   }
 
   /** LSH bands (doc_id, band_idx, band_hash) from a minhashPrep frame:

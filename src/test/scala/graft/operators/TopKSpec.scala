@@ -54,6 +54,40 @@ class TopKSpec extends SparkSpecBase {
     assert(!plan.contains("Sort "), plan)
   }
 
+  test("spill path: results identical under a tiny spill threshold") {
+    // force many heap-map flushes: ~1500 orders / ~1000 keys against a 2 KB
+    // budget → dozens of sorted runs that the k-way merge must recombine
+    spark.conf.set("spark.graft.topk.spillThreshold", "2048")
+    try {
+      val o = spark.read.parquet(s"$sf001/orders.parquet")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+      val viaTopK = TopK.perKey(o, Seq(col("o_custkey")),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+        .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
+        .collect().map(_.toSeq).toSet
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val viaWindow = o.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
+        .collect().map(_.toSeq).toSet
+      assert(viaTopK == viaWindow && viaTopK.nonEmpty)
+    } finally spark.conf.unset("spark.graft.topk.spillThreshold")
+  }
+
+  test("spill path: one row per key (worst-case cardinality) stays exact") {
+    spark.conf.set("spark.graft.topk.spillThreshold", "1024")
+    try {
+      val df = (1L to 5000L).map(i => (i, i * 7 % 97)).toDF("k", "v")
+        .repartition(3, col("k"))
+      val out = TopK.perKey(df, Seq(col("k")), Seq(col("v").asc), 2)
+        .select("k", "v", "rk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val expected = (1L to 5000L).map(i => (i, i * 7 % 97, 1L)).toSet
+      assert(out == expected)
+    } finally spark.conf.unset("spark.graft.topk.spillThreshold")
+  }
+
   test("downstream operators compose over the rank column") {
     val o = spark.read.parquet(s"$sf001/orders.parquet")
     val best = TopK.perKey(o, Seq(col("o_custkey")),

@@ -55,13 +55,11 @@ def main():
                 if x == y:
                     # the driver hashes values, so Decimal(5) vs int(5) still
                     # mismatches there — treat cross-type equality as failure
-                    if type(x) is not type(y) and not (
-                            isinstance(x, (int, float)) and isinstance(y, (int, float))
-                            and type(x) is type(y)):
-                        if type(x).__name__ != type(y).__name__:
-                            bad = (i, spark_cols[j], x, y,
-                                   f"TYPE {type(x).__name__} vs {type(y).__name__}")
-                            break
+                    # (bool/int included: arrow never legitimately mixes them)
+                    if type(x) is not type(y):
+                        bad = (i, spark_cols[j], x, y,
+                               f"TYPE {type(x).__name__} vs {type(y).__name__}")
+                        break
                     continue
                 if isinstance(x, float) and isinstance(y, float):
                     if x != y:
