@@ -411,10 +411,17 @@ object TextOps {
   // offsets: inserting or deleting text only moves boundaries NEAR the edit,
   // so unchanged regions keep identical chunk hashes — which is what makes
   // chunk-level dedup across crawl snapshots work. Expected chunk ≈ 64
-  // chars; production CDC adds min/max guards, elided here to keep the
-  // oracle arithmetic identical. Same Rabin–Karp family as
-  // d_fingerprint_roll; narrow per-row HOFs, no shuffle.
+  // chars, bounded by FastCDC-style guards: candidate cuts closer than
+  // CdcMinLen to the last boundary are suppressed, and any gap over
+  // CdcMaxLen is closed by forced cuts every CdcMaxLen chars — a
+  // pathological boundary-free input (one repeated character never hits
+  // the mask) now yields maxLen-bounded chunks instead of one giant one.
+  // Same Rabin–Karp family as d_fingerprint_roll; narrow per-row HOFs, no
+  // shuffle. The guard fold here and the oracle's recursive CTE are two
+  // independent spellings of the same sequential rule.
   private val CdcMask = 64L
+  private val CdcMinLen = 32
+  private val CdcMaxLen = 128
 
   private def chunkCdc(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
@@ -423,7 +430,25 @@ object TextOps {
           s"i -> if(aggregate(sequence(i, i + 7), 0L, " +
           s"(a, j) -> (a * $RollBase + ascii(substring(text, j, 1))) % $RollMod) % $CdcMask = 0, i, -1)), " +
           "x -> x > 1)"))
-      .withColumn("starts", expr("concat(array(1), cands)"))
+      // left fold over ascending candidates: `element_at(acc, -1)` is the
+      // last boundary BEFORE this step, so the forced-cut count nf and the
+      // acceptance test (gap from last+nf*CdcMaxLen at least CdcMinLen)
+      // both read consistent state within one lambda evaluation
+      .withColumn("starts0", expr(
+        s"""aggregate(cands, array(1), (acc, c) -> concat(acc,
+           |  if(c - element_at(acc, -1) - 1 >= $CdcMaxLen,
+           |    transform(sequence(1, cast((c - element_at(acc, -1) - 1) div $CdcMaxLen as int)),
+           |      f -> element_at(acc, -1) + f * $CdcMaxLen),
+           |    array()),
+           |  if(c - (element_at(acc, -1) + cast((c - element_at(acc, -1) - 1) div $CdcMaxLen as int) * $CdcMaxLen) >= $CdcMinLen,
+           |    array(c), array())))""".stripMargin.replace("\n", " ")))
+      // trailing forced cuts: the final chunk may not exceed CdcMaxLen either
+      .withColumn("starts", expr(
+        s"""concat(starts0,
+           |  if(length(text) - element_at(starts0, -1) >= $CdcMaxLen,
+           |    transform(sequence(1, cast((length(text) - element_at(starts0, -1)) div $CdcMaxLen as int)),
+           |      f -> element_at(starts0, -1) + f * $CdcMaxLen),
+           |    array()))""".stripMargin.replace("\n", " ")))
       .select(col("doc_id"), col("text"),
         posexplode(expr(
           "transform(starts, (s, j) -> struct(s AS s, " +
@@ -643,17 +668,28 @@ object TextOps {
          | md5(array_to_string(list_slice(toks, ci * $ChunkStride + 1, ci * $ChunkStride + $ChunkTokens), ' ')) AS chunk_hash
          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "d_chunks_cdc" ->
-      s"""WITH d AS (SELECT doc_id, text,
+      s"""WITH RECURSIVE d AS (SELECT doc_id, text,
          |    list_filter(list_transform(generate_series(1, greatest(len(text) - 7, 1)),
          |      i -> CASE WHEN list_reduce(list_prepend(0::BIGINT,
          |          list_transform(generate_series(i, i + 7), j -> ascii(substr(text, j::INT, 1))::BIGINT)),
          |          (a, x) -> (a * $RollBase + x) % $RollMod) % $CdcMask = 0
          |        THEN i ELSE -1 END), x -> x > 1) AS cands
          |  FROM documents),
-         |st AS (SELECT doc_id, text, list_concat([1::BIGINT], cands) AS starts FROM d),
-         |c AS (SELECT doc_id, text, starts,
-         |    unnest(generate_series(1, len(starts))) AS j
-         |  FROM st),
+         |b AS (
+         |  SELECT doc_id, 1::BIGINT AS pos FROM d
+         |  UNION ALL
+         |  SELECT doc_id, np AS pos FROM (
+         |    SELECT b.doc_id,
+         |      least(
+         |        list_min(list_filter(d.cands,
+         |          x -> x >= b.pos + $CdcMinLen AND x <= b.pos + $CdcMaxLen)),
+         |        CASE WHEN len(d.text) - b.pos + 1 > $CdcMaxLen
+         |          THEN b.pos + $CdcMaxLen END) AS np
+         |    FROM b JOIN d USING (doc_id)) t WHERE np IS NOT NULL),
+         |st AS (SELECT doc_id, list_sort(list(pos)) AS starts FROM b GROUP BY doc_id),
+         |c AS (SELECT st.doc_id, d.text, st.starts,
+         |    unnest(generate_series(1, len(st.starts))) AS j
+         |  FROM st JOIN d USING (doc_id)),
          |se AS (SELECT doc_id, text, (j - 1)::BIGINT AS chunk_idx, starts[j] AS s,
          |    CASE WHEN j = len(starts) THEN len(text) ELSE starts[j + 1] - 1 END AS e
          |  FROM c)

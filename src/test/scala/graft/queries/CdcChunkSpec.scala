@@ -38,6 +38,33 @@ class CdcChunkSpec extends SparkSpecBase {
     assert(hashes(1L).last != hashes(2L).last)
   }
 
+  test("boundary-free text is cut every CdcMaxLen chars; all chunks bounded") {
+    // 'a' repeated never satisfies hash % 64 == 0 (residue 7), so without
+    // the max guard this would be one 500-char chunk
+    val dir = Files.createTempDirectory("cdc3").toString
+    Seq((9L, "a" * 500)).toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.SparkEntry.queries("d_chunks_cdc")(spark, dir)
+      .collect().sortBy(_.getAs[Long]("chunk_idx"))
+    assert(rows.map(_.getAs[Long]("start_pos")).toSeq == Seq(1L, 129L, 257L, 385L))
+    assert(rows.map(_.getAs[Long]("n_chars")).toSeq == Seq(128L, 128L, 128L, 116L))
+  }
+
+  test("no chunk is shorter than CdcMinLen except a document's last") {
+    val docs = (1L to 6L).map(i =>
+      i -> (1 to 150).map(j => s"v${(i * 7 + j * 53) % 97}").mkString(" "))
+    val dir = Files.createTempDirectory("cdc4").toString
+    docs.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val byDoc = graft.SparkEntry.queries("d_chunks_cdc")(spark, dir)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+    byDoc.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("chunk_idx")).map(_.getAs[Long]("n_chars"))
+      assert(sorted.forall(_ <= 128L), sorted.mkString(","))
+      assert(sorted.dropRight(1).forall(_ >= 32L), sorted.mkString(","))
+    }
+  }
+
   test("chunks tile the document exactly") {
     val text = (1 to 120).map(i => s"t${i * 53 % 97}").mkString(" ")
     val dir = Files.createTempDirectory("cdc2").toString
