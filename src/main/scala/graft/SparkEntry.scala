@@ -31,6 +31,6 @@ object SparkEntry {
     "q_asof_views", "q_range_windows",
     "d_dedup_minhash", "d_dedup_simhash", "d_token_stats", "d_chunks",
     "d_corpus_pipeline",
-    "s_cosine_topk", "s_ann_lsh", "s_ann_lsh_probe"
+    "s_cosine_topk", "s_ann_lsh", "s_ann_lsh_probe", "s_ann_ivf_kmeans"
   )
 }

@@ -12,10 +12,10 @@ import org.apache.spark.sql.functions._
   * scan that reads nProbe/nCells of the data — Spark's directory-level
   * pruning does the skipping, no custom source needed.
   *
-  * Centroids are the data-derived ones of the query tier (lowest `nCells`
-  * vec_ids) so index-backed search returns byte-identical results to the
-  * on-the-fly `s_ann_ivf` plan; swap `centroidsOf` for k-means output when
-  * quality matters more than determinism.
+  * Default centroids are the data-derived ones of the query tier (lowest
+  * `nCells` vec_ids) so index-backed search returns byte-identical results
+  * to the on-the-fly `s_ann_ivf` plan; pass `kmeansCentroids` output to
+  * `build` for Lloyd-refined cells (`s_ann_ivf_kmeans` gates that path).
   */
 object IvfIndex {
 
@@ -35,6 +35,41 @@ object IvfIndex {
     withNorm(corpus, "embedding").filter(col("vec_id") < nCells)
       .select(col("vec_id").as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
 
+  /** Lloyd-refined centroids, seeded from `centroidsOf` (deterministic).
+    * Each round assigns every vector to its nearest cell (rounded cosine,
+    * ties to the lowest cell id) and recomputes each cell's centroid as the
+    * component-wise mean. The mean is spelled as a sequential fold in
+    * vec_id order so the float sum is bit-identical to the DuckDB oracle's
+    * `list_reduce(list(v ORDER BY vec_id))`; at fleet scale you'd swap it
+    * for a hash-partial `avg` and accept last-ulp drift. Components are
+    * quantized back to float each round (what a written index stores), and
+    * a cell that loses every member keeps its previous centroid.
+    * Assignment is a broadcast cross join (centroids are tiny); the update
+    * is one (cell, pos) shuffle of n×dim skinny rows with map-side
+    * combine — both shapes survive a 100× corpus.
+    */
+  def kmeansCentroids(corpus: DataFrame, nCells: Int = 16, iters: Int = 2): DataFrame = {
+    val v = withNorm(corpus, "embedding").select(col("vec_id"), col("e"), col("nrm"))
+    var cents = centroidsOf(corpus, nCells)
+    for (_ <- 1 to iters) {
+      val assigned = nearestCells(v, cents, 1)
+      val comp = assigned
+        .select(col("c_id"), col("vec_id"), posexplode(col("e")).as(Seq("pos", "vv")))
+        .groupBy("c_id", "pos")
+        .agg(expr("aggregate(array_sort(collect_list(struct(vec_id, vv))), " +
+          "cast(0 as double), (a, x) -> a + x.vv) / count(1)").as("cv"))
+      val fresh = comp.groupBy("c_id")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), " +
+          "x -> cast(x.cv as float))").as("ce_new"))
+      cents = cents.select(col("c_id"), col("ce").as("ce_old"))
+        .join(fresh, Seq("c_id"), "left")
+        .withColumn("ce", coalesce(col("ce_new"), col("ce_old")))
+        .withColumn("cn", vecNorm(col("ce")))
+        .select(col("c_id"), col("ce"), col("cn"))
+    }
+    cents
+  }
+
   private val centroidSim =
     round(vecDot(col("e"), col("ce")) / (col("nrm") * col("cn")), 6)
 
@@ -52,8 +87,8 @@ object IvfIndex {
     * search path never touches the raw embeddings table.
     */
   def build(spark: SparkSession, corpus: DataFrame, indexDir: String,
-      nCells: Int = 16): Unit = {
-    val cents = centroidsOf(corpus, nCells)
+      nCells: Int = 16, centroids: Option[DataFrame] = None): Unit = {
+    val cents = centroids.getOrElse(centroidsOf(corpus, nCells))
     nearestCells(withNorm(corpus, "embedding").select("vec_id", "e", "nrm"),
         cents, 1)
       .withColumnRenamed("c_id", "cell").drop("crk")

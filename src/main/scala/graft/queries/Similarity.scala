@@ -193,12 +193,29 @@ object Similarity {
       t(s, dir, "embeddings").filter(col("vec_id") < 10))
   }
 
+  // -- IVF with Lloyd-refined (k-means) centroids ------------------------------
+  // Same written-index path as annIvfIndexed, but the centroids are 2 Lloyd
+  // rounds from the lowest-id seeds (operators.IvfIndex.kmeansCentroids):
+  // centroids move to the mean of their members, so cells follow the data
+  // distribution instead of whatever the first 16 vectors happened to be —
+  // the recall-quality half of the IVF story. Oracle-gated against a fully
+  // unrolled k-means in DuckDB (bit-exact: vec_id-ordered sequential float
+  // sums, float-quantized centroids each round).
+  private def annIvfKmeans(s: SparkSession, dir: String): DataFrame = {
+    val idx = java.nio.file.Files.createTempDirectory("ivf-kmeans").toString + "/idx"
+    val corpus = t(s, dir, "embeddings")
+    val cents = graft.operators.IvfIndex.kmeansCentroids(corpus, 16, 2)
+    graft.operators.IvfIndex.build(s, corpus, idx, centroids = Some(cents))
+    graft.operators.IvfIndex.search(s, idx, corpus.filter(col("vec_id") < 10))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "s_cosine_topk"     -> (cosineTopK _),
     "s_ann_lsh"         -> (annLsh _),
     "s_ann_lsh_probe"   -> (annLshProbe _),
     "s_ann_ivf"         -> (annIvf _),
     "s_ann_ivf_indexed" -> (annIvfIndexed _),
+    "s_ann_ivf_kmeans"  -> (annIvfKmeans _),
     "s_dedup_embedding" -> (dedupEmbedding _)
   )
 
@@ -206,6 +223,27 @@ object Similarity {
     """v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       |  FROM embeddings)""".stripMargin
+
+  /** One unrolled Lloyd round: assign to nearest `prev` centroid (rounded
+    * cosine, ties to lowest cell id), recompute each cell's component-wise
+    * mean as a vec_id-ordered sequential fold (bit-identical to the Spark
+    * fold), quantize to float, keep the previous centroid for empty cells.
+    */
+  private def kmeansIterSql(i: Int, prev: String): String =
+    s"""a$i AS (SELECT vec_id, cell FROM (
+       |    SELECT v.vec_id, c.c_id AS cell,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY round(list_dot_product(v.e, c.ce) / (v.nrm * c.cn), 6) DESC, c.c_id) AS rn
+       |    FROM v, $prev c) WHERE rn = 1),
+       |x$i AS (SELECT a$i.cell, v.vec_id, t.i, v.e[t.i] AS vv
+       |  FROM a$i JOIN v USING (vec_id), generate_series(1, 64) AS t(i)),
+       |m$i AS (SELECT cell, i,
+       |    list_reduce(list_prepend(0.0, list(vv ORDER BY vec_id)), (a, b) -> a + b) / count(*) AS cv
+       |  FROM x$i GROUP BY cell, i),
+       |n$i AS (SELECT cell AS c_id, list(cv::FLOAT ORDER BY i)::DOUBLE[] AS ce FROM m$i GROUP BY cell),
+       |c$i AS (SELECT p.c_id, coalesce(n$i.ce, p.ce) AS ce,
+       |    sqrt(list_dot_product(coalesce(n$i.ce, p.ce), coalesce(n$i.ce, p.ce))) AS cn
+       |  FROM $prev p LEFT JOIN n$i USING (c_id))""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "s_cosine_topk" ->
@@ -286,6 +324,28 @@ object Similarity {
          |sims AS (SELECT v.vec_id, v.e, v.nrm, c.c_id,
          |    round(list_dot_product(v.e, c.ce) / (v.nrm * c.cn), 6) AS csim
          |  FROM v, c),
+         |ranked AS (SELECT vec_id, e, nrm, c_id AS cell, csim,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS crk
+         |  FROM sims),
+         |cells AS (SELECT vec_id, e, nrm, cell FROM ranked WHERE crk = 1),
+         |probes AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn, cell
+         |  FROM ranked WHERE crk <= 2 AND vec_id < 10),
+         |cand AS (SELECT p.q_id, cl.vec_id AS neighbor_id, p.cell,
+         |    round(list_dot_product(p.qe, cl.e) / (p.qn * cl.nrm), 6) AS sim_r
+         |  FROM probes p JOIN cells cl ON p.cell = cl.cell AND p.q_id != cl.vec_id),
+         |r AS (SELECT q_id, neighbor_id, sim_r, cell,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sim_r DESC, neighbor_id) AS rnk
+         |  FROM cand)
+         |SELECT q_id, rnk::BIGINT AS rnk, neighbor_id, sim_r, cell FROM r
+         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "s_ann_ivf_kmeans" ->
+      s"""WITH $vSql,
+         |c0 AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM v WHERE vec_id < 16),
+         |${kmeansIterSql(1, "c0")},
+         |${kmeansIterSql(2, "c1")},
+         |sims AS (SELECT v.vec_id, v.e, v.nrm, c.c_id,
+         |    round(list_dot_product(v.e, c.ce) / (v.nrm * c.cn), 6) AS csim
+         |  FROM v, c2 c),
          |ranked AS (SELECT vec_id, e, nrm, c_id AS cell, csim,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS crk
          |  FROM sims),

@@ -34,6 +34,64 @@ class IvfIndexSpec extends SparkSpecBase {
     viaIndex.zip(onTheFly).foreach { case (a, b) => assert(a == b) }
   }
 
+  private def recallAt5(name: String): Double = {
+    val truth = graft.SparkEntry.queries("s_cosine_topk")(spark, sf01)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = graft.SparkEntry.queries(name)(spark, sf01)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (truth & got).size.toDouble / truth.size
+  }
+
+  /** Spherical k-means objective: mean cosine of each indexed vector to its
+    * assigned centroid — the quantity Lloyd iterations provably improve.
+    */
+  private def objective(cents: Option[org.apache.spark.sql.DataFrame]): Double = {
+    val corpus = spark.read.parquet(s"$sf01/embeddings.parquet")
+    val d = Files.createTempDirectory("ivf-obj").toString + "/idx"
+    IvfIndex.build(spark, corpus, d, centroids = cents)
+    val cdf = spark.read.parquet(s"$d.centroids")
+    spark.read.parquet(d).withColumn("cell", col("cell").cast("long"))
+      .join(cdf, col("cell") === col("c_id"))
+      .select(avg(graft.functions.VectorFunctions.vecDot(col("e"), col("ce"))
+        / (col("nrm") * col("cn"))))
+      .head().getDouble(0)
+  }
+
+  test("Lloyd rounds improve the spherical quantization objective") {
+    // The synthetic corpus is isotropic (within-label mean cos 0.0016 vs
+    // cross-label 0.0003 at sf0.01), so recall@5 across centroid schemes is
+    // sampling noise — the guaranteed k-means win is the quantization
+    // objective, which must improve over the lowest-id seeds and not
+    // degrade with more rounds. Measured here: 0.246 (seeds) → 0.309
+    // (1 round) → 0.323 (2 rounds).
+    val corpus = spark.read.parquet(s"$sf01/embeddings.parquet")
+    val seed = objective(None)
+    val one = objective(Some(IvfIndex.kmeansCentroids(corpus, 16, 1)))
+    val two = objective(Some(IvfIndex.kmeansCentroids(corpus, 16, 2)))
+    info(f"objective seeds=$seed%.4f iter1=$one%.4f iter2=$two%.4f")
+    assert(one > seed && two >= one,
+      f"objective not improving: $seed%.4f -> $one%.4f -> $two%.4f")
+  }
+
+  test("k-means cells keep recall in the working range") {
+    val base = recallAt5("s_ann_ivf_indexed")
+    val km = recallAt5("s_ann_ivf_kmeans")
+    info(f"recall@5 lowest-id=$base%.3f kmeans=$km%.3f")
+    // same probe budget (2 of 16 cells, near-equal cell sizes); on
+    // isotropic data both sit in the 0.8-0.95 band
+    assert(km >= 0.7, f"kmeans recall $km%.3f below working floor")
+  }
+
+  test("kmeansCentroids is deterministic across runs") {
+    val corpus = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val a = IvfIndex.kmeansCentroids(corpus, 8, 2).orderBy("c_id").collect()
+    val b = IvfIndex.kmeansCentroids(corpus, 8, 2).orderBy("c_id").collect()
+    assert(a.length == 8)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
+
   test("probes prune to partition directories") {
     val queries = spark.read.parquet(s"$sf001/embeddings.parquet")
       .filter(col("vec_id") < 2)
