@@ -180,6 +180,17 @@ object Relational {
   // = max, view_value = that row's value — so equal-timestamp ties resolve
   // identically on both engines instead of by ASOF's arbitrary pick.
   private def qAsofViews(s: SparkSession, dir: String): DataFrame = {
+    val (clicks, views) = clickView(s, dir)
+    graft.operators.AsofJoin
+      .asof(clicks, views, Seq("user_id"), "ts_us", "ts_us",
+        Seq("view_id", "view_value"))
+      .orderBy("click_id")
+  }
+
+  /** Shared click/view frames for the three as-of directions (µs-collapsed
+    * views: see qAsofViews header).
+    */
+  private def clickView(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val ev = t(s, dir, "events")
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
@@ -190,9 +201,24 @@ object Relational {
       .groupBy("user_id", "ts_us")
       .agg(max("view_id").as("view_id"),
         expr("max_by(view_value, view_id)").as("view_value"))
+    (clicks, views)
+  }
+
+  // -- forward as-of: each click gets the earliest following view -----------
+  private def qAsofForward(s: SparkSession, dir: String): DataFrame = {
+    val (clicks, views) = clickView(s, dir)
     graft.operators.AsofJoin
       .asof(clicks, views, Seq("user_id"), "ts_us", "ts_us",
-        Seq("view_id", "view_value"))
+        Seq("view_id", "view_value"), graft.operators.AsofJoin.Forward)
+      .orderBy("click_id")
+  }
+
+  // -- nearest as-of: closer of the preceding/following view, ties backward --
+  private def qAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val (clicks, views) = clickView(s, dir)
+    graft.operators.AsofJoin
+      .asof(clicks, views, Seq("user_id"), "ts_us", "ts_us",
+        Seq("view_id", "view_value"), graft.operators.AsofJoin.Nearest)
       .orderBy("click_id")
   }
 
@@ -351,6 +377,8 @@ object Relational {
     "q_window_top3_topk"    -> (qWindowTop3TopK _),
     "q_sessionize"          -> (qSessionize _),
     "q_asof_views"          -> (qAsofViews _),
+    "q_asof_forward"        -> (qAsofForward _),
+    "q_asof_nearest"        -> (qAsofNearest _),
     "q13_order_distribution" -> (q13OrderDistribution _),
     "q22_idle_balance"      -> (q22IdleBalance _),
     "q_range_windows"       -> (qRangeWindows _),
@@ -478,6 +506,41 @@ object Relational {
         |SELECT c.click_id, c.user_id, c.ts_us, v.view_id, v.view_value
         |FROM c ASOF LEFT JOIN v
         |  ON c.user_id = v.user_id AND c.ts_us >= v.ts_us
+        |ORDER BY click_id""".stripMargin,
+    "q_asof_forward" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |    MAX(event_id) AS view_id, ARG_MAX(value, event_id) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT c.click_id, c.user_id, c.ts_us, v.view_id, v.view_value
+        |FROM c ASOF LEFT JOIN v
+        |  ON c.user_id = v.user_id AND c.ts_us <= v.ts_us
+        |ORDER BY click_id""".stripMargin,
+    "q_asof_nearest" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |    MAX(event_id) AS view_id, ARG_MAX(value, event_id) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |b AS (SELECT c.click_id, c.user_id, c.ts_us,
+        |    v.ts_us AS b_ts, v.view_id AS b_id, v.view_value AS b_val
+        |  FROM c ASOF LEFT JOIN v
+        |    ON c.user_id = v.user_id AND c.ts_us >= v.ts_us),
+        |f AS (SELECT c.click_id,
+        |    v.ts_us AS f_ts, v.view_id AS f_id, v.view_value AS f_val
+        |  FROM c ASOF LEFT JOIN v
+        |    ON c.user_id = v.user_id AND c.ts_us <= v.ts_us)
+        |SELECT b.click_id, b.user_id, b.ts_us,
+        |  CASE WHEN f_ts IS NULL THEN b_id
+        |       WHEN b_ts IS NULL THEN f_id
+        |       WHEN b.ts_us - b_ts <= f_ts - b.ts_us THEN b_id ELSE f_id
+        |  END AS view_id,
+        |  CASE WHEN f_ts IS NULL THEN b_val
+        |       WHEN b_ts IS NULL THEN f_val
+        |       WHEN b.ts_us - b_ts <= f_ts - b.ts_us THEN b_val ELSE f_val
+        |  END AS view_value
+        |FROM b JOIN f USING (click_id)
         |ORDER BY click_id""".stripMargin,
     "q_range_windows" ->
       """WITH w AS (SELECT event_id AS err_id, epoch_us(ts) AS w_start,
