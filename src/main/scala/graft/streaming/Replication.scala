@@ -85,6 +85,75 @@ object Replication {
     seq - 1
   }
 
+  /** Exponential doubling backoff (reference update/cmd.go:386-411): starts
+    * at `minMs`, doubles per wait, capped at `maxMs`. `sleep` is injectable
+    * so specs can count waits instead of waiting.
+    */
+  final class ExpBackoff(minMs: Long, maxMs: Long,
+      sleep: Long => Unit = Thread.sleep) {
+    private var current = minMs
+    def waitOnce(): Unit = { sleep(current); current = math.min(current * 2, maxMs) }
+    def reset(): Unit = current = minMs
+  }
+
+  /** HTTP transport for the fetch seam (reference update/cmd.go:60 http.Get;
+    * backoff ladder of update/cmd.go:273, 386-411). Semantics:
+    *
+    *  - 200: stream the body to `target` via a same-directory temp file +
+    *    atomic rename, so a crash mid-download never leaves a torn diff for
+    *    the streaming source to pick up;
+    *  - 404/410: the sequence is not published yet — `false`, no retry
+    *    (this is [[fetchAvailable]]'s normal stop signal, not an error);
+    *  - 5xx and connect/read timeouts: transient — retry up to `retries`
+    *    with doubling backoff;
+    *  - any other status: permanent — fail fast.
+    */
+  def httpFetch(retries: Int = 5, minBackoffMs: Long = 2000,
+      maxBackoffMs: Long = 300000, sleep: Long => Unit = Thread.sleep)
+      (url: String, target: String): Boolean = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val backoff = new ExpBackoff(minBackoffMs, maxBackoffMs, sleep)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try {
+        val conn = java.net.URI.create(url).toURL.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        conn.setConnectTimeout(30000)
+        conn.setReadTimeout(60000)
+        conn.setRequestProperty("User-Agent", "graft-replication")
+        conn.getResponseCode match {
+          case 200 =>
+            val dst = Paths.get(target)
+            if (dst.getParent != null) Files.createDirectories(dst.getParent)
+            val tmp = Paths.get(target + ".part")
+            val in = conn.getInputStream
+            try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
+            finally in.close()
+            Files.move(tmp, dst, StandardCopyOption.REPLACE_EXISTING,
+              StandardCopyOption.ATOMIC_MOVE)
+            return true
+          case 404 | 410 =>
+            return false
+          case code if code >= 500 =>
+            if (attempt > retries)
+              throw new java.io.IOException(
+                s"HTTP $code for $url after $attempt attempts")
+            backoff.waitOnce()
+          case code =>
+            throw new java.io.IOException(s"HTTP $code for $url")
+        }
+      } catch {
+        case e @ (_: java.net.ConnectException | _: java.net.SocketTimeoutException) =>
+          if (attempt > retries)
+            throw new java.io.IOException(
+              s"$url unreachable after $attempt attempts", e)
+          backoff.waitOnce()
+      }
+    }
+    false // unreachable
+  }
+
   /** Default fetch: copy `url` → local `target` through Hadoop FS (handles
     * file://, hdfs://, s3a:// — whatever the classpath mounts). */
   def hadoopFetch(spark: SparkSession)(url: String, target: String): Boolean = {
