@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -12,9 +12,11 @@ import graft.queries.TextOps
   * `d_dedup_minhash`, for pipelines where documents arrive continuously and
   * each new document must be checked against everything already accepted.
   *
-  * State (parquet under `stateDir`) is the accepted-corpus index:
-  *   bands/    (doc_id, band_idx, band_hash) — MinHash LSH bands
-  *   shingles/ (doc_id, ss)                  — trigram sets for exact verify
+  * State is one [[StateStore]] under `stateDir` holding three versioned
+  * tables — the accepted-corpus index plus the output:
+  *   bands/v<N>/     (doc_id, band_idx, band_hash) — MinHash LSH bands
+  *   shingles/v<N>/  (doc_id, ss)                  — trigram sets, exact verify
+  *   decisions/v<N>/ (doc_id, dup_of, jaccard, batch_id)
   *
   * Per micro-batch (foreachBatch):
   *   1. band/shingle the new documents (same 12-hash/4-band family as the
@@ -23,28 +25,29 @@ import graft.queries.TextOps
   *      the shuffle key is the band hash, never the pair space;
   *   3. verify candidates with exact trigram Jaccard ≥ threshold, keep each
   *      new doc's best match (highest jaccard, ties to the lowest id);
-  *   4. append decisions to `outDir`; append ONLY survivors (non-dups) to
-  *      the state index, so state size tracks the unique corpus.
+  *   4. write decisions and the survivor (non-dup) slices of the index at
+  *      version `batchId`, then commit the store pointer.
   *
-  * Scale: state is partitioned parquet joined on high-cardinality band
-  * hashes — the same shape the batch dedup shuffles on; at fleet scale the
-  * band table would live id-bucketed (StateStore-style) so the per-batch
-  * join prunes buckets. Replay: parquet append is not transactional, so an
-  * exactly-once deployment puts state+output on a Delta/Iceberg-style sink
-  * keyed by `batch_id` (recorded in every row here for that purpose).
+  * Exactly-once across crashes, with no lakehouse dependency: foreachBatch
+  * re-delivers a failed batch under the SAME batchId, every version-dir
+  * write is an idempotent overwrite, and readers go through the committed
+  * pointer — so a crash anywhere before `commit` replays the whole batch
+  * into the same v<batchId> dirs (torn dirs are overwritten, never read),
+  * and a crash after `commit` makes the replay a no-op (`batchId <=
+  * currentSeq`). This is the StateStore version of what a Delta/Iceberg
+  * `txnAppId`/`txnVersion` write gives you on a managed lakehouse.
+  *
+  * Scale: reads union the per-batch version dirs — at fleet scale a
+  * compaction pass folds them into the bucketed layout periodically
+  * (StateStore.writeBucketed + vacuum), keeping the per-batch join pruned
+  * on high-cardinality band hashes, the same shape the batch dedup
+  * shuffles on.
   */
 object StreamingDedup {
 
   val docSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("text", StringType)))
-
-  private def readOrEmpty(spark: SparkSession, dir: String,
-      schema: StructType): DataFrame =
-    if (new java.io.File(dir).isDirectory)
-      spark.read.schema(schema).parquet(dir)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
   private val bandsSchema = StructType(Seq(
     StructField("doc_id", LongType),
@@ -55,19 +58,58 @@ object StreamingDedup {
     StructField("doc_id", LongType),
     StructField("ss", ArrayType(StringType))))
 
-  /** Process one batch of (doc_id, text): emit dup decisions, fold
-    * survivors into the state index. Exposed for testing; `run` wires it
-    * into foreachBatch.
+  private val decisionsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("dup_of", LongType),
+    StructField("jaccard", DoubleType),
+    StructField("batch_id", LongType)))
+
+  /** Union of a table's committed versions (0..upTo); empty frame when none
+    * exist yet. Version dirs past the committed pointer are torn writes
+    * from a crashed batch and are deliberately invisible here.
     */
-  def applyBatch(batch: DataFrame, stateDir: String, outDir: String,
-      batchId: Long, threshold: Double = 0.7): Unit = {
+  private def committedTable(spark: SparkSession, store: StateStore,
+      name: String, upTo: Long, schema: StructType): DataFrame = {
+    val paths = (0L to upTo)
+      .map(store.tablePath(name, _))
+      .filter(p => new java.io.File(
+        new java.net.URI(p).getSchemeSpecificPart).isDirectory)
+    if (upTo < 0 || paths.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(paths: _*)
+  }
+
+  /** All committed dup decisions. */
+  def decisions(spark: SparkSession, stateDir: String): DataFrame = {
+    val store = new StateStore(spark, stateDir)
+    committedTable(spark, store, "decisions", store.currentSeq, decisionsSchema)
+  }
+
+  /** The accepted (survivor) corpus index — shingle sets per document. */
+  def acceptedShingles(spark: SparkSession, stateDir: String): DataFrame = {
+    val store = new StateStore(spark, stateDir)
+    committedTable(spark, store, "shingles", store.currentSeq, setsSchema)
+  }
+
+  /** Process one batch of (doc_id, text): emit dup decisions, fold
+    * survivors into the state index, commit. Exposed for testing; `run`
+    * wires it into foreachBatch. Re-invoking with an already-committed
+    * batchId is a no-op (crash-after-commit replay).
+    */
+  def applyBatch(batch: DataFrame, stateDir: String, batchId: Long,
+      threshold: Double = 0.7): Unit = {
     val spark = batch.sparkSession
+    val store = new StateStore(spark, stateDir)
+    val committed = store.currentSeq
+    if (batchId <= committed) return
+
     val prep = TextOps.minhashPrep(batch.select("doc_id", "text"))
     val bands = TextOps.minhashBandsOf(prep)
     val sets = prep.select(col("doc_id"), col("ss"))
 
-    val stBands = readOrEmpty(spark, s"$stateDir/bands", bandsSchema)
-    val stSets = readOrEmpty(spark, s"$stateDir/shingles", setsSchema)
+    val stBands = committedTable(spark, store, "bands", committed, bandsSchema)
+    val stSets = committedTable(spark, store, "shingles", committed, setsSchema)
 
     // candidate pairs (new_id, old_id): new-vs-state on shared band, and
     // new-vs-new id-ordered so each in-batch pair appears once
@@ -98,36 +140,36 @@ object StreamingDedup {
     // each new doc keeps its best match; in-batch chains resolve to the
     // earliest id because ties and transitive members all verify vs it
     val w = Window.partitionBy("new_id").orderBy(col("jaccard").desc, col("old_id"))
-    val decisions = verified
+    val decisionRows = verified
       .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
       .select(col("new_id").as("doc_id"), col("old_id").as("dup_of"),
         col("jaccard"), lit(batchId).as("batch_id"))
       .persist()
 
-    decisions.write.mode(SaveMode.Append).parquet(outDir)
+    // versioned overwrites + pointer commit = the whole batch is one
+    // transaction; see the header's crash-replay argument
+    store.write("decisions", batchId, decisionRows)
+    val dupIds = decisionRows.select(col("doc_id"))
+    store.write("shingles", batchId, sets.join(dupIds, Seq("doc_id"), "left_anti"))
+    store.write("bands", batchId, bands.join(dupIds, Seq("doc_id"), "left_anti"))
+    store.commit(batchId)
 
-    val dupIds = decisions.select(col("doc_id"))
-    val survivors = sets.join(dupIds, Seq("doc_id"), "left_anti")
-    survivors.write.mode(SaveMode.Append).parquet(s"$stateDir/shingles")
-    bands.join(dupIds, Seq("doc_id"), "left_anti")
-      .write.mode(SaveMode.Append).parquet(s"$stateDir/bands")
-
-    decisions.unpersist()
+    decisionRows.unpersist()
     prep.unpersist()
   }
 
   /** Drain all available parquet files under `inputDir` as micro-batches
     * (Trigger.AvailableNow), maintaining state/output across restarts via
-    * the streaming checkpoint.
+    * the streaming checkpoint + the store's committed pointer.
     */
   def run(spark: SparkSession, inputDir: String, stateDir: String,
-      outDir: String, checkpointDir: String, threshold: Double = 0.7): Unit = {
+      checkpointDir: String, threshold: Double = 0.7): Unit = {
     val stream = spark.readStream.schema(docSchema).parquet(inputDir)
     val q = stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, stateDir, outDir, batchId, threshold)
+        applyBatch(batch, stateDir, batchId, threshold)
       }
       .start()
     q.awaitTermination()

@@ -8,7 +8,9 @@ import graft.SparkSpecBase
 
 /** Ingest-time near-dup detection across micro-batches: in-batch pairs,
   * cross-batch pairs against accepted state, survivor-only state growth,
-  * and agreement with the batch MinHash operator's verdicts.
+  * agreement with the batch MinHash operator's verdicts, and transactional
+  * replay — a crash anywhere between the per-batch state writes and the
+  * commit must not duplicate decisions or corrupt the index.
   */
 class StreamingDedupSpec extends SparkSpecBase {
 
@@ -24,10 +26,18 @@ class StreamingDedupSpec extends SparkSpecBase {
       .write.mode("append").parquet(dir)
   }
 
+  private def decisionPairs(state: String): Set[(Long, Long)] =
+    StreamingDedup.decisions(spark, state)
+      .select("doc_id", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def acceptedIds(state: String): Set[Long] =
+    StreamingDedup.acceptedShingles(spark, state)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
   test("near-dups are flagged in-batch, cross-batch, and not for uniques") {
     val root = Files.createTempDirectory("stream-dedup").toString
-    val (in, state, out, ckpt) =
-      (s"$root/in", s"$root/state", s"$root/out", s"$root/ckpt")
+    val (in, state, ckpt) = (s"$root/in", s"$root/state", s"$root/ckpt")
 
     // batch 1: 10 is unique, 11 ~ 10 (one word changed), 12 unrelated
     writeBatch(in, Seq(
@@ -36,16 +46,11 @@ class StreamingDedupSpec extends SparkSpecBase {
       doc(12, "completely different text about spark catalyst optimizer " +
         "rules and whole stage code generation for columnar execution " +
         "plans that pipeline operators into single compiled functions")))
-    StreamingDedup.run(spark, in, state, out, ckpt)
+    StreamingDedup.run(spark, in, state, ckpt)
 
-    val out1 = spark.read.parquet(out).collect()
-    assert(out1.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of")))
-      .toSet == Set((11L, 10L)), s"batch1 decisions: ${out1.toSeq}")
-
+    assert(decisionPairs(state) == Set((11L, 10L)))
     // survivors only: the accepted index holds 10 and 12, not 11
-    val stateIds = spark.read.parquet(s"$state/shingles")
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(stateIds == Set(10L, 12L))
+    assert(acceptedIds(state) == Set(10L, 12L))
 
     // batch 2: 20 ~ 10 from batch 1 (cross-batch), 21 unique
     writeBatch(in, Seq(
@@ -53,19 +58,55 @@ class StreamingDedupSpec extends SparkSpecBase {
       doc(21, "yet another unrelated document describing minutely osm " +
         "replication diffs applied transactionally with expire tile " +
         "outputs and generalized table refreshes after each change file")))
-    StreamingDedup.run(spark, in, state, out, ckpt)
+    StreamingDedup.run(spark, in, state, ckpt)
 
-    val out2 = spark.read.parquet(out).collect()
-      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of"))).toSet
-    assert(out2 == Set((11L, 10L), (20L, 10L)), s"decisions after batch2: $out2")
-
-    val stateIds2 = spark.read.parquet(s"$state/shingles")
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(stateIds2 == Set(10L, 12L, 21L))
+    assert(decisionPairs(state) == Set((11L, 10L), (20L, 10L)))
+    assert(acceptedIds(state) == Set(10L, 12L, 21L))
 
     // checkpointed: a third run with no new files must not re-emit
-    StreamingDedup.run(spark, in, state, out, ckpt)
-    assert(spark.read.parquet(out).count() == 2)
+    StreamingDedup.run(spark, in, state, ckpt)
+    assert(StreamingDedup.decisions(spark, state).count() == 2)
+  }
+
+  test("a crash between state writes and the commit replays cleanly") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("stream-dedup-crash").toString
+    val state = s"$root/state"
+
+    // batch 0 commits normally: 1 accepted, 2 is its dup
+    StreamingDedup.applyBatch(
+      Seq(doc(1, base), doc(2, base.replace("village", "hamlet")))
+        .toDF("doc_id", "text"),
+      state, batchId = 0)
+    assert(decisionPairs(state) == Set((2L, 1L)))
+
+    // crash simulation for batch 1: the decisions version dir was written
+    // but bands/shingles/commit never happened — the store pointer still
+    // says 0, so the torn v1 must be invisible to readers
+    val store = new StateStore(spark, state)
+    store.write("decisions", 1,
+      Seq((99L, 98L, 0.9, 1L)).toDF("doc_id", "dup_of", "jaccard", "batch_id"))
+    assert(store.currentSeq == 0)
+    assert(decisionPairs(state) == Set((2L, 1L)), "torn write must be invisible")
+
+    // foreachBatch re-delivers the SAME batch under the SAME batchId; the
+    // replay overwrites the torn dirs and commits — no ghost rows, no dupes
+    val batch1 = Seq(
+      doc(30, base.replace("evening", "morning")), // dup of accepted 1
+      doc(31, "fresh unrelated content about bucketed parquet state with " +
+        "versioned manifests and atomic pointer commits for replay safety"))
+      .toDF("doc_id", "text")
+    StreamingDedup.applyBatch(batch1, state, batchId = 1)
+    assert(decisionPairs(state) == Set((2L, 1L), (30L, 1L)),
+      "replay must replace the torn version, not merge with it")
+    assert(acceptedIds(state) == Set(1L, 31L))
+
+    // crash-after-commit: re-delivery of a committed batch is a no-op,
+    // even with different content
+    StreamingDedup.applyBatch(
+      Seq(doc(40, base)).toDF("doc_id", "text"), state, batchId = 1)
+    assert(decisionPairs(state) == Set((2L, 1L), (30L, 1L)))
+    assert(acceptedIds(state) == Set(1L, 31L))
   }
 
   test("stream verdicts agree with the batch minhash operator") {
@@ -76,9 +117,8 @@ class StreamingDedupSpec extends SparkSpecBase {
       doc(3, "short unrelated text with just enough words to form a few " +
         "proper trigram shingles for the hashing stage"))
     writeBatch(s"$root/in", docs)
-    StreamingDedup.run(spark, s"$root/in", s"$root/state", s"$root/out",
-      s"$root/ckpt")
-    val streamPairs = spark.read.parquet(s"$root/out")
+    StreamingDedup.run(spark, s"$root/in", s"$root/state", s"$root/ckpt")
+    val streamPairs = StreamingDedup.decisions(spark, s"$root/state")
       .select(col("dup_of"), col("doc_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
