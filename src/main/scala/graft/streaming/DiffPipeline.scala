@@ -48,7 +48,8 @@ object DiffPipeline {
     * `bucketBits` fixes the bucket span (id >> bits) for the store's life;
     * 22 ⇒ ~4M ids per bucket ⇒ ~3k buckets over planet node ids. */
   def init(spark: SparkSession, mapping: CompiledMapping, stateDir: String,
-      bundle: Bundle, srid: Int = 3857, bucketBits: Int = 22): Map[String, DataFrame] = {
+      bundle: Bundle, srid: Int = 3857, bucketBits: Int = 22,
+      limit: Option[graft.operators.Limitto] = None): Map[String, DataFrame] = {
     val store = new StateStore(spark, stateDir)
     store.setBucketBits(bucketBits)
     store.writeBucketed("coords", 0, bundle.coords, "id")
@@ -56,7 +57,7 @@ object DiffPipeline {
     store.writeBucketed("ways", 0, bundle.ways, "id")
     store.writeBucketed("relations", 0, bundle.relations, "id")
     val stored = storedBundle(store, 0)
-    val pipeline = new ImportPipeline(spark, mapping, srid)
+    val pipeline = new ImportPipeline(spark, mapping, srid, limit)
     val tables = pipeline.run(stored)
     val gens = Generalize(spark, mapping, tables)
     (tables ++ gens).foreach { case (n, df) =>
