@@ -6,18 +6,21 @@ import org.apache.spark.storage.StorageLevel
 
 /** Connected components over an undirected edge list — the step that turns
   * pairwise near-dup verdicts into dedup CLUSTERS (pick one survivor per
-  * component, drop the rest). Plain iterative min-label propagation on
-  * DataFrames: each round every vertex takes the minimum label among itself
-  * and its neighbors; fixpoint when a round changes nothing.
+  * component, drop the rest). Iterative min-label propagation on
+  * DataFrames with POINTER JUMPING: each round every vertex takes the
+  * minimum label among itself and its neighbors, then shortcuts through
+  * its label's own label (`l ← l(l)`, the Shiloach–Vishkin halving step).
+  * Fixpoint when a round changes nothing.
   *
-  * Rounds are bounded by the component DIAMETER (not log n — the
-  * large-star/small-star trick would buy that, at far more code), which is
-  * the right trade for dedup graphs: near-dup components are dense and
-  * shallow, so 2-4 rounds is typical. Each round is one shuffle join + one
-  * aggregate; per-round labels are locally checkpointed (lineage cut +
-  * MEMORY_AND_DISK blocks) and the driver only ever sees a per-round
-  * change COUNT, never data. Hitting maxRounds with labels still moving
-  * throws — partial labels would silently split clusters.
+  * The shortcut bounds rounds by O(log diameter) — the same guarantee the
+  * large-star/small-star reformulation buys, for one extra equi join per
+  * round instead of a rewritten edge set: a 300-node chain converges in ~8
+  * rounds instead of 300. Dense shallow dedup graphs still finish in 2-4.
+  * Each round is two shuffle joins + one aggregate; per-round labels are
+  * locally checkpointed (lineage cut + MEMORY_AND_DISK blocks) and the
+  * driver only ever sees a per-round change COUNT, never data. Hitting
+  * maxRounds with labels still moving throws — partial labels would
+  * silently split clusters.
   */
 object ConnectedComponents {
 
@@ -49,11 +52,22 @@ object ConnectedComponents {
         .join(labels, sym("d") === labels("id"))
         .groupBy(col("s").as("n_id"))
         .agg(min(col("label")).as("n_min"))
-      val next = labels
+      // checkpointed so the self-join below reads blocks, not a recompute
+      val propagated = labels
         .join(neighborMin, labels("id") === col("n_id"), "left_outer")
         .select(col("id"),
           least(col("label"), coalesce(col("n_min"), col("label"))).as("label"),
           col("label").as("old_label"))
+        .localCheckpoint()
+      // pointer jump: follow the new label to ITS new label (labels are
+      // min-monotone, so l(l(v)) ≤ l(v)); chain depth halves per round
+      val next = propagated.as("p")
+        .join(propagated.select(col("id").as("j_id"), col("label").as("j_label")).as("j"),
+          col("p.label") === col("j.j_id"), "left_outer")
+        .select(col("p.id").as("id"),
+          least(col("p.label"), coalesce(col("j.j_label"), col("p.label")))
+            .as("label"),
+          col("p.old_label").as("old_label"))
         .localCheckpoint()
       changed = next.filter(col("label") =!= col("old_label")).count()
       labels = next.select("id", "label")

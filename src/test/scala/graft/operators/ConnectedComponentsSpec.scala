@@ -28,6 +28,16 @@ class ConnectedComponentsSpec extends SparkSpecBase {
     assert(out(20L) == 20L && out(21L) == 20L)
   }
 
+  test("pointer jumping converges a 300-node chain in O(log n) rounds") {
+    // diameter 299: plain propagation needs 299 rounds; the l(l(v))
+    // shortcut halves chain depth per round, so 12 is ample headroom
+    // over the ~9 it takes — and far below the diameter
+    val edges = (1L until 300L).map(i => (i, i + 1)).toDF("a", "b")
+    val out = ConnectedComponents.clusters(edges, "a", "b", maxRounds = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == (1L to 300L).map(_ -> 1L).toMap)
+  }
+
   test("labels are a fixpoint: rerunning on (id, cluster) edges is stable") {
     val edges = Seq((5L, 6L), (6L, 2L), (10L, 11L))
     val first = run(edges)
