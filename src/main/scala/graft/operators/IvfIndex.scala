@@ -49,7 +49,10 @@ object IvfIndex {
     * combine — both shapes survive a 100× corpus.
     */
   def kmeansCentroids(corpus: DataFrame, nCells: Int = 16, iters: Int = 2): DataFrame = {
+    // every Lloyd round re-reads the corpus (assign) — persist the normed
+    // frame once instead of re-scanning + re-norming per round
     val v = withNorm(corpus, "embedding").select(col("vec_id"), col("e"), col("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents = centroidsOf(corpus, nCells)
     for (_ <- 1 to iters) {
       val assigned = nearestCells(v, cents, 1)
@@ -67,7 +70,11 @@ object IvfIndex {
         .withColumn("cn", vecNorm(col("ce")))
         .select(col("c_id"), col("ce"), col("cn"))
     }
-    cents
+    // nCells rows: materialize eagerly (also truncates the per-iteration
+    // lineage) so the corpus cache can be released before returning
+    val out = cents.localCheckpoint()
+    v.unpersist()
+    out
   }
 
   private val centroidSim =
