@@ -12,11 +12,13 @@ import graft.queries.TextOps
   * `d_dedup_minhash`, for pipelines where documents arrive continuously and
   * each new document must be checked against everything already accepted.
   *
-  * State is one [[StateStore]] under `stateDir` holding three versioned
-  * tables — the accepted-corpus index plus the output:
-  *   bands/v<N>/     (doc_id, band_idx, band_hash) — MinHash LSH bands
-  *   shingles/v<N>/  (doc_id, ss)                  — trigram sets, exact verify
-  *   decisions/v<N>/ (doc_id, dup_of, jaccard, batch_id)
+  * State is one [[StateStore]] under `stateDir` holding three tables in
+  * the range-bucketed manifest layout (the same machinery the OSM diff
+  * path maintains planet state with) plus a one-row watermark:
+  *   bands/     (doc_id, band_idx, band_hash) — MinHash LSH bands
+  *   shingles/  (doc_id, ss)                  — trigram sets, exact verify
+  *   decisions/ (doc_id, dup_of, jaccard, batch_id)
+  *   batchmark/ (batch_id)                    — last applied foreachBatch id
   *
   * Per micro-batch (foreachBatch):
   *   1. band/shingle the new documents (same 12-hash/4-band family as the
@@ -25,23 +27,23 @@ import graft.queries.TextOps
   *      the shuffle key is the band hash, never the pair space;
   *   3. verify candidates with exact trigram Jaccard ≥ threshold, keep each
   *      new doc's best match (highest jaccard, ties to the lowest id);
-  *   4. write decisions and the survivor (non-dup) slices of the index at
-  *      version `batchId`, then commit the store pointer.
+  *   4. delta-write only the id-buckets this batch touches (manifest
+  *      carries untouched buckets forward), write the watermark, commit.
   *
   * Exactly-once across crashes, with no lakehouse dependency: foreachBatch
-  * re-delivers a failed batch under the SAME batchId, every version-dir
-  * write is an idempotent overwrite, and readers go through the committed
-  * pointer — so a crash anywhere before `commit` replays the whole batch
-  * into the same v<batchId> dirs (torn dirs are overwritten, never read),
-  * and a crash after `commit` makes the replay a no-op (`batchId <=
-  * currentSeq`). This is the StateStore version of what a Delta/Iceberg
-  * `txnAppId`/`txnVersion` write gives you on a managed lakehouse.
+  * re-delivers a failed batch under the SAME batchId; the store version is
+  * always `currentSeq + 1`, so a crash anywhere before `commit` replays
+  * the whole batch into the same version dirs (torn dirs are invisible —
+  * readers resolve through the committed manifest — and get overwritten),
+  * and a crash after `commit` makes the replay a no-op (`batchId <=` the
+  * committed watermark). This is the StateStore version of what a
+  * Delta/Iceberg `txnAppId`/`txnVersion` write gives you on a managed
+  * lakehouse.
   *
-  * Scale: reads union the per-batch version dirs — at fleet scale a
-  * compaction pass folds them into the bucketed layout periodically
-  * (StateStore.writeBucketed + vacuum), keeping the per-batch join pruned
-  * on high-cardinality band hashes, the same shape the batch dedup
-  * shuffles on.
+  * Scale: a long-running stream stays bounded — reads resolve one manifest
+  * (≤ one dir per id bucket, never one per batch), each batch rewrites
+  * only the few buckets its doc ids land in, and `StateStore.vacuum`
+  * reclaims superseded version dirs.
   */
 object StreamingDedup {
 
@@ -64,21 +66,17 @@ object StreamingDedup {
     StructField("jaccard", DoubleType),
     StructField("batch_id", LongType)))
 
-  /** Union of a table's committed versions (0..upTo); empty frame when none
-    * exist yet. Version dirs past the committed pointer are torn writes
-    * from a crashed batch and are deliberately invisible here.
+  /** A table at the committed version (resolved through its bucket
+    * manifest); empty frame before the first commit. Version dirs past the
+    * committed pointer are torn writes from a crashed batch and are
+    * invisible here.
     */
   private def committedTable(spark: SparkSession, store: StateStore,
-      name: String, upTo: Long, schema: StructType): DataFrame = {
-    val paths = (0L to upTo)
-      .map(store.tablePath(name, _))
-      .filter(p => new java.io.File(
-        new java.net.URI(p).getSchemeSpecificPart).isDirectory)
-    if (upTo < 0 || paths.isEmpty)
+      name: String, seq: Long, schema: StructType): DataFrame =
+    if (seq < 0)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(paths: _*)
-  }
+    else store.read(name, seq)
 
   /** All committed dup decisions. */
   def decisions(spark: SparkSession, stateDir: String): DataFrame = {
@@ -92,6 +90,16 @@ object StreamingDedup {
     committedTable(spark, store, "shingles", store.currentSeq, setsSchema)
   }
 
+  /** Last applied foreachBatch id, or -1 before the first commit. The
+    * watermark is its own table because store versions are internal
+    * sequence numbers (one per applied batch, also bumped by future
+    * compactions) — they are not the streaming batch id.
+    */
+  private def committedBatch(spark: SparkSession, store: StateStore,
+      seq: Long): Long =
+    if (seq < 0) -1L
+    else store.read("batchmark", seq).head().getLong(0)
+
   /** Process one batch of (doc_id, text): emit dup decisions, fold
     * survivors into the state index, commit. Exposed for testing; `run`
     * wires it into foreachBatch. Re-invoking with an already-committed
@@ -102,7 +110,7 @@ object StreamingDedup {
     val spark = batch.sparkSession
     val store = new StateStore(spark, stateDir)
     val committed = store.currentSeq
-    if (batchId <= committed) return
+    if (batchId <= committedBatch(spark, store, committed)) return
 
     val prep = TextOps.minhashPrep(batch.select("doc_id", "text"))
     val bands = TextOps.minhashBandsOf(prep)
@@ -146,13 +154,32 @@ object StreamingDedup {
         col("jaccard"), lit(batchId).as("batch_id"))
       .persist()
 
-    // versioned overwrites + pointer commit = the whole batch is one
-    // transaction; see the header's crash-replay argument
-    store.write("decisions", batchId, decisionRows)
+    // one transaction: delta-write only the id-buckets this batch touches
+    // (the manifest carries every untouched bucket forward), write the
+    // watermark, commit the pointer — see the header's crash-replay argument
+    val next = committed + 1
     val dupIds = decisionRows.select(col("doc_id"))
-    store.write("shingles", batchId, sets.join(dupIds, Seq("doc_id"), "left_anti"))
-    store.write("bands", batchId, bands.join(dupIds, Seq("doc_id"), "left_anti"))
-    store.commit(batchId)
+    val newSets = sets.join(dupIds, Seq("doc_id"), "left_anti")
+    val newBands = bands.join(dupIds, Seq("doc_id"), "left_anti")
+    if (committed < 0) {
+      store.setBucketBits(22)
+      store.writeBucketed("decisions", next, decisionRows, "doc_id")
+      store.writeBucketed("shingles", next, newSets, "doc_id")
+      store.writeBucketed("bands", next, newBands, "doc_id")
+    } else {
+      def delta(name: String, rows: DataFrame): Unit = {
+        val changed = store.bucketsOf(rows, "doc_id")
+        store.writeBucketedDelta(name, next, committed,
+          store.readBuckets(name, committed, changed).unionByName(rows),
+          "doc_id", changed)
+      }
+      delta("decisions", decisionRows)
+      delta("shingles", newSets)
+      delta("bands", newBands)
+    }
+    store.write("batchmark", next,
+      spark.range(1).select(lit(batchId).as("batch_id")))
+    store.commit(next)
 
     decisionRows.unpersist()
     prep.unpersist()

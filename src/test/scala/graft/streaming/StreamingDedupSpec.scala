@@ -109,6 +109,34 @@ class StreamingDedupSpec extends SparkSpecBase {
     assert(acceptedIds(state) == Set(1L, 31L))
   }
 
+  test("state stays bounded: manifest reads, bucket carry-forward, vacuum") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("stream-dedup-bounded").toString
+    val state = s"$root/state"
+    // batch 0 lands in id-bucket 0; batch 1 in bucket 1 (id >> 22); batch 2
+    // back in bucket 0 — so v2's manifest must reference v1's untouched
+    // bucket-1 dir while rewriting bucket 0
+    StreamingDedup.applyBatch(Seq(doc(1, base)).toDF("doc_id", "text"), state, 0)
+    StreamingDedup.applyBatch(
+      Seq(doc(5000000L, base.replace("village", "hamlet"))).toDF("doc_id", "text"),
+      state, 1)
+    StreamingDedup.applyBatch(
+      Seq(doc(2, base.replace("evening", "morning"))).toDF("doc_id", "text"),
+      state, 2)
+
+    val store = new StateStore(spark, state)
+    assert(store.currentSeq == 2)
+    val expectDecisions = Set((5000000L, 1L), (2L, 1L))
+    assert(decisionPairs(state) == expectDecisions)
+    assert(acceptedIds(state) == Set(1L))
+
+    // vacuum must keep version dirs the committed manifest still points at
+    // (v1's bucket-1 decisions) and reclaim the rest; reads stay intact
+    store.vacuum(Seq("decisions", "shingles", "bands", "batchmark"), keep = 0)
+    assert(decisionPairs(state) == expectDecisions)
+    assert(acceptedIds(state) == Set(1L))
+  }
+
   test("stream verdicts agree with the batch minhash operator") {
     import spark.implicits._
     val root = Files.createTempDirectory("stream-dedup-agree").toString
