@@ -99,9 +99,16 @@ object TextOps {
 
   // -- MinHash + LSH dedup -----------------------------------------------------
   // k=12 min-hashes over word trigrams via ONE md5 per shingle + 12 affine
-  // transforms h_i(x) = ((2i+3)·x + 17i+1) mod (2^31−1) over the 60-bit md5
+  // transforms h_i(x) = (a_i·x + b_i) mod (2^31−1) over the 60-bit md5
   // prefix (the classic universal family — hashing every shingle k times
-  // was the query's dominant cost, ~2× slower). 4 bands of 3; candidates =
+  // was the query's dominant cost, ~2× slower). The multipliers must be
+  // WIDE: an early spelling used a_i = 2i+3, which is order-preserving for
+  // x < p/a_i — so any shingle hashing below ~p/25 owned the minimum of
+  // ALL 12 functions (with ~31 shingles/doc that is ~70% of docs), and a
+  // one-word edit could flip every band at once (measured false
+  // negatives). The fixed wide constants below wrap mod p and decorrelate
+  // the argmins; a_i·x + b_i < 2^63 stays in signed BIGINT on both
+  // engines. 4 bands of 3; candidates =
   // band-bucket join; candidates then verified with EXACT jaccard >= 0.7 (so
   // LSH is purely a pruning step and the result is deterministic on both
   // engines — the oracle mirrors the same family, and all values stay in
@@ -135,19 +142,32 @@ object TextOps {
     prep
   }
 
+  /** Fixed wide multipliers/offsets for the 12 affine min-hash functions
+    * (derived once from md5("graft-minhash-{a,b}-i"); any well-mixed
+    * constants < 2^31 work — see the family note above). Mirrored verbatim
+    * in the DuckDB oracle CTEs.
+    */
+  private[graft] val MinhashA: Seq[Long] = Seq(
+    1900758860L, 2059875895L, 863430688L, 1261300854L, 1870956052L, 24458362L,
+    1671275798L, 761587636L, 1564545757L, 358041313L, 1407669789L, 654221512L)
+  private[graft] val MinhashB: Seq[Long] = Seq(
+    1824592733L, 215327258L, 660276297L, 922769266L, 1990033975L, 48991396L,
+    327916556L, 2056703250L, 465947191L, 986870966L, 1874215380L, 2116271579L)
+
   /** LSH bands (doc_id, band_idx, band_hash) from a minhashPrep frame:
     * k=12 affine min-hashes in 4 bands of 3.
     */
   private[graft] def minhashBandsOf(prep: DataFrame): DataFrame = {
     // per-band mins inline (i = 3b, 3b+1, 3b+2): exactly 12 array_min
     // evals per doc in one projection — an intermediate `sig` column
-    // would be re-inlined into every band lambda by CollapseProject
-    def minExpr(i: String) =
-      s"array_min(transform(bm, h -> ((2*($i) + 3) * h + 17*($i) + 1) % 2147483647))"
+    // would be re-inlined into every band lambda by CollapseProject;
+    // bands are unrolled Scala-side so the constants inline as literals
+    def minExpr(i: Int) =
+      s"array_min(transform(bm, h -> (${MinhashA(i)} * h + ${MinhashB(i)}) % 2147483647))"
+    val bandExprs = (0 until 4).map(b =>
+      s"md5(concat(${minExpr(3 * b)}, '|', ${minExpr(3 * b + 1)}, '|', ${minExpr(3 * b + 2)}))")
     prep.select(col("doc_id"),
-      posexplode(expr(
-        s"transform(sequence(0, 3), b -> md5(concat(${minExpr("3*b")}, '|', " +
-          s"${minExpr("3*b + 1")}, '|', ${minExpr("3*b + 2")})))"))
+      posexplode(expr(s"array(${bandExprs.mkString(", ")})"))
         .as(Seq("band_idx", "band_hash")))
   }
 
@@ -505,7 +525,8 @@ object TextOps {
       |  FROM sh),
       |sig AS (SELECT doc_id, ss,
       |  list_transform(generate_series(0, 11), i ->
-      |    list_min(list_transform(hs, h -> ((2*i + 3) * h + 17*i + 1) % 2147483647))) AS sg
+      |    list_min(list_transform(hs, h ->
+      |      ([MINHASH_A][i + 1] * h + [MINHASH_B][i + 1]) % 2147483647))) AS sg
       |  FROM bm),
       |bands AS (SELECT doc_id, b,
       |  md5(sg[3*b + 1]::VARCHAR || '|' || sg[3*b + 2]::VARCHAR || '|' || sg[3*b + 3]::VARCHAR) AS band_hash
@@ -518,6 +539,8 @@ object TextOps {
       |  (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)))::BIGINT AS n_union
       |  FROM cand JOIN sh sa ON cand.a_id = sa.doc_id
       |            JOIN sh sb ON cand.b_id = sb.doc_id)""".stripMargin
+      .replace("[MINHASH_A]", MinhashA.mkString("[", ", ", "]"))
+      .replace("[MINHASH_B]", MinhashB.mkString("[", ", ", "]"))
 
   private val shingleSql =
     "list_distinct(list_transform(generate_series(1, greatest(len(text) - 4, 1)), " +

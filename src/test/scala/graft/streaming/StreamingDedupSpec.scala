@@ -109,6 +109,20 @@ class StreamingDedupSpec extends SparkSpecBase {
     assert(acceptedIds(state) == Set(1L, 31L))
   }
 
+  test("wide-multiplier minhash family catches the correlated-minima case") {
+    import spark.implicits._
+    // regression: with the old a_i = 2i+3 multipliers, "harbor"'s trigram
+    // hashed low enough to own the minimum of ALL 12 functions, so this
+    // one-word edit flipped every band and the pair was silently missed
+    val root = Files.createTempDirectory("stream-dedup-family").toString
+    val state = s"$root/state"
+    StreamingDedup.applyBatch(Seq(doc(1, base)).toDF("doc_id", "text"), state, 0)
+    StreamingDedup.applyBatch(
+      Seq(doc(2, base.replace("village", "harbor"))).toDF("doc_id", "text"),
+      state, 1)
+    assert(decisionPairs(state) == Set((2L, 1L)))
+  }
+
   test("state stays bounded: manifest reads, bucket carry-forward, vacuum") {
     import spark.implicits._
     val root = Files.createTempDirectory("stream-dedup-bounded").toString
