@@ -28,9 +28,9 @@ object SparkEntry {
   def benchQueries: Seq[String] = Seq(
     "q1_pricing_summary", "q3_revenue_by_segment", "q5_local_supplier",
     "q_window_top3", "q_window_top3_topk", "q_sessionize", "q_top_parts",
-    "q_asof_views", "q_range_windows",
+    "q_asof_views", "q_asof_nearest", "q_range_windows",
     "d_dedup_minhash", "d_dedup_simhash", "d_token_stats", "d_chunks",
-    "d_corpus_pipeline",
+    "d_chunks_cdc", "d_corpus_pipeline",
     "s_cosine_topk", "s_ann_lsh", "s_ann_lsh_probe", "s_ann_ivf_kmeans"
   )
 }
