@@ -323,6 +323,55 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // -- repetition / boilerplate signals (Gopher-style quality filters) --------
+  // Per-doc repetition statistics used by large-corpus quality filtering:
+  // multiplicity of the most frequent word and word-bigram, and the fraction
+  // of word-trigrams that are repeats. The top-multiplicity is computed as
+  // the longest equal-run of the SORTED n-gram array — a linear codegen'd
+  // fold per row (array_sort + aggregate), so the whole operator is a narrow
+  // scan with zero shuffles and zero per-doc quadratic work; at 100 TB it
+  // scales with corpus bytes, not vocabulary. All thresholds are integer
+  // cross-multiplications (no float compare drift vs the oracle).
+  /** Longest run of equal values in the sorted array column `arr`. */
+  private def topMultiplicityExpr(arr: String): Column = expr(
+    s"""aggregate(array_sort($arr),
+       |  named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),
+       |  (a, x) -> named_struct(
+       |    'prev', x,
+       |    'run',  if(a.prev <=> x, a.run + 1L, 1L),
+       |    'best', greatest(a.best, if(a.prev <=> x, a.run + 1L, 1L))),
+       |  a -> a.best)""".stripMargin)
+
+  /** Adjacent word n-grams as space-joined strings (empty below n tokens —
+    * Spark's sequence(1, 0) counts DOWN, it is not an empty range). */
+  private def wordNgramsExpr(n: Int): Column = expr(
+    s"""if(size(toks) < $n, array(),
+       |  transform(sequence(1, size(toks) - ${n - 1}),
+       |    i -> concat_ws(' ', ${(0 until n).map(j => s"element_at(toks, i + $j)").mkString(", ")})))""".stripMargin)
+
+  private def repetition(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("toks", tokensExpr)
+      .withColumn("bgs", wordNgramsExpr(2))
+      .withColumn("tgs", wordNgramsExpr(3))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        topMultiplicityExpr("toks").as("top_word_n"),
+        size(col("bgs")).cast("long").as("n_bigrams"),
+        topMultiplicityExpr("bgs").as("top_bigram_n"),
+        size(col("tgs")).cast("long").as("n_trigrams"),
+        (size(col("tgs")) - size(array_distinct(col("tgs"))))
+          .cast("long").as("dup_trigram_n"))
+      .withColumn("rep_bucket",
+        when(col("n_tokens") === 0, "empty")
+          .when(col("top_word_n") * 4 >= col("n_tokens"), "word_repetitive")
+          .when(col("n_bigrams") > 0 &&
+            col("top_bigram_n") * 8 >= col("n_bigrams"), "bigram_repetitive")
+          .when(col("n_trigrams") > 0 &&
+            col("dup_trigram_n") * 2 >= col("n_trigrams"), "trigram_dupey")
+          .otherwise("ok"))
+      .orderBy("doc_id")
+
   // -- rolling-hash document fingerprint ---------------------------------------
   // Rabin–Karp polynomial rolling hash (base 131, mod 2^31−1 so every
   // intermediate stays < 2^39 — overflow-free BIGINT on both engines):
@@ -507,6 +556,7 @@ object TextOps {
     "d_chunks_cdc"        -> (chunkCdc _),
     "d_corpus_pipeline"   -> (corpusPipeline _),
     "d_quality"           -> (quality _),
+    "d_repetition"        -> (repetition _),
     "d_lang_id"           -> (langId _),
     "m_binary_meta"       -> (binaryMeta _)
   )
@@ -665,6 +715,36 @@ object TextOps {
          |    len(text)::BIGINT AS n_chars
          |  FROM (SELECT doc_id, text, $tokensSql AS toks FROM documents))
          |ORDER BY doc_id""".stripMargin,
+    // top-multiplicity via per-list count-max here vs sorted-run fold on the
+    // Spark side — two different algorithms, same value, which is the point
+    "d_repetition" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |ng AS (SELECT doc_id, toks,
+         |  CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+         |       ELSE list_transform(generate_series(1, len(toks) - 1),
+         |         i -> toks[i] || ' ' || toks[i + 1]) END AS bgs,
+         |  CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+         |       ELSE list_transform(generate_series(1, len(toks) - 2),
+         |         i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) END AS tgs
+         |  FROM tk),
+         |base AS (SELECT doc_id,
+         |  len(toks)::BIGINT AS n_tokens,
+         |  coalesce(list_max(list_transform(list_distinct(toks),
+         |    t -> len(list_filter(toks, x -> x = t)))), 0)::BIGINT AS top_word_n,
+         |  len(bgs)::BIGINT AS n_bigrams,
+         |  coalesce(list_max(list_transform(list_distinct(bgs),
+         |    t -> len(list_filter(bgs, x -> x = t)))), 0)::BIGINT AS top_bigram_n,
+         |  len(tgs)::BIGINT AS n_trigrams,
+         |  (len(tgs) - len(list_distinct(tgs)))::BIGINT AS dup_trigram_n
+         |  FROM ng)
+         |SELECT doc_id, n_tokens, top_word_n, n_bigrams, top_bigram_n,
+         |  n_trigrams, dup_trigram_n,
+         | CASE WHEN n_tokens = 0 THEN 'empty'
+         |      WHEN top_word_n * 4 >= n_tokens THEN 'word_repetitive'
+         |      WHEN n_bigrams > 0 AND top_bigram_n * 8 >= n_bigrams THEN 'bigram_repetitive'
+         |      WHEN n_trigrams > 0 AND dup_trigram_n * 2 >= n_trigrams THEN 'trigram_dupey'
+         |      ELSE 'ok' END AS rep_bucket
+         |FROM base ORDER BY doc_id""".stripMargin,
     "d_lang_id" -> {
       val counts = langMarkers.map { case (lang, ms) =>
         val arr = ms.map(m => s"'$m'").mkString("[", ", ", "]")

@@ -119,6 +119,29 @@ class TextSimSpec extends SparkSpecBase {
     rows.foreach(r => assert(r.getAs[Long]("n_stop") <= r.getAs[Long]("n_tokens")))
   }
 
+  test("repetition signals are internally consistent") {
+    val rows = run("d_repetition").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nTok = r.getAs[Long]("n_tokens")
+      val topW = r.getAs[Long]("top_word_n")
+      val nBg = r.getAs[Long]("n_bigrams")
+      val topB = r.getAs[Long]("top_bigram_n")
+      val nTg = r.getAs[Long]("n_trigrams")
+      val dupT = r.getAs[Long]("dup_trigram_n")
+      // multiplicities are bounded by the n-gram counts they come from
+      assert(topW >= (if (nTok > 0) 1L else 0L) && topW <= nTok)
+      assert(topB <= nBg && dupT <= nTg && dupT >= 0)
+      // adjacent n-gram counts: |bigrams| = max(n-1, 0), |trigrams| = max(n-2, 0)
+      assert(nBg == math.max(nTok - 1, 0L))
+      assert(nTg == math.max(nTok - 2, 0L))
+      // a bigram repeated m times forces its two words to appear >= m times
+      assert(topW >= topB)
+      assert(Set("empty", "word_repetitive", "bigram_repetitive",
+        "trigram_dupey", "ok").contains(r.getAs[String]("rep_bucket")))
+    }
+  }
+
   test("lang id picks the argmax marker count") {
     run("d_lang_id").collect().foreach { r =>
       val counts = Map(
