@@ -372,6 +372,42 @@ object TextOps {
           .otherwise("ok"))
       .orderBy("doc_id")
 
+  // -- PII detection / redaction ----------------------------------------------
+  // Multi-pattern scan-and-mask for corpus scrubbing: emails, phone numbers,
+  // IPv4 addresses, then bare digit runs, redacted IN THAT ORDER (each stage
+  // counts matches on the PREVIOUS stage's output, so a phone number is never
+  // double-counted as a digit run). Pure codegen'd regexp_extract_all /
+  // regexp_replace over one narrow column — a scan with zero shuffles; at
+  // 100 TB the cost is regex throughput per byte, embarrassingly parallel.
+  // Patterns avoid \d/\b so Java regex (Spark) and RE2 (DuckDB) agree.
+  private[queries] val PiiEmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+  private[queries] val PiiPhoneRe = "[0-9]{2,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  private[queries] val PiiIpRe    = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
+  private[queries] val PiiIdRe    = "[0-9]{4,}"
+
+  /** Generic PII scrub of `df.textCol`, keyed by `idCol`: per-kind match
+    * counts plus the fully redacted text. */
+  private[graft] def piiScrub(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val stages = Seq(
+      ("n_email", PiiEmailRe, "[EMAIL]"),
+      ("n_phone", PiiPhoneRe, "[PHONE]"),
+      ("n_ip",    PiiIpRe,    "[IP]"),
+      ("n_idnum", PiiIdRe,    "[ID]"))
+    val scrubbed = stages.foldLeft(df.withColumn("redacted", col(textCol))) {
+      case (d, (cnt, re, mask)) => d
+        .withColumn(cnt,
+          size(regexp_extract_all(col("redacted"), lit(re), lit(0))).cast("long"))
+        .withColumn("redacted",
+          regexp_replace(col("redacted"), re, java.util.regex.Matcher.quoteReplacement(mask)))
+    }
+    scrubbed.select((idCol +: stages.map(_._1) :+ "redacted").map(col): _*)
+      .orderBy(idCol)
+  }
+
+  private def piiScrubCustomer(s: SparkSession, dir: String): DataFrame =
+    piiScrub(t(s, dir, "customer"), "c_custkey", "c_name")
+
   // -- rolling-hash document fingerprint ---------------------------------------
   // Rabin–Karp polynomial rolling hash (base 131, mod 2^31−1 so every
   // intermediate stays < 2^39 — overflow-free BIGINT on both engines):
@@ -557,6 +593,7 @@ object TextOps {
     "d_corpus_pipeline"   -> (corpusPipeline _),
     "d_quality"           -> (quality _),
     "d_repetition"        -> (repetition _),
+    "d_pii_scrub"         -> (piiScrubCustomer _),
     "d_lang_id"           -> (langId _),
     "m_binary_meta"       -> (binaryMeta _)
   )
@@ -715,6 +752,25 @@ object TextOps {
          |    len(text)::BIGINT AS n_chars
          |  FROM (SELECT doc_id, text, $tokensSql AS toks FROM documents))
          |ORDER BY doc_id""".stripMargin,
+    // staged CTEs mirror the Spark fold exactly: count on the previous
+    // stage's output, then mask; DuckDB regexp_replace needs the 'g' flag
+    // (Spark's replaces all matches by default)
+    "d_pii_scrub" ->
+      s"""WITH s0 AS (SELECT c_custkey, c_name AS r FROM customer),
+         |s1 AS (SELECT c_custkey,
+         |  len(regexp_extract_all(r, '$PiiEmailRe'))::BIGINT AS n_email,
+         |  regexp_replace(r, '$PiiEmailRe', '[EMAIL]', 'g') AS r FROM s0),
+         |s2 AS (SELECT c_custkey, n_email,
+         |  len(regexp_extract_all(r, '$PiiPhoneRe'))::BIGINT AS n_phone,
+         |  regexp_replace(r, '$PiiPhoneRe', '[PHONE]', 'g') AS r FROM s1),
+         |s3 AS (SELECT c_custkey, n_email, n_phone,
+         |  len(regexp_extract_all(r, '$PiiIpRe'))::BIGINT AS n_ip,
+         |  regexp_replace(r, '$PiiIpRe', '[IP]', 'g') AS r FROM s2),
+         |s4 AS (SELECT c_custkey, n_email, n_phone, n_ip,
+         |  len(regexp_extract_all(r, '$PiiIdRe'))::BIGINT AS n_idnum,
+         |  regexp_replace(r, '$PiiIdRe', '[ID]', 'g') AS r FROM s3)
+         |SELECT c_custkey, n_email, n_phone, n_ip, n_idnum, r AS redacted
+         |FROM s4 ORDER BY c_custkey""".stripMargin,
     // top-multiplicity via per-list count-max here vs sorted-run fold on the
     // Spark side — two different algorithms, same value, which is the point
     "d_repetition" ->

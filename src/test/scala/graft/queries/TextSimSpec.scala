@@ -142,6 +142,39 @@ class TextSimSpec extends SparkSpecBase {
     }
   }
 
+  test("pii scrub catches emails, phones, ips, id runs; masks in order") {
+    import spark.implicits._
+    val recs = Seq(
+      (1L, "contact bob.smith+spam@mail-host.example.org for details"),
+      (2L, "call 25-989-741-2988 or 333-123-456-7890 now"),
+      (3L, "server at 192.168.0.1 port open"),
+      (4L, "order 123456 shipped to Customer#000000042"),
+      (5L, "mix a@b.co 10.0.0.254 55-555-555-5555 9999"),
+      (6L, "nothing sensitive here at all")
+    ).toDF("rid", "txt")
+    val out = TextOps.piiScrub(recs, "rid", "txt").collect()
+      .map(r => r.getAs[Long]("rid") -> r).toMap
+    def counts(id: Long) = (out(id).getAs[Long]("n_email"),
+      out(id).getAs[Long]("n_phone"), out(id).getAs[Long]("n_ip"),
+      out(id).getAs[Long]("n_idnum"))
+    assert(counts(1L) == (1L, 0L, 0L, 0L))
+    assert(counts(2L) == (0L, 2L, 0L, 0L))
+    assert(counts(3L) == (0L, 0L, 1L, 0L))
+    assert(counts(4L) == (0L, 0L, 0L, 2L))
+    assert(counts(5L) == (1L, 1L, 1L, 1L))
+    assert(counts(6L) == (0L, 0L, 0L, 0L))
+    assert(out(1L).getAs[String]("redacted") ==
+      "contact [EMAIL] for details")
+    assert(out(4L).getAs[String]("redacted") ==
+      "order [ID] shipped to Customer#[ID]")
+    // staged masking: the phone is consumed by [PHONE], never re-counted
+    // as a digit run; no digits survive in any redacted text
+    assert(out(5L).getAs[String]("redacted") ==
+      "mix [EMAIL] [IP] [PHONE] [ID]")
+    out.values.foreach(r =>
+      assert(!r.getAs[String]("redacted").exists(_.isDigit)))
+  }
+
   test("lang id picks the argmax marker count") {
     run("d_lang_id").collect().foreach { r =>
       val counts = Map(
