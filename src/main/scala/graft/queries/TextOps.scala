@@ -372,6 +372,57 @@ object TextOps {
           .otherwise("ok"))
       .orderBy("doc_id")
 
+  // -- benchmark decontamination: eval-set n-gram overlap ---------------------
+  // The train/test-leakage gate every corpus run needs: a held-out benchmark
+  // set (here a deterministic doc_id split) is reduced to its distinct word
+  // 8-grams; each remaining corpus doc counts how many of ITS distinct
+  // 8-grams collide and is flagged on any hit. Scale shape: eval sets are
+  // tiny (MBs) next to a 100 TB corpus, so the benchmark gram set is
+  // broadcast and the corpus side stays a narrow scan → explode →
+  // broadcast semi-join → partial-agg count — no all-pairs work and the
+  // only exchange is the final per-doc count combine.
+  private[queries] val DecontamBenchMod = 19
+  private[queries] val DecontamN = 8
+
+  private def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .withColumn("toks", tokensExpr)
+      .withColumn("grams", array_distinct(wordNgramsExpr(DecontamN)))
+    val bench = base.filter(col("doc_id") % DecontamBenchMod === 0)
+    val corpus = base.filter(col("doc_id") % DecontamBenchMod =!= 0)
+    val benchGrams = bench.select(explode(col("grams")).as("g")).distinct()
+    val hits = corpus.select(col("doc_id"), explode(col("grams")).as("g"))
+      .join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    corpus.select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("decontam_bucket",
+        when(col("n_hit") > 0, "contaminated").otherwise("clean"))
+      .orderBy("doc_id")
+  }
+
+  // -- quality-aware dedup resolution: keep the best doc per cluster ----------
+  // Production dedup does not keep min-id — it keeps the BEST member of each
+  // near-dup cluster. Survivor = the member with the most word tokens,
+  // ties broken to the lowest doc_id, spelled as one max(struct(n_tokens,
+  // -doc_id)) aggregate so selection rides the same single shuffle as the
+  // membership count (no window, no second pass over the corpus). Docs in
+  // no cluster are their own singleton cluster via the left join.
+  private def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val nt = docs(s, dir)
+      .select(col("doc_id"), size(tokensExpr).cast("long").as("n_tokens"))
+    nt.join(dedupClusters(s, dir), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("n_tokens"), (-col("doc_id")).as("nid"))).as("best"))
+      .select(col("cluster_id"), col("n_members"),
+        col("best.n_tokens").as("survivor_tokens"),
+        (-col("best.nid")).as("survivor_id"))
+      .orderBy("cluster_id")
+  }
+
   // -- PII detection / redaction ----------------------------------------------
   // Multi-pattern scan-and-mask for corpus scrubbing: emails, phone numbers,
   // IPv4 addresses, then bare digit runs, redacted IN THAT ORDER (each stage
@@ -585,6 +636,8 @@ object TextOps {
     "d_dedup_minhash"     -> (dedupMinHash _),
     "d_dedup_simhash"     -> (dedupSimHash _),
     "d_dedup_clusters"    -> (dedupClusters _),
+    "d_dedup_keep_best"   -> (dedupKeepBest _),
+    "d_decontaminate"     -> (decontaminate _),
     "d_token_stats"       -> (tokenStats _),
     "d_fingerprint_roll"  -> (fingerprintRolling _),
     "d_bpe_tokens"        -> (bpeTokens _),
@@ -680,6 +733,52 @@ object TextOps {
          |clusters AS (SELECT id, least(id, min(r)) AS cluster_id
          |  FROM reach GROUP BY id)
          |SELECT id AS doc_id, cluster_id FROM clusters ORDER BY doc_id""".stripMargin,
+    // keep-best survivor: min doc_id among cluster members with the max
+    // token count — a join-back-on-max spelling, deliberately different
+    // from the Spark side's single max(struct(...)) aggregate
+    "d_dedup_keep_best" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |pairs AS (SELECT a_id, b_id FROM scored
+         |  WHERE n_common::DOUBLE / n_union::DOUBLE >= 0.7),
+         |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |reach AS (
+         |  SELECT s AS id, d AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s),
+         |clusters AS (SELECT id, least(id, min(r)) AS cluster_id
+         |  FROM reach GROUP BY id),
+         |nt AS (SELECT doc_id, len($tokensSql)::BIGINT AS n_tokens FROM documents),
+         |m AS (SELECT nt.doc_id, coalesce(c.cluster_id, nt.doc_id) AS cluster_id,
+         |  nt.n_tokens FROM nt LEFT JOIN clusters c ON nt.doc_id = c.id),
+         |agg AS (SELECT cluster_id, count(*)::BIGINT AS n_members,
+         |  max(n_tokens) AS survivor_tokens FROM m GROUP BY 1)
+         |SELECT a.cluster_id, a.n_members, a.survivor_tokens,
+         |  min(m.doc_id) AS survivor_id
+         |FROM agg a JOIN m ON m.cluster_id = a.cluster_id
+         |  AND m.n_tokens = a.survivor_tokens
+         |GROUP BY 1, 2, 3 ORDER BY a.cluster_id""".stripMargin,
+    "d_decontaminate" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |g AS (SELECT doc_id,
+         |  CASE WHEN len(toks) < $DecontamN THEN []::VARCHAR[]
+         |       ELSE list_distinct(list_transform(
+         |         generate_series(1, len(toks) - ${DecontamN - 1}),
+         |         i -> array_to_string(list_slice(toks, i, i + ${DecontamN - 1}), ' ')))
+         |  END AS grams FROM tk),
+         |bench AS (SELECT DISTINCT unnest(grams) AS gr FROM g
+         |  WHERE doc_id % $DecontamBenchMod = 0),
+         |corpus AS (SELECT doc_id, grams FROM g
+         |  WHERE doc_id % $DecontamBenchMod <> 0),
+         |hits AS (SELECT doc_id, count(*)::BIGINT AS n_hit
+         |  FROM (SELECT doc_id, unnest(grams) AS gr FROM corpus) c
+         |  WHERE gr IN (SELECT gr FROM bench) GROUP BY doc_id)
+         |SELECT c.doc_id, len(c.grams)::BIGINT AS n_grams,
+         |  coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+         |  CASE WHEN coalesce(h.n_hit, 0) > 0 THEN 'contaminated'
+         |       ELSE 'clean' END AS decontam_bucket
+         |FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+         |ORDER BY c.doc_id""".stripMargin,
     "d_dedup_simhash" ->
       s"""WITH tf AS (
          |  SELECT doc_id, tok, count(*)::BIGINT AS c,

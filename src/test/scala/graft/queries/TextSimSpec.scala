@@ -142,6 +142,42 @@ class TextSimSpec extends SparkSpecBase {
     }
   }
 
+  test("decontaminate covers exactly the non-benchmark docs, hits bounded") {
+    val out = run("d_decontaminate").collect()
+    val all = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = all.filterNot(_ % TextOps.DecontamBenchMod == 0)
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == expected)
+    out.foreach { r =>
+      val (hit, grams) = (r.getAs[Long]("n_hit"), r.getAs[Long]("n_grams"))
+      assert(hit >= 0 && hit <= grams)
+      assert(r.getAs[String]("decontam_bucket") ==
+        (if (hit > 0) "contaminated" else "clean"))
+    }
+  }
+
+  test("keep-best survivors: partition of the corpus, argmax-token member") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet").count()
+    val clusters = run("d_dedup_clusters").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val toks = run("d_token_stats").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    val out = run("d_dedup_keep_best").collect()
+    assert(out.map(_.getAs[Long]("n_members")).sum == docs)
+    out.foreach { r =>
+      val (cid, sid) = (r.getAs[Long]("cluster_id"), r.getAs[Long]("survivor_id"))
+      val members = clusters.collect { case (d, c) if c == cid => d } match {
+        case s if s.isEmpty => Seq(cid) // singleton: its own cluster
+        case s => s.toSeq
+      }
+      assert(members.contains(sid), s"survivor $sid not in cluster $cid")
+      val best = members.map(toks).max
+      assert(toks(sid) == best && r.getAs[Long]("survivor_tokens") == best)
+      // tie-break: lowest doc_id among the max-token members
+      assert(sid == members.filter(toks(_) == best).min)
+    }
+  }
+
   test("pii scrub catches emails, phones, ips, id runs; masks in order") {
     import spark.implicits._
     val recs = Seq(
