@@ -199,9 +199,8 @@ object OsmPbf {
     (tpe, dataSize)
   }
 
-  /** Blob msg → decompressed PrimitiveBlock bytes → elements. */
-  private[sources] def decodeDataBlob(blob: Array[Byte],
-      withMeta: Boolean = false): Iterator[RawElement] = {
+  /** Blob msg → decompressed payload bytes (raw or zlib). */
+  private def inflateBlob(blob: Array[Byte]): Array[Byte] = {
     val pb = new Pb(blob, 0, blob.length)
     var raw: Array[Byte] = null
     var rawSize = -1
@@ -213,19 +212,67 @@ object OsmPbf {
       case f => throw new UnsupportedOperationException(
         s"unsupported Blob compression field $f")
     }
-    val block =
-      if (raw != null) raw
-      else {
-        val inflater = new Inflater()
-        inflater.setInput(zlib)
-        val out = new Array[Byte](rawSize)
-        var off = 0
-        while (off < rawSize && !inflater.finished())
-          off += inflater.inflate(out, off, rawSize - off)
-        inflater.end()
-        out
+    if (raw != null) raw
+    else {
+      val inflater = new Inflater()
+      inflater.setInput(zlib)
+      val out = new Array[Byte](rawSize)
+      var off = 0
+      while (off < rawSize && !inflater.finished())
+        off += inflater.inflate(out, off, rawSize - off)
+      inflater.end()
+      out
+    }
+  }
+
+  /** Blob msg → decompressed PrimitiveBlock bytes → elements. */
+  private[sources] def decodeDataBlob(blob: Array[Byte],
+      withMeta: Boolean = false): Iterator[RawElement] =
+    decodePrimitiveBlock(inflateBlob(blob), withMeta)
+
+  /** OSMHeader metadata (reference parser/pbf/parser.go:55-67 `Header`):
+    * the osmosis replication fields that seed diff state on `import
+    * -diff` (import_/state.go:15-36). Absent fields stay None. */
+  final case class PbfHeader(replicationTimestamp: Option[java.time.Instant],
+      replicationSequence: Option[Long], replicationUrl: Option[String])
+
+  /** Decode the first OSMHeader blob of `path` (a file, or the first
+    * .pbf in a directory). Driver-side only — one small blob, no jobs. */
+  def header(spark: SparkSession, path: String): PbfHeader = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath)
+          .filter(_.getName.endsWith(".pbf")).sortBy(_.getName).headOption
+          .getOrElse(throw new IllegalArgumentException(s"no .pbf under $path"))
+      else p
+    val in = fs.open(file)
+    try {
+      val lenBuf = new Array[Byte](4)
+      in.readFully(lenBuf)
+      val headerLen = ((lenBuf(0) & 0xff) << 24) | ((lenBuf(1) & 0xff) << 16) |
+        ((lenBuf(2) & 0xff) << 8) | (lenBuf(3) & 0xff)
+      val headerBuf = new Array[Byte](headerLen)
+      in.readFully(headerBuf)
+      val (blobType, dataSize) = decodeBlobHeader(headerBuf)
+      if (blobType != "OSMHeader")
+        return PbfHeader(None, None, None)
+      val blob = new Array[Byte](dataSize)
+      in.readFully(blob)
+      val hb = inflateBlob(blob)
+      val pb = new Pb(hb, 0, hb.length)
+      var ts: Option[java.time.Instant] = None
+      var seq: Option[Long] = None
+      var url: Option[String] = None
+      while (pb.hasMore) pb.readTag() match {
+        case 32 => ts = Some(java.time.Instant.ofEpochSecond(pb.readVarint()))
+        case 33 => seq = Some(pb.readVarint())
+        case 34 => url = Some(new String(pb.readBytes(), "UTF-8"))
+        case _ => pb.skip()
       }
-    decodePrimitiveBlock(block, withMeta)
+      PbfHeader(ts, seq, url)
+    } finally in.close()
   }
 
   private def decodePrimitiveBlock(buf: Array[Byte], withMeta: Boolean): Iterator[RawElement] = {

@@ -49,22 +49,26 @@ object DiffPipeline {
     * 22 ⇒ ~4M ids per bucket ⇒ ~3k buckets over planet node ids. */
   def init(spark: SparkSession, mapping: CompiledMapping, stateDir: String,
       bundle: Bundle, srid: Int = 3857, bucketBits: Int = 22,
-      limit: Option[graft.operators.Limitto] = None): Map[String, DataFrame] = {
+      limit: Option[graft.operators.Limitto] = None,
+      startSeq: Long = 0): Map[String, DataFrame] = {
     val store = new StateStore(spark, stateDir)
     store.setBucketBits(bucketBits)
-    store.writeBucketed("coords", 0, bundle.coords, "id")
-    store.writeBucketed("nodes", 0, bundle.nodes, "id")
-    store.writeBucketed("ways", 0, bundle.ways, "id")
-    store.writeBucketed("relations", 0, bundle.relations, "id")
-    val stored = storedBundle(store, 0)
+    // startSeq > 0 re-inits on top of an existing store (`-appendcache`):
+    // writing a NEW version while the merged bundle lazily reads the old
+    // one keeps the read and write paths disjoint
+    store.writeBucketed("coords", startSeq, bundle.coords, "id")
+    store.writeBucketed("nodes", startSeq, bundle.nodes, "id")
+    store.writeBucketed("ways", startSeq, bundle.ways, "id")
+    store.writeBucketed("relations", startSeq, bundle.relations, "id")
+    val stored = storedBundle(store, startSeq)
     val pipeline = new ImportPipeline(spark, mapping, srid, limit)
     val tables = pipeline.run(stored)
     val gens = Generalize(spark, mapping, tables)
     (tables ++ gens).foreach { case (n, df) =>
-      store.writeBucketed(tbl(n), 0, df, idColFor(mapping, n))
+      store.writeBucketed(tbl(n), startSeq, df, idColFor(mapping, n))
     }
     pipeline.unpersistAll()
-    store.commit(0)
+    store.commit(startSeq)
     readTables(spark, mapping, stateDir)
   }
 
@@ -79,6 +83,11 @@ object DiffPipeline {
   private def allTableNames(mapping: CompiledMapping): Seq[String] =
     mapping.conf.tables.keys.toSeq ++ mapping.conf.generalizedTables.keys.toSeq
 
+  /** The element tables of a committed state version — the `-appendcache`
+    * read side (import_/import.go:84-101 appends onto the open cache). */
+  def storedBundleAt(spark: SparkSession, stateDir: String, seq: Long): Bundle =
+    storedBundle(new StateStore(spark, stateDir), seq)
+
   private def storedBundle(store: StateStore, seq: Long): Bundle =
     Bundle(
       coords = store.read("coords", seq),
@@ -89,12 +98,22 @@ object DiffPipeline {
   /** Apply one change file (one transaction, ST1). `diff` carries
     * RawElement rows with `op`; the last op per element wins is assumed
     * upstream (minutely OSC files are deduplicated by osmosis).
+    *
+    * `from` applies on top of a specific (possibly uncommitted) state
+    * version instead of the committed pointer; paired with
+    * `commit = false` it gives the reference's `-commit-latest` batch
+    * mode (update/cmd.go:96-134): apply N diffs version-by-version, then
+    * advance the pointer once at the end — a crash mid-batch replays the
+    * whole batch because the pointer never moved.
     */
   def applyDiff(spark: SparkSession, mapping: CompiledMapping, stateDir: String,
       diff: DataFrame, srid: Int = 3857,
-      expireDir: Option[String] = None): Map[String, DataFrame] = {
+      expireDir: Option[String] = None,
+      expireZoom: Int = graft.operators.ExpireTiles.DefaultZoom,
+      from: Option[Long] = None,
+      commit: Boolean = true): Map[String, DataFrame] = {
     val store = new StateStore(spark, stateDir)
-    val seq = store.currentSeq
+    val seq = from.getOrElse(store.currentSeq)
     require(seq >= 0, s"no committed state in $stateDir — run init first")
     val next = seq + 1
 
@@ -243,15 +262,16 @@ object DiffPipeline {
       val geoms = expireGeoms.result()
       if (geoms.nonEmpty) {
         val tiles = graft.operators.ExpireTiles.expire(
-          geoms.reduce(_ unionByName _).filter(col("geometry").isNotNull))
+          geoms.reduce(_ unionByName _).filter(col("geometry").isNotNull),
+          maxZoom = expireZoom)
         graft.operators.ExpireTiles.writeTiles(tiles, s"$dir/$next")
       }
     }
 
     pipeline.unpersistAll()
-    store.commit(next)
+    if (commit) store.commit(next)
     Seq(d, chN, chW, chR, depW, depR, rebuildW).foreach(_.unpersist())
-    readTables(spark, mapping, stateDir)
+    allTableNames(mapping).map(n => n -> store.read(tbl(n), next)).toMap
   }
 
   // id/geometry columns are whatever the mapping names them (colType is
@@ -283,7 +303,8 @@ object DiffPipeline {
     */
   def runStream(spark: SparkSession, mapping: CompiledMapping, stateDir: String,
       replicationDir: String, checkpointDir: String,
-      srid: Int = 3857): StreamingQuery = {
+      srid: Int = 3857, expireDir: Option[String] = None,
+      expireZoom: Int = graft.operators.ExpireTiles.DefaultZoom): StreamingQuery = {
     spark.readStream
       .format("binaryFile")
       .schema(org.apache.spark.sql.types.StructType.fromDDL(
@@ -297,7 +318,8 @@ object DiffPipeline {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val files = batch.select("path").collect().map(_.getString(0)).sorted
         files.foreach { p =>
-          applyDiff(spark, mapping, stateDir, OsmXml.readDiff(spark, p).toDF(), srid)
+          applyDiff(spark, mapping, stateDir, OsmXml.readDiff(spark, p).toDF(), srid,
+            expireDir = expireDir, expireZoom = expireZoom)
         }
       }
       .start()

@@ -180,8 +180,16 @@ object Replication {
   private def localStatePath(stateDir: String) = new Path(stateDir, "replication.state.txt")
 
   /** Local replication pointer (the reference's `last.state.txt`). */
-  def readLocalState(spark: SparkSession, stateDir: String): Option[State] = {
-    val p = localStatePath(stateDir)
+  def readLocalState(spark: SparkSession, stateDir: String): Option[State] =
+    readLocalStateAt(spark, localStatePath(stateDir).toString)
+
+  def writeLocalState(spark: SparkSession, stateDir: String, s: State): Unit =
+    writeLocalStateAt(spark, localStatePath(stateDir).toString, s)
+
+  /** Read an osmosis-format state file at an explicit path (the diff
+    * command's `last.state.txt` and `.osc` sidecar states). */
+  def readLocalStateAt(spark: SparkSession, path: String): Option[State] = {
+    val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
@@ -190,8 +198,8 @@ object Replication {
     }
   }
 
-  def writeLocalState(spark: SparkSession, stateDir: String, s: State): Unit = {
-    val p = localStatePath(stateDir)
+  def writeLocalStateAt(spark: SparkSession, path: String, s: State): Unit = {
+    val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try writeState(s, out) finally out.close()
@@ -213,14 +221,16 @@ object Replication {
     */
   def replicate(spark: SparkSession, mapping: CompiledMapping, stateDir: String,
       endpoint: String, workDir: String, from: Long, srid: Int = 3857,
-      fetch: Option[(String, String) => Boolean] = None): Long = {
+      fetch: Option[(String, String) => Boolean] = None,
+      expireDir: Option[String] = None,
+      expireZoom: Int = graft.operators.ExpireTiles.DefaultZoom): Long = {
     val doFetch = fetch.getOrElse(hadoopFetch(spark) _)
     val start = readLocalState(spark, stateDir).map(_.sequence + 1).getOrElse(from)
     val downloads = s"$workDir/downloads"
     val last = fetchAvailable(endpoint, start, downloads, doFetch)
     if (last < start) return start - 1
     val q = DiffPipeline.runStream(spark, mapping, stateDir, downloads,
-      s"$workDir/checkpoint", srid)
+      s"$workDir/checkpoint", srid, expireDir = expireDir, expireZoom = expireZoom)
     q.awaitTermination()
     // the endpoint publishes a state.txt per sequence; fall back to a
     // timestamp-less pointer when it doesn't

@@ -71,19 +71,19 @@ class MainSpec extends SparkSpecBase {
     val state = Files.createTempDirectory("graft-main-state").toString
     val conn = Files.createTempDirectory("graft-main-conn").toString
 
-    Main.main(Array("import", "-mapping", mappingFile, "-read", writeBaseOsm(),
+    Main.run(Array("import", "-mapping", mappingFile, "-read", writeBaseOsm(),
       "-write", "-cachedir", state, "-connection", conn, "-optimize", "-srid", "3857"))
     val imported = spark.read.parquet(s"$conn/import/poi")
     assert(imported.count() == 1)
     assert(imported.head().getAs[String]("name") == "A")
 
-    Main.main(Array("import", "-connection", conn, "-deployproduction"))
+    Main.run(Array("import", "-connection", conn, "-deployproduction"))
     assert(spark.read.parquet(s"$conn/production/poi").count() == 1)
     assert(!new java.io.File(s"$conn/import/poi").exists())
 
     // diff applies a change file against the same cachedir
     val osc = oscFile(Files.createTempDirectory("graft-main-osc"), "B")
-    Main.main(Array("diff", "-mapping", mappingFile, "-cachedir", state, osc))
+    Main.run(Array("diff", "-mapping", mappingFile, "-cachedir", state, osc))
     val mapping = new graft.mapping.CompiledMapping(
       graft.mapping.MappingConf.fromFile(mappingFile))
     assert(DiffPipeline.readTables(spark, mapping, state)("poi")
@@ -92,7 +92,7 @@ class MainSpec extends SparkSpecBase {
     // query-cache prints the node as JSON
     val out = new java.io.ByteArrayOutputStream()
     Console.withOut(new java.io.PrintStream(out)) {
-      Main.main(Array("query-cache", "-cachedir", state, "-node", "1"))
+      Main.run(Array("query-cache", "-cachedir", state, "-node", "1"))
     }
     val json = out.toString("UTF-8")
     assert(json.contains("\"id\":1"), json)
@@ -119,7 +119,7 @@ class MainSpec extends SparkSpecBase {
         |</osmChange>
         |""".stripMargin)
 
-    Main.main(Array("run", "-mapping", mappingFile, "-cachedir", state,
+    Main.run(Array("run", "-mapping", mappingFile, "-cachedir", state,
       "-replication-url", s"file://$endpoint", "-once",
       "-workdir", Files.createTempDirectory("graft-run-work").toString))
     assert(DiffPipeline.readTables(spark, mapping, state)("poi")
@@ -131,10 +131,151 @@ class MainSpec extends SparkSpecBase {
     assume(new java.io.File(monaco).exists())
     val state = Files.createTempDirectory("graft-monaco-state").toString
     val conn = Files.createTempDirectory("graft-monaco-conn").toString
-    Main.main(Array("import",
+    Main.run(Array("import",
       "-mapping", "/root/reference/test/complete_db_mapping.json",
-      "-read", monaco, "-write", "-cachedir", state, "-connection", conn))
+      "-read", monaco, "-write", "-cachedir", state, "-connection", conn,
+      "-diff"))
     val roads = spark.read.parquet(s"$conn/import/roads")
     assert(roads.count() > 100, "Monaco must produce a real road table")
+    // -diff seeds last.state.txt from the PBF header's osmosis fields
+    val st = Replication.readLocalStateAt(spark, s"$state/last.state.txt")
+    assert(st.nonEmpty, "import -diff must write last.state.txt")
+    assert(st.get.timestamp.toString.startsWith("2015-04-2"),
+      s"header replication timestamp expected, got ${st.get.timestamp}")
+  }
+
+  test("import refuses an existing cache; -overwritecache and -appendcache proceed") {
+    val mappingFile = writeMapping()
+    val state = Files.createTempDirectory("graft-guard-state").toString
+    val conn = Files.createTempDirectory("graft-guard-conn").toString
+    Main.run(Array("import", "-mapping", mappingFile, "-read", writeBaseOsm(),
+      "-write", "-cachedir", state, "-connection", conn))
+    assert(spark.read.parquet(s"$conn/import/poi").count() == 1)
+
+    // bare re-import into the same cachedir is the reference's fatal
+    // (import_/import.go:85)
+    intercept[Main.MainExit] {
+      Main.run(Array("import", "-mapping", mappingFile, "-read", writeBaseOsm(),
+        "-write", "-cachedir", state))
+    }
+
+    // -appendcache merges a second file over the committed state
+    val osm2 = Files.createTempDirectory("graft-guard-osm2").resolve("more.osm")
+    Files.write(osm2,
+      """<?xml version='1.0' encoding='UTF-8'?>
+        |<osm version="0.6">
+        | <node id="2" version="1" timestamp="2011-11-11T00:11:11Z" lat="47.1" lon="9.1">
+        |  <tag k="amenity" v="cafe"/><tag k="name" v="Second"/>
+        | </node>
+        |</osm>
+        |""".stripMargin.getBytes("UTF-8"))
+    Main.run(Array("import", "-mapping", mappingFile, "-read", osm2.toString,
+      "-write", "-cachedir", state, "-connection", conn, "-appendcache"))
+    val appended = spark.read.parquet(s"$conn/import/poi")
+    assert(appended.count() == 2, "append must keep node 1 and add node 2")
+    assert(appended.filter("osm_id = 2").head().getAs[String]("name") == "Second")
+
+    // -overwritecache drops the old cache: only the re-read file remains
+    Main.run(Array("import", "-mapping", mappingFile, "-read", osm2.toString,
+      "-write", "-cachedir", state, "-connection", conn, "-overwritecache"))
+    val overwritten = spark.read.parquet(s"$conn/import/poi")
+    assert(overwritten.count() == 1)
+    assert(overwritten.head().getAs[Long]("osm_id") == 2L)
+  }
+
+  private def oscWithState(dir: JPath, seq: Long, name: String): String = {
+    val f = dir.resolve(f"$seq%09d.osc.gz")
+    gzWrite(f,
+      s"""<?xml version='1.0' encoding='UTF-8'?>
+         |<osmChange version="0.6" generator="test">
+         | <modify>
+         |  <node id="1" version="2" timestamp="2012-01-01T00:00:00Z" lat="47.0" lon="9.0">
+         |   <tag k="amenity" v="cafe"/><tag k="name" v="$name"/>
+         |  </node>
+         | </modify>
+         |</osmChange>
+         |""".stripMargin)
+    Files.write(dir.resolve(f"$seq%09d.state.txt"),
+      s"sequenceNumber=$seq\ntimestamp=2012-01-01T00\\:00\\:00Z\n".getBytes("UTF-8"))
+    f.toString
+  }
+
+  test("diff skips already-imported sequences unless -force; -commit-latest defers") {
+    val mappingFile = writeMapping()
+    val state = Files.createTempDirectory("graft-seq-state").toString
+    val mapping = new graft.mapping.CompiledMapping(
+      graft.mapping.MappingConf.fromFile(mappingFile))
+    DiffPipeline.init(spark, mapping, state,
+      graft.sources.OsmXml.read(spark, writeBaseOsm()))
+    val dir = Files.createTempDirectory("graft-seq-osc")
+
+    // applying seq 5 records it in last.state.txt
+    val osc5 = oscWithState(dir, 5, "Five")
+    Main.run(Array("diff", "-mapping", mappingFile, "-cachedir", state, osc5))
+    assert(DiffPipeline.readTables(spark, mapping, state)("poi")
+      .head().getAs[String]("name") == "Five")
+    val recorded = Replication.readLocalStateAt(spark, s"$state/last.state.txt")
+    assert(recorded.map(_.sequence).contains(5L))
+
+    // an older sequence is skipped: the table still says Five
+    val osc4 = oscWithState(dir, 4, "Four")
+    Main.run(Array("diff", "-mapping", mappingFile, "-cachedir", state, osc4))
+    assert(DiffPipeline.readTables(spark, mapping, state)("poi")
+      .head().getAs[String]("name") == "Five")
+
+    // -force re-applies it anyway
+    Main.run(Array("diff", "-mapping", mappingFile, "-cachedir", state, "-force", osc4))
+    assert(DiffPipeline.readTables(spark, mapping, state)("poi")
+      .head().getAs[String]("name") == "Four")
+
+    // -commit-latest: both diffs land, pointer advances by 2 in one commit
+    val store = new graft.streaming.StateStore(spark, state)
+    val seqBefore = store.currentSeq
+    val osc6 = oscWithState(dir, 6, "Six")
+    val osc7 = oscWithState(dir, 7, "Seven")
+    Main.run(Array("diff", "-mapping", mappingFile, "-cachedir", state,
+      "-commit-latest", osc6, osc7))
+    assert(store.currentSeq == seqBefore + 2)
+    assert(DiffPipeline.readTables(spark, mapping, state)("poi")
+      .head().getAs[String]("name") == "Seven")
+    assert(Replication.readLocalStateAt(spark, s"$state/last.state.txt")
+      .map(_.sequence).contains(7L))
+  }
+
+  test("-config json supplies flags; command line overrides; schemas rename dirs") {
+    val mappingFile = writeMapping()
+    val state = Files.createTempDirectory("graft-cfg-state").toString
+    val conn = Files.createTempDirectory("graft-cfg-conn").toString
+    val cfg = Files.createTempDirectory("graft-cfg").resolve("config.json")
+    Files.write(cfg,
+      s"""{
+         |  "mapping": "$mappingFile",
+         |  "cachedir": "/nonexistent-overridden",
+         |  "connection": "$conn",
+         |  "srid": 3857,
+         |  "schemas": {"import": "imp", "production": "prod", "backup": "bak"}
+         |}""".stripMargin.getBytes("UTF-8"))
+    Main.run(Array("import", "-config", cfg.toString, "-read", writeBaseOsm(),
+      "-write", "-cachedir", state))
+    assert(spark.read.parquet(s"$conn/imp/poi").count() == 1)
+    Main.run(Array("import", "-config", cfg.toString, "-deployproduction"))
+    assert(spark.read.parquet(s"$conn/prod/poi").count() == 1)
+  }
+
+  test("diff -expiretiles-zoom writes tiles at the requested zoom") {
+    val mappingFile = writeMapping()
+    val state = Files.createTempDirectory("graft-exp-state").toString
+    val expire = Files.createTempDirectory("graft-exp-tiles").toString
+    val mapping = new graft.mapping.CompiledMapping(
+      graft.mapping.MappingConf.fromFile(mappingFile))
+    DiffPipeline.init(spark, mapping, state,
+      graft.sources.OsmXml.read(spark, writeBaseOsm()))
+    val osc = oscFile(Files.createTempDirectory("graft-exp-osc"), "Z")
+    Main.run(Array("diff", "-mapping", mappingFile, "-cachedir", state,
+      "-expiretiles-dir", expire, "-expiretiles-zoom", "10", osc))
+    val tiles = spark.read.textFile(s"$expire/1").collect()
+    assert(tiles.nonEmpty)
+    assert(tiles.forall(_.split("/")(0).toInt <= 10),
+      s"zoom must be capped at 10: ${tiles.mkString(",")}")
   }
 }
