@@ -185,6 +185,32 @@ object StreamingDedup {
     prep.unpersist()
   }
 
+  /** Compaction: rewrite every state table's full content into ONE fresh
+    * version and vacuum the rest. A long stream's manifests otherwise
+    * point into one small dir per batch that ever touched each bucket —
+    * dirs `vacuum` alone must keep because they are referenced — so file
+    * count grows with batch count; after compact it is proportional to
+    * bucket count again. Crash-safe for the same reason `applyBatch` is:
+    * everything lands at `currentSeq + 1`, invisible until the commit, and
+    * the read side (the committed manifests) is disjoint from the write
+    * side (the new version dir). Run it between batches, not concurrently
+    * with one — the store has a single committed pointer.
+    */
+  def compact(spark: SparkSession, stateDir: String): Unit = {
+    val store = new StateStore(spark, stateDir)
+    val committed = store.currentSeq
+    if (committed < 0) return
+    val next = committed + 1
+    Seq("decisions" -> decisionsSchema, "shingles" -> setsSchema,
+      "bands" -> bandsSchema).foreach { case (name, schema) =>
+      store.writeBucketed(name, next,
+        committedTable(spark, store, name, committed, schema), "doc_id")
+    }
+    store.write("batchmark", next, store.read("batchmark", committed))
+    store.commit(next)
+    store.vacuum(Seq("decisions", "shingles", "bands", "batchmark"), keep = 0)
+  }
+
   /** Drain all available parquet files under `inputDir` as micro-batches
     * (Trigger.AvailableNow), maintaining state/output across restarts via
     * the streaming checkpoint + the store's committed pointer.

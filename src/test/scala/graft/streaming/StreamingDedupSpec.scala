@@ -151,6 +151,50 @@ class StreamingDedupSpec extends SparkSpecBase {
     assert(acceptedIds(state) == Set(1L))
   }
 
+  test("compact folds scattered per-batch dirs into one version; stream continues") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("stream-dedup-compact").toString
+    val state = s"$root/state"
+    // three batches across two id buckets → the committed manifests point
+    // into several version dirs that plain vacuum must keep
+    StreamingDedup.applyBatch(Seq(doc(1, base)).toDF("doc_id", "text"), state, 0)
+    StreamingDedup.applyBatch(
+      Seq(doc(5000000L, base.replace("village", "hamlet"))).toDF("doc_id", "text"),
+      state, 1)
+    StreamingDedup.applyBatch(
+      Seq(doc(2, base.replace("evening", "morning"))).toDF("doc_id", "text"),
+      state, 2)
+    val store = new StateStore(spark, state)
+    store.vacuum(Seq("decisions", "shingles", "bands", "batchmark"), keep = 0)
+    def versionDirs(name: String): Set[String] = {
+      val d = new java.io.File(s"$state/$name")
+      if (!d.exists()) Set.empty
+      else d.listFiles().map(_.getName).filter(_.startsWith("v")).toSet
+    }
+    // the referenced-by-manifest dirs survive plain vacuum
+    assert(versionDirs("decisions").size > 1, versionDirs("decisions"))
+
+    val before = decisionPairs(state)
+    StreamingDedup.compact(spark, state)
+    // one version dir per table now; content identical
+    Seq("decisions", "shingles", "bands", "batchmark").foreach { n =>
+      assert(versionDirs(n) == Set("v3"), s"$n: ${versionDirs(n)}")
+    }
+    assert(decisionPairs(state) == before)
+    assert(acceptedIds(state) == Set(1L))
+
+    // the stream continues on top of the compacted state: the watermark
+    // survived, so batch 2 replays as a no-op and batch 3 applies
+    StreamingDedup.applyBatch(
+      Seq(doc(2, base.replace("evening", "morning"))).toDF("doc_id", "text"),
+      state, 2)
+    assert(decisionPairs(state) == before)
+    StreamingDedup.applyBatch(
+      Seq(doc(9, base.replace("fence", "hedge"))).toDF("doc_id", "text"),
+      state, 3)
+    assert(decisionPairs(state) == before + ((9L, 1L)))
+  }
+
   test("stream verdicts agree with the batch minhash operator") {
     import spark.implicits._
     val root = Files.createTempDirectory("stream-dedup-agree").toString
