@@ -209,7 +209,56 @@ object Similarity {
     graft.operators.IvfIndex.search(s, idx, corpus.filter(col("vec_id") < 10))
   }
 
+  // -- scalar int8 quantization ------------------------------------------------
+  // Per-vector symmetric quantization: scale = 127 / max|x|, q_i = round to
+  // nearest int in [-127, 127]. 4× memory cut for ANN corpora (the float32
+  // → int8 step every production vector store takes); the reconstruction
+  // RMSE column is the quality audit. Determinism: floor(x·s + 0.5) is the
+  // shared round-half-up spelling (Spark HALF_UP vs DuckDB half-even would
+  // diverge on exact .5), max is order-independent, and the error sum is a
+  // sequential fold on both engines. Pure per-row HOFs — one narrow scan,
+  // no shuffle, embarrassingly parallel at 100 TB.
+  private def quantizeInt8(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("amax", expr("array_max(transform(e, x -> abs(cast(x as double))))"))
+      .withColumn("scale", lit(127.0) / col("amax"))
+      .withColumn("q", expr(
+        "transform(e, x -> cast(floor(cast(x as double) * scale + 0.5) as bigint))"))
+      .withColumn("d", expr(
+        "zip_with(e, q, (x, qi) -> cast(x as double) - cast(qi as double) / scale)"))
+      .select(col("vec_id"),
+        round(col("scale"), 6).as("scale_r"),
+        expr("aggregate(q, 0L, (a, qi) -> a + abs(qi))").as("q_l1"),
+        md5(expr("array_join(transform(q, qi -> cast(qi as string)), ',')")).as("q_md5"),
+        round(sqrt(expr("aggregate(d, cast(0.0 as double), (a, x) -> a + x * x)") /
+          expr("cast(size(e) as double)")), 6).as("rmse_r"))
+      .orderBy("vec_id")
+
+  // -- Matryoshka-truncated cosine top-k ---------------------------------------
+  // Rank on the first 16 of 64 dims (an MRL-style prefix), renormalized.
+  // This is the cheap first pass of a two-stage retrieval: 4× less data
+  // scanned and moved per query; the full-dim rerank of the shortlist is
+  // exactly s_cosine_topk's plan over k·|q| rows instead of the corpus.
+  // Same VecDot/VecNorm codegen'd kernels — `slice` keeps the array a raw
+  // float array.
+  private def cosineMrl(s: SparkSession, dir: String): DataFrame = {
+    val v = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("slice(embedding, 1, 16)").as("e"))
+      .withColumn("nrm", vecNorm(col("e")))
+    val q = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val scored = v.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("sim_r", round(dotQE / (col("qn") * col("nrm")), 6))
+    top5(scored)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("sim_r"))
+      .orderBy("q_id", "rnk")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "s_quantize_int8"   -> (quantizeInt8 _),
+    "s_cosine_mrl"      -> (cosineMrl _),
     "s_cosine_topk"     -> (cosineTopK _),
     "s_ann_lsh"         -> (annLsh _),
     "s_ann_lsh_probe"   -> (annLshProbe _),
@@ -246,6 +295,38 @@ object Similarity {
        |  FROM $prev p LEFT JOIN n$i USING (c_id))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "s_quantize_int8" ->
+      """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |sc AS (SELECT vec_id, e,
+        |    127.0 / list_max(list_transform(e, x -> abs(x))) AS scale
+        |  FROM e0),
+        |qq AS (SELECT vec_id, e, scale,
+        |    list_transform(e, x -> floor(x * scale + 0.5)::BIGINT) AS q
+        |  FROM sc),
+        |dd AS (SELECT vec_id, scale, q,
+        |    list_transform(generate_series(1, len(e)),
+        |      i -> e[i] - CAST(q[i] AS DOUBLE) / scale) AS d,
+        |    len(e) AS dim
+        |  FROM qq)
+        |SELECT vec_id, round(scale, 6) AS scale_r,
+        |  list_sum(list_transform(q, qi -> abs(qi)))::BIGINT AS q_l1,
+        |  md5(array_to_string(q, ',')) AS q_md5,
+        |  round(sqrt(list_dot_product(d, d) / CAST(dim AS DOUBLE)), 6) AS rmse_r
+        |FROM dd ORDER BY vec_id""".stripMargin,
+    "s_cosine_mrl" ->
+      """WITH v AS (SELECT vec_id, list_slice(embedding::DOUBLE[], 1, 16) AS e,
+        |    sqrt(list_dot_product(list_slice(embedding::DOUBLE[], 1, 16),
+        |      list_slice(embedding::DOUBLE[], 1, 16))) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM v WHERE vec_id < 10),
+        |p AS (SELECT q_id, vec_id AS neighbor_id,
+        |    round(list_dot_product(qe, e) / (qn * nrm), 6) AS sim_r
+        |  FROM q, v WHERE vec_id != q_id),
+        |r AS (SELECT q_id, neighbor_id, sim_r,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim_r DESC, neighbor_id) AS rnk
+        |  FROM p)
+        |SELECT q_id, rnk::BIGINT AS rnk, neighbor_id, sim_r FROM r
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "s_cosine_topk" ->
       s"""WITH $vSql,
          |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM v WHERE vec_id < 10),

@@ -629,6 +629,74 @@ object TextOps {
         base64(substring(col("text"), 1, 16).cast("binary")).as("head_b64"))
       .orderBy("doc_id")
 
+  // -- corpus mixing: per-language sampling to a target blend ------------------
+  // Training mixes are defined as per-stratum rates (downsample the dominant
+  // web-English pile, keep the scarce languages whole). Like
+  // q_stratified_sample this is a pure per-row hash decision: no shuffle, no
+  // RNG state, reproducible under retries/re-partitioning — at 100 TB the
+  // mix is one narrow filtered scan, and changing the recipe is a
+  // broadcast-map change, not a new pass over the corpus.
+  private def mixWeighted(s: SparkSession, dir: String): DataFrame = {
+    val rates = map(
+      lit("en"), lit(25L), lit("zh"), lit(60L),
+      lit("de"), lit(80L), lit("fr"), lit(80L), lit("es"), lit(80L))
+    docs(s, dir)
+      .withColumn("bucket", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100"))
+      .withColumn("rate", coalesce(element_at(rates, col("lang")), lit(100L)))
+      .filter(col("bucket") < col("rate"))
+      .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** BM25 query terms: one near-ubiquitous, one common, one rare —
+    * the idf spread the saturation curve is about. */
+  private val bmTerms = Seq("spark", "key", "dup")
+
+  // -- keyword relevance: BM25-shaped scoring ---------------------------------
+  // tf-saturation × doc-length normalization × idf (k1 = 1.2, b = 0.75).
+  // The idf is the rational core (N - df + ½)/(df + ½) WITHOUT the log:
+  // ln() is the one operation whose last bit libm implementations disagree
+  // on, and the gate compares bit-exact hashes — every op used here (+ − ×
+  // ÷) is IEEE exactly-rounded, so an identical expression tree gives
+  // identical doubles on both engines. Ranking is unaffected for a
+  // single-term query and near-identical for short queries (the map is
+  // monotone); swap in ln() when nothing diff-tests the scores.
+  // Scale: a fixed query term list means NO inverted index pass — tf per
+  // term is a codegen'd filter over the token array in one narrow scan, the
+  // corpus stats (N, Σdl, df per term) are one tiny aggregate broadcast
+  // back. An ad-hoc-query serving path would build the df-capped posting
+  // index of d_dedup_ngram instead.
+  private def bm25(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .withColumn("toks", tokensExpr)
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val withTf = bmTerms.zipWithIndex.foldLeft(base) { case (df, (term, i)) =>
+      df.withColumn(s"tf$i",
+        expr(s"size(filter(toks, x -> x = '$term'))").cast("long"))
+    }
+    val aggs = Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")) ++
+      bmTerms.indices.map(i =>
+        sum((col(s"tf$i") > 0).cast("long")).as(s"df$i"))
+    val stats = withTf.agg(aggs.head, aggs.tail: _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+    val weights = bmTerms.indices.map { i =>
+      val dfD = col(s"df$i").cast("double")
+      val tfD = col(s"tf$i").cast("double")
+      val idf = ((col("n_docs").cast("double") - dfD) + lit(0.5)) / (dfD + lit(0.5))
+      // 0/den = 0 when tf = 0, so absent terms contribute exactly 0.0
+      idf * ((tfD * lit(2.2)) /
+        (tfD + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))))
+    }
+    scored
+      .withColumn("score_r", round(weights.reduce(_ + _), 6))
+      .select((col("doc_id") +: bmTerms.zipWithIndex.map { case (t, i) =>
+        col(s"tf$i").as(s"tf_$t") } :+ col("score_r")): _*)
+      .orderBy(col("score_r").desc, col("doc_id"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "d_dedup_exact"       -> (dedupExact _),
     "d_dedup_fingerprint" -> (dedupFingerprint _),
@@ -648,6 +716,8 @@ object TextOps {
     "d_repetition"        -> (repetition _),
     "d_pii_scrub"         -> (piiScrubCustomer _),
     "d_lang_id"           -> (langId _),
+    "d_mix_weighted"      -> (mixWeighted _),
+    "d_bm25"              -> (bm25 _),
     "m_binary_meta"       -> (binaryMeta _)
   )
 
@@ -915,6 +985,39 @@ object TextOps {
          |    $counts
          |  FROM (SELECT doc_id, $tokensSql AS toks FROM documents))
          |ORDER BY doc_id""".stripMargin
+    },
+    "d_mix_weighted" ->
+      """SELECT doc_id, lang, source, bucket FROM (
+        | SELECT doc_id, lang, source,
+        |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket,
+        |  CASE lang WHEN 'en' THEN 25 WHEN 'zh' THEN 60 WHEN 'de' THEN 80
+        |   WHEN 'fr' THEN 80 WHEN 'es' THEN 80 ELSE 100 END AS rate
+        | FROM documents)
+        |WHERE bucket < rate ORDER BY doc_id""".stripMargin,
+    "d_bm25" -> {
+      // identical expression tree to the Spark side: every op is IEEE
+      // exactly-rounded, so same tree ⇒ same bits (see bm25's header)
+      def w(i: Int) =
+        s"(((CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE)) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))" +
+          s" * ((CAST(tf$i AS DOUBLE) * 2.2) / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))"
+      val tfCols = bmTerms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(toks, x -> x = '$t'))::BIGINT AS tf$i" }.mkString(",\n    ")
+      val dfCols = bmTerms.indices.map(i =>
+        s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)::BIGINT AS df$i").mkString(",\n    ")
+      val outTf = bmTerms.zipWithIndex.map { case (t, i) => s"tf$i AS tf_$t" }.mkString(", ")
+      s"""WITH tf AS (
+         |  SELECT doc_id, len(toks)::BIGINT AS dl,
+         |    $tfCols
+         |  FROM (SELECT doc_id, $tokensSql AS toks FROM documents)),
+         |stats AS (
+         |  SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl,
+         |    $dfCols
+         |  FROM tf),
+         |s2 AS (SELECT *, CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl FROM stats)
+         |SELECT doc_id, $outTf,
+         |  round((${w(0)} + ${w(1)}) + ${w(2)}, 6) AS score_r
+         |FROM tf, s2
+         |ORDER BY score_r DESC, doc_id""".stripMargin
     },
     "d_chunks" ->
       s"""WITH d AS (SELECT doc_id, $tokensSql AS toks FROM documents),
