@@ -30,7 +30,8 @@ object SparkEntry {
     "q_window_top3", "q_window_top3_topk", "q_sessionize", "q_top_parts",
     "q_asof_views", "q_asof_nearest", "q_range_windows",
     "d_dedup_minhash", "d_dedup_simhash", "d_token_stats", "d_chunks",
-    "d_chunks_cdc", "d_corpus_pipeline",
-    "s_cosine_topk", "s_ann_lsh", "s_ann_lsh_probe", "s_ann_ivf_kmeans"
+    "d_chunks_cdc", "d_corpus_pipeline", "d_mix_weighted", "d_bm25",
+    "s_cosine_topk", "s_ann_lsh", "s_ann_lsh_probe", "s_ann_ivf_kmeans",
+    "s_quantize_int8"
   )
 }

@@ -697,6 +697,44 @@ object TextOps {
       .orderBy(col("score_r").desc, col("doc_id"))
   }
 
+  // -- sequence packing (concat-and-split) -------------------------------------
+  // GPT-style training batches: documents are concatenated in a fixed order
+  // and split into fixed-length sequences; each doc's global token offset
+  // determines which sequence(s) it lands in and where. The offset is the
+  // classic "needs a global cumsum" — computed by operators.PrefixSum's
+  // two-phase scan (one range shuffle + two passes), NOT by the
+  // single-partition `Window.orderBy` collapse.
+  private val PackSeqLen = 256L
+
+  private def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val nt = docs(s, dir)
+      .select(col("doc_id"), size(tokensExpr).cast("long").as("n_tokens"))
+    graft.operators.PrefixSum.exclusive(nt, "doc_id", "n_tokens", "offset")
+      .select(col("doc_id"), col("n_tokens"), col("offset"),
+        expr(s"offset div $PackSeqLen").as("seq_first"),
+        greatest(expr(s"offset div $PackSeqLen"),
+          expr(s"(offset + n_tokens - 1) div $PackSeqLen")).as("seq_last"),
+        expr(s"offset % $PackSeqLen").as("pos_in_seq"))
+      .orderBy("doc_id")
+  }
+
+  // -- deterministic global shuffle --------------------------------------------
+  // Every training epoch needs a reproducible random permutation of the
+  // corpus. Key = md5 of (epoch salt, doc_id) — the permutation is a pure
+  // function of the salt, stable under retries and re-partitioning; the
+  // dense position comes from the same two-phase prefix scan (value = 1),
+  // again avoiding the global-Window single-partition trap. At 100 TB the
+  // position column is what a downstream loader range-reads by.
+  private def shuffleDocs(s: SparkSession, dir: String): DataFrame = {
+    val keyed = docs(s, dir)
+      .select(col("doc_id"),
+        md5(concat(lit("epoch1:"), col("doc_id").cast("string"))).as("shuffle_key"))
+      .withColumn("one", lit(1L))
+    graft.operators.PrefixSum.exclusive(keyed, "shuffle_key", "one", "pos")
+      .select(col("doc_id"), col("shuffle_key"), col("pos"))
+      .orderBy("pos")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "d_dedup_exact"       -> (dedupExact _),
     "d_dedup_fingerprint" -> (dedupFingerprint _),
@@ -718,6 +756,8 @@ object TextOps {
     "d_lang_id"           -> (langId _),
     "d_mix_weighted"      -> (mixWeighted _),
     "d_bm25"              -> (bm25 _),
+    "d_pack_sequences"    -> (packSequences _),
+    "d_shuffle"           -> (shuffleDocs _),
     "m_binary_meta"       -> (binaryMeta _)
   )
 
@@ -986,6 +1026,24 @@ object TextOps {
          |  FROM (SELECT doc_id, $tokensSql AS toks FROM documents))
          |ORDER BY doc_id""".stripMargin
     },
+    "d_pack_sequences" ->
+      s"""WITH nt AS (SELECT doc_id, len($tokensSql)::BIGINT AS n_tokens FROM documents),
+         |o AS (SELECT doc_id, n_tokens,
+         |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS "offset"
+         |  FROM nt)
+         |SELECT doc_id, n_tokens, "offset",
+         |  "offset" // $PackSeqLen AS seq_first,
+         |  greatest("offset" // $PackSeqLen,
+         |    ("offset" + n_tokens - 1) // $PackSeqLen) AS seq_last,
+         |  "offset" % $PackSeqLen AS pos_in_seq
+         |FROM o ORDER BY doc_id""".stripMargin,
+    "d_shuffle" ->
+      """SELECT doc_id, shuffle_key,
+        |  (row_number() OVER (ORDER BY shuffle_key) - 1)::BIGINT AS pos
+        |FROM (SELECT doc_id, md5('epoch1:' || doc_id::VARCHAR) AS shuffle_key
+        |  FROM documents)
+        |ORDER BY pos""".stripMargin,
     "d_mix_weighted" ->
       """SELECT doc_id, lang, source, bucket FROM (
         | SELECT doc_id, lang, source,
