@@ -468,15 +468,38 @@ object TextOps {
   private val RollMod = 2147483647L // 2^31 − 1
   private val RollBase = 131L
 
+  /** Per-char codepoints, zero-padded 8 past the end. `substring(text, j,
+    * 1)` inside a per-position lambda is O(j) on UTF8String — window
+    * hashing through it is O(len²) per doc (measured 33 s for d_chunks_cdc
+    * at sf0.1); one split-to-chars pass + O(1) `slice` lookups is O(8·len).
+    * The padding reproduces `ascii('') = 0` for reads past the end on
+    * sub-8-char docs, so hash VALUES (and the oracles) are unchanged.
+    */
+  private val charCodesSql: String =
+    "concat(transform(slice(split(text, ''), 1, length(text)), " +
+      "c -> cast(ascii(c) as bigint)), array_repeat(0L, 8))"
+
+  /** Evaluate `inner` ONCE per row and bind it as lambda variable `v`
+    * inside `body`. A plain `withColumn("codes", …)` is NOT enough:
+    * CollapseProject inlines the codes expression into every lambda that
+    * references it, and an outer-expression reference inside a
+    * higher-order function is re-evaluated PER ELEMENT — the codes-array
+    * rewrite got 6× slower that way (210 s) until routed through this
+    * barrier. A 1-element transform makes it a lambda-variable binding,
+    * which nothing inlines through.
+    */
+  private def bind1(inner: String, v: String, body: String): String =
+    s"element_at(transform(array($inner), $v -> $body), 1)"
+
   private def fingerprintRolling(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .withColumn("roll_hash", expr(
-        s"aggregate(sequence(1, length(text)), 0L, " +
-          s"(a, i) -> (a * $RollBase + ascii(substring(text, i, 1))) % $RollMod)"))
-      .withColumn("min_window_hash", expr(
+      .withColumn("roll_hash", expr(bind1(charCodesSql, "cs",
+        s"aggregate(slice(cs, 1, length(text)), 0L, " +
+          s"(a, c) -> (a * $RollBase + c) % $RollMod)")))
+      .withColumn("min_window_hash", expr(bind1(charCodesSql, "cs",
         s"array_min(transform(sequence(1, greatest(length(text) - 7, 1)), " +
-          s"i -> aggregate(sequence(i, i + 7), 0L, " +
-          s"(a, j) -> (a * $RollBase + ascii(substring(text, j, 1))) % $RollMod)))"))
+          s"i -> aggregate(slice(cs, i, 8), 0L, " +
+          s"(a, c) -> (a * $RollBase + c) % $RollMod)))")))
       .select(col("doc_id"), col("roll_hash"), col("min_window_hash"))
       .orderBy("doc_id")
 
@@ -579,42 +602,47 @@ object TextOps {
   private val CdcMinLen = 32
   private val CdcMaxLen = 128
 
-  private def chunkCdc(s: SparkSession, dir: String): DataFrame =
+  private def chunkCdc(s: SparkSession, dir: String): DataFrame = {
+    val candsSql = bind1(charCodesSql, "cs",
+      s"filter(transform(sequence(1, greatest(length(text) - 7, 1)), " +
+        s"i -> if(aggregate(slice(cs, i, 8), 0L, " +
+        s"(a, c) -> (a * $RollBase + c) % $RollMod) % $CdcMask = 0, i, -1)), " +
+        "x -> x > 1)")
+    // left fold over ascending candidates: `element_at(acc, -1)` is the
+    // last boundary BEFORE this step, so the forced-cut count nf and the
+    // acceptance test (gap from last+nf*CdcMaxLen at least CdcMinLen)
+    // both read consistent state within one lambda evaluation
+    val starts0Sql = bind1(candsSql, "cv",
+      s"""aggregate(cv, array(1), (acc, c) -> concat(acc,
+         |  if(c - element_at(acc, -1) - 1 >= $CdcMaxLen,
+         |    transform(sequence(1, cast((c - element_at(acc, -1) - 1) div $CdcMaxLen as int)),
+         |      f -> element_at(acc, -1) + f * $CdcMaxLen),
+         |    array()),
+         |  if(c - (element_at(acc, -1) + cast((c - element_at(acc, -1) - 1) div $CdcMaxLen as int) * $CdcMaxLen) >= $CdcMinLen,
+         |    array(c), array())))""".stripMargin.replace("\n", " "))
+    // trailing forced cuts: the final chunk may not exceed CdcMaxLen either
+    val startsSql = bind1(starts0Sql, "s0",
+      s"""concat(s0,
+         |  if(length(text) - element_at(s0, -1) >= $CdcMaxLen,
+         |    transform(sequence(1, cast((length(text) - element_at(s0, -1)) div $CdcMaxLen as int)),
+         |      f -> element_at(s0, -1) + f * $CdcMaxLen),
+         |    array()))""".stripMargin.replace("\n", " "))
+    // the whole boundary chain is nested bind1 stages: every stage's input
+    // is a lambda variable, so codes/cands/starts each evaluate once per
+    // row — in particular `element_at(st, j + 2)` below would otherwise
+    // re-evaluate the full chain once PER CHUNK
     docs(s, dir)
-      .withColumn("cands", expr(
-        s"filter(transform(sequence(1, greatest(length(text) - 7, 1)), " +
-          s"i -> if(aggregate(sequence(i, i + 7), 0L, " +
-          s"(a, j) -> (a * $RollBase + ascii(substring(text, j, 1))) % $RollMod) % $CdcMask = 0, i, -1)), " +
-          "x -> x > 1)"))
-      // left fold over ascending candidates: `element_at(acc, -1)` is the
-      // last boundary BEFORE this step, so the forced-cut count nf and the
-      // acceptance test (gap from last+nf*CdcMaxLen at least CdcMinLen)
-      // both read consistent state within one lambda evaluation
-      .withColumn("starts0", expr(
-        s"""aggregate(cands, array(1), (acc, c) -> concat(acc,
-           |  if(c - element_at(acc, -1) - 1 >= $CdcMaxLen,
-           |    transform(sequence(1, cast((c - element_at(acc, -1) - 1) div $CdcMaxLen as int)),
-           |      f -> element_at(acc, -1) + f * $CdcMaxLen),
-           |    array()),
-           |  if(c - (element_at(acc, -1) + cast((c - element_at(acc, -1) - 1) div $CdcMaxLen as int) * $CdcMaxLen) >= $CdcMinLen,
-           |    array(c), array())))""".stripMargin.replace("\n", " ")))
-      // trailing forced cuts: the final chunk may not exceed CdcMaxLen either
-      .withColumn("starts", expr(
-        s"""concat(starts0,
-           |  if(length(text) - element_at(starts0, -1) >= $CdcMaxLen,
-           |    transform(sequence(1, cast((length(text) - element_at(starts0, -1)) div $CdcMaxLen as int)),
-           |      f -> element_at(starts0, -1) + f * $CdcMaxLen),
-           |    array()))""".stripMargin.replace("\n", " ")))
       .select(col("doc_id"), col("text"),
-        posexplode(expr(
-          "transform(starts, (s, j) -> struct(s AS s, " +
-            "if(j = size(starts) - 1, length(text), element_at(starts, j + 2) - 1) AS e))"))
+        posexplode(expr(bind1(startsSql, "st",
+          "transform(st, (s, j) -> struct(s AS s, " +
+            "if(j = size(st) - 1, length(text), element_at(st, j + 2) - 1) AS e))")))
           .as(Seq("chunk_idx", "se")))
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         col("se.s").cast("long").as("start_pos"),
         (col("se.e") - col("se.s") + 1).cast("long").as("n_chars"),
         md5(expr("substring(text, se.s, se.e - se.s + 1)")).as("chunk_md5"))
       .orderBy("doc_id", "chunk_idx")
+  }
 
   // -- multimodal plumbing: opaque binary payload + typed metadata ------------
   // The decode itself is stubbed (no codec libs in-container); the Spark-side
