@@ -468,39 +468,24 @@ object TextOps {
   private val RollMod = 2147483647L // 2^31 − 1
   private val RollBase = 131L
 
-  /** Per-char codepoints, zero-padded 8 past the end. `substring(text, j,
-    * 1)` inside a per-position lambda is O(j) on UTF8String — window
-    * hashing through it is O(len²) per doc (measured 33 s for d_chunks_cdc
-    * at sf0.1); one split-to-chars pass + O(1) `slice` lookups is O(8·len).
-    * The padding reproduces `ascii('') = 0` for reads past the end on
-    * sub-8-char docs, so hash VALUES (and the oracles) are unchanged.
-    */
-  private val charCodesSql: String =
-    "concat(transform(slice(split(text, ''), 1, length(text)), " +
-      "c -> cast(ascii(c) as bigint)), array_repeat(0L, 8))"
-
   /** Evaluate `inner` ONCE per row and bind it as lambda variable `v`
-    * inside `body`. A plain `withColumn("codes", …)` is NOT enough:
-    * CollapseProject inlines the codes expression into every lambda that
-    * references it, and an outer-expression reference inside a
-    * higher-order function is re-evaluated PER ELEMENT — the codes-array
-    * rewrite got 6× slower that way (210 s) until routed through this
-    * barrier. A 1-element transform makes it a lambda-variable binding,
-    * which nothing inlines through.
+    * inside `body`. A plain `withColumn` is NOT enough: CollapseProject
+    * inlines the named expression into every lambda that references it,
+    * and an outer-expression reference inside a higher-order function is
+    * re-evaluated PER ELEMENT (measured 33 s → 210 s when the char-codes
+    * array was a withColumn). A 1-element transform makes it a
+    * lambda-variable binding, which nothing inlines through.
     */
   private def bind1(inner: String, v: String, body: String): String =
     s"element_at(transform(array($inner), $v -> $body), 1)"
 
   private def fingerprintRolling(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .withColumn("roll_hash", expr(bind1(charCodesSql, "cs",
-        s"aggregate(slice(cs, 1, length(text)), 0L, " +
-          s"(a, c) -> (a * $RollBase + c) % $RollMod)")))
-      .withColumn("min_window_hash", expr(bind1(charCodesSql, "cs",
-        s"array_min(transform(sequence(1, greatest(length(text) - 7, 1)), " +
-          s"i -> aggregate(slice(cs, i, 8), 0L, " +
-          s"(a, c) -> (a * $RollBase + c) % $RollMod)))")))
-      .select(col("doc_id"), col("roll_hash"), col("min_window_hash"))
+      .select(col("doc_id"),
+        graft.functions.RollingHashFunctions
+          .rollHash(col("text"), RollBase, RollMod).as("roll_hash"),
+        graft.functions.RollingHashFunctions
+          .rollMinWindow(col("text"), RollBase, RollMod).as("min_window_hash"))
       .orderBy("doc_id")
 
   // -- token counting: whitespace vs BPE-ish subword regex ---------------------
@@ -603,16 +588,11 @@ object TextOps {
   private val CdcMaxLen = 128
 
   private def chunkCdc(s: SparkSession, dir: String): DataFrame = {
-    val candsSql = bind1(charCodesSql, "cs",
-      s"filter(transform(sequence(1, greatest(length(text) - 7, 1)), " +
-        s"i -> if(aggregate(slice(cs, i, 8), 0L, " +
-        s"(a, c) -> (a * $RollBase + c) % $RollMod) % $CdcMask = 0, i, -1)), " +
-        "x -> x > 1)")
     // left fold over ascending candidates: `element_at(acc, -1)` is the
     // last boundary BEFORE this step, so the forced-cut count nf and the
     // acceptance test (gap from last+nf*CdcMaxLen at least CdcMinLen)
     // both read consistent state within one lambda evaluation
-    val starts0Sql = bind1(candsSql, "cv",
+    val starts0Sql = bind1("cands", "cv",
       s"""aggregate(cv, array(1), (acc, c) -> concat(acc,
          |  if(c - element_at(acc, -1) - 1 >= $CdcMaxLen,
          |    transform(sequence(1, cast((c - element_at(acc, -1) - 1) div $CdcMaxLen as int)),
@@ -627,11 +607,13 @@ object TextOps {
          |    transform(sequence(1, cast((length(text) - element_at(s0, -1)) div $CdcMaxLen as int)),
          |      f -> element_at(s0, -1) + f * $CdcMaxLen),
          |    array()))""".stripMargin.replace("\n", " "))
-    // the whole boundary chain is nested bind1 stages: every stage's input
-    // is a lambda variable, so codes/cands/starts each evaluate once per
-    // row — in particular `element_at(st, j + 2)` below would otherwise
-    // re-evaluate the full chain once PER CHUNK
+    // candidate scan = the codegen'd roll_candidates expression; the fold
+    // chain above it is nested bind1 stages so cands/starts each evaluate
+    // once per row — in particular `element_at(st, j + 2)` below would
+    // otherwise re-evaluate the full chain once PER CHUNK
     docs(s, dir)
+      .withColumn("cands", graft.functions.RollingHashFunctions
+        .rollCandidates(col("text"), RollBase, RollMod, CdcMask))
       .select(col("doc_id"), col("text"),
         posexplode(expr(bind1(startsSql, "st",
           "transform(st, (s, j) -> struct(s AS s, " +
