@@ -402,6 +402,50 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // -- duplicate-span inventory (exact substring dedup) -----------------------
+  // Span-level exact dedup à la "Deduplicating Training Data Makes Language
+  // Models Better": every SpanK-token window is hashed and windows whose hash
+  // occurs in ≥2 documents are duplicated spans. The sequential literature
+  // builds a suffix array; the distributed spelling is an embarrassingly
+  // parallel explode (one row per corpus token, carrying only (doc_id, hash))
+  // into ONE hash-partitioned aggregate — no all-pairs work, map-side partial
+  // aggregation absorbs within-partition repeats. md5 is the oracle-parity
+  // hash; at 100 TB you would carry xxhash64 (8 bytes vs 32) instead.
+  private[queries] val SpanK = 15
+
+  private def spanWindows(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("toks", tokensExpr)
+      .select(col("doc_id"), explode(wordNgramsExpr(SpanK)).as("span"))
+      .select(col("doc_id"), md5(col("span")).as("span_hash"))
+
+  private def dedupSpans(s: SparkSession, dir: String): DataFrame =
+    spanWindows(s, dir)
+      .groupBy("span_hash")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("span_hash")
+
+  // Per-doc duplication fraction — the filtering signal derived from the span
+  // inventory (drop or trim docs whose dup_ratio exceeds a budget). The
+  // windows frame is deliberately recomputed on both sides of the join: at
+  // corpus scale a narrow scan+explode is cheaper than caching corpus-sized
+  // window rows, and both sides shuffle on the same span_hash key.
+  private def dupRatio(s: SparkSession, dir: String): DataFrame = {
+    val w = spanWindows(s, dir)
+    val perHash = w.groupBy("span_hash")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    w.join(perHash, Seq("span_hash"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+      .withColumn("dup_ratio",
+        col("n_dup_windows").cast("double") / col("n_windows").cast("double"))
+      .orderBy("doc_id")
+  }
+
   // -- quality-aware dedup resolution: keep the best doc per cluster ----------
   // Production dedup does not keep min-id — it keeps the BEST member of each
   // near-dup cluster. Survivor = the member with the most word tokens,
@@ -753,6 +797,8 @@ object TextOps {
     "d_dedup_simhash"     -> (dedupSimHash _),
     "d_dedup_clusters"    -> (dedupClusters _),
     "d_dedup_keep_best"   -> (dedupKeepBest _),
+    "d_dedup_spans"       -> (dedupSpans _),
+    "d_dup_ratio"         -> (dupRatio _),
     "d_decontaminate"     -> (decontaminate _),
     "d_token_stats"       -> (tokenStats _),
     "d_fingerprint_roll"  -> (fingerprintRolling _),
@@ -899,6 +945,30 @@ object TextOps {
          |       ELSE 'clean' END AS decontam_bucket
          |FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
          |ORDER BY c.doc_id""".stripMargin,
+    "d_dedup_spans" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |w AS (SELECT doc_id,
+         |    md5(array_to_string(list_slice(toks, i, i + ${SpanK - 1}), ' ')) AS span_hash
+         |  FROM tk, unnest(range(1, len(toks) - $SpanK + 2)) AS u(i)
+         |  WHERE len(toks) >= $SpanK)
+         |SELECT span_hash, count(DISTINCT doc_id)::BIGINT AS n_docs,
+         |  count(*)::BIGINT AS n_occ, min(doc_id) AS first_doc
+         |FROM w GROUP BY span_hash HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY span_hash""".stripMargin,
+    "d_dup_ratio" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |w AS (SELECT doc_id,
+         |    md5(array_to_string(list_slice(toks, i, i + ${SpanK - 1}), ' ')) AS span_hash
+         |  FROM tk, unnest(range(1, len(toks) - $SpanK + 2)) AS u(i)
+         |  WHERE len(toks) >= $SpanK),
+         |per_hash AS (SELECT span_hash, count(DISTINCT doc_id) AS nd
+         |  FROM w GROUP BY span_hash)
+         |SELECT w.doc_id, count(*)::BIGINT AS n_windows,
+         |  sum(CASE WHEN p.nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_windows,
+         |  sum(CASE WHEN p.nd >= 2 THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*)::DOUBLE AS dup_ratio
+         |FROM w JOIN per_hash p ON w.span_hash = p.span_hash
+         |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
     "d_dedup_simhash" ->
       s"""WITH tf AS (
          |  SELECT doc_id, tok, count(*)::BIGINT AS c,

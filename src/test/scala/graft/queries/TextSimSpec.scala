@@ -156,6 +156,25 @@ class TextSimSpec extends SparkSpecBase {
     }
   }
 
+  test("duplicate spans: cross-doc multiplicity and ratio accounting agree") {
+    val spans = run("d_dedup_spans").collect()
+    spans.foreach { r =>
+      assert(r.getAs[String]("span_hash").length == 32)
+      val (nd, no) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_occ"))
+      assert(nd >= 2 && no >= nd)
+    }
+    val ratios = run("d_dup_ratio").collect()
+    ratios.foreach { r =>
+      val (w, d) = (r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup_windows"))
+      assert(w > 0 && d >= 0 && d <= w)
+      assert(r.getAs[Double]("dup_ratio") == d.toDouble / w.toDouble)
+    }
+    // a window is "duplicated" iff its hash is a duplicate span, so the
+    // per-doc dup-window total must equal the span inventory's occurrences
+    assert(ratios.map(_.getAs[Long]("n_dup_windows")).sum ==
+      spans.map(_.getAs[Long]("n_occ")).sum)
+  }
+
   test("keep-best survivors: partition of the corpus, argmax-token member") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet").count()
     val clusters = run("d_dedup_clusters").collect()
