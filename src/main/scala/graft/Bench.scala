@@ -134,6 +134,10 @@ object Bench {
     // overhead (the whole story at 270 KB) amortizes below ~20% of wall time.
     // Stage split: parse = blob decode into the cached element frames;
     // import = match + way/relation assembly + geometry build + noop sink.
+    // per-rep phase times, surfaced in the JSON line so the recorded
+    // bench shows min + spread (one-look adjudication of environment
+    // noise vs plan regressions)
+    var osmReps: Option[String] = None
     val synthResult =
       if (sys.env.get("SPARK_GRAFT_BENCH_OSM").contains("0") ||
         sys.env.get("SPARK_GRAFT_BENCH_OSM_SCALE").contains("0") ||
@@ -206,6 +210,10 @@ object Bench {
             f"gen=$tGen%.1fs (${parsed / (tParse + tImport + tGen)}%.0f elem/s end-to-end)")
         System.err.println(s"[bench] stats ${stats.report()}")
         graft.operators.ImportStats.detach(spark, stats)
+        def repArr(f: ((Long, Double, Double, Double)) => Double) =
+          phaseRuns.map(r => f"${f(r)}%.2f").mkString("[", ",", "]")
+        osmReps = Some(
+          s"""{"parse":${repArr(_._2)},"import":${repArr(_._3)},"gen":${repArr(_._4)}}""")
         Seq(s"osm_parse_synth$copies" -> tParse,
           s"osm_import_synth$copies" -> tImport,
           s"osm_generalize_synth$copies" -> tGen)
@@ -217,7 +225,8 @@ object Bench {
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = all.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val repsField = osmReps.map(r => s""","osm_reps":$r""").getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$repsField}""")
     spark.stop()
   }
 }

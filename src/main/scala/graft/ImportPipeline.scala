@@ -24,7 +24,7 @@ final class ImportPipeline(
     srid: Int = 3857,
     limit: Option[graft.operators.Limitto] = None,
     storage: org.apache.spark.storage.StorageLevel =
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) extends Serializable {
+      ImportPipeline.defaultStorage) extends Serializable {
 
   import spark.implicits._
 
@@ -34,8 +34,9 @@ final class ImportPipeline(
     * frame, so without these caches each of the mapping's N tables would
     * re-run the matchers, geometry construction, and clipping — N× the
     * work (measured 8× slower end-to-end on a 400-tile Monaco bench).
-    * Spill-safe: `storage` defaults to MEMORY_AND_DISK; planet-scale runs
-    * pass DISK_ONLY.
+    * Spill-safe: `storage` defaults to ImportPipeline.defaultStorage
+    * (MEMORY_AND_DISK, degrading to DISK_ONLY when the heap is oversized
+    * for the box); planet-scale runs pass DISK_ONLY explicitly.
     */
   @transient private val persisted = scala.collection.mutable.Buffer.empty[(Int, DataFrame)]
 
@@ -382,4 +383,30 @@ final class ImportPipeline(
 object ImportPipeline {
   def apply(spark: SparkSession, mappingFile: String, srid: Int = 3857): ImportPipeline =
     new ImportPipeline(spark, new CompiledMapping(MappingConf.fromFile(mappingFile)), srid)
+
+  /** Stage-cache storage level, chosen for the box the JVM actually runs
+    * on. MEMORY_AND_DISK is right when the heap is sized sanely (blocks
+    * that fit stay hot, the rest spill); but with the heap configured past
+    * half of physical RAM, Spark's storage pool happily inflates the
+    * resident set until the OS starts page-faulting every executor thread
+    * — the same failure mode Bench.sinkPoolSize degrades for, observed as
+    * 25s→190s on the import phase under a ~90g-on-125GiB heap. DISK_ONLY
+    * caps the storage pool's resident footprint there: cached blocks go
+    * straight to local disk (page-cache backed, still far cheaper than
+    * recompute) and the heap stays available for shuffle/execution.
+    * Override with SPARK_GRAFT_STAGE_STORAGE=MEMORY_AND_DISK|DISK_ONLY.
+    */
+  def defaultStorage: org.apache.spark.storage.StorageLevel = {
+    import org.apache.spark.storage.StorageLevel
+    sys.env.get("SPARK_GRAFT_STAGE_STORAGE")
+      .map(StorageLevel.fromString)
+      .getOrElse {
+        val phys = java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+          case b: com.sun.management.OperatingSystemMXBean => b.getTotalMemorySize
+          case _ => Long.MaxValue
+        }
+        if (Runtime.getRuntime.maxMemory > phys / 2) StorageLevel.DISK_ONLY
+        else StorageLevel.MEMORY_AND_DISK
+      }
+  }
 }

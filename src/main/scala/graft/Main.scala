@@ -141,9 +141,15 @@ object Main {
       rest match {
         case f :: tail if f.startsWith("-") =>
           val name = f.dropWhile(_ == '-')
-          if (boolFlags(name) || tail.isEmpty || tail.head.startsWith("-")) {
-            flags += name -> "true"; rest = tail
-          } else { flags += name -> tail.head; rest = tail.tail }
+          if (boolFlags(name)) { flags += name -> "true"; rest = tail }
+          else if (tail.isEmpty)
+            fatal(s"missing value for -$name")
+          else {
+            // every non-bool flag takes a value — consume the next token
+            // even when it starts with '-' (negative numbers: `-from -1`,
+            // `-limittocachebuffer -0.5`)
+            flags += name -> tail.head; rest = tail.tail
+          }
         case p :: tail => positional :+= p; rest = tail
       }
     }
@@ -357,10 +363,25 @@ object Main {
     val intervalMs = a.str("replication-interval")
       .map(parseDuration(_).toMillis)
       .getOrElse(a.long("interval", 60L) * 1000)
+    // resume point when no replication.state.txt exists yet: the
+    // last.state.txt seeded by `import -diff` (the PBF header's osmosis
+    // sequence — the reference's `imposm run` continues from it,
+    // update/run.go analog), then the explicit -from, then 1. replicate()
+    // itself always prefers $cachedir/replication.state.txt once written.
+    val seeded =
+      if (Replication.readLocalState(spark, cachedir).isDefined) None
+      else {
+        val diffdir = a.str("diffdir").getOrElse(cachedir)
+        Replication.readLocalStateAt(spark, s"$diffdir/last.state.txt")
+          .map(_.sequence + 1)
+      }
+    val from = seeded.getOrElse(a.long("from", 1))
+    seeded.foreach(s =>
+      System.err.println(s"[run] resuming from seeded diff state: sequence $s"))
     var go = true
     while (go) {
       val applied = Replication.replicate(spark, mapping, cachedir, url,
-        workdir, from = a.long("from", 1), srid = a.long("srid", 3857).toInt,
+        workdir, from = from, srid = a.long("srid", 3857).toInt,
         fetch = fetch, expireDir = a.str("expiretiles-dir"),
         expireZoom = a.int("expiretiles-zoom", ExpireTiles.DefaultZoom))
       System.err.println(s"[run] replicated through sequence $applied")

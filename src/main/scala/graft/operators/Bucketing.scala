@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.net.URI
-
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -27,8 +25,11 @@ object Bucketing {
       nBuckets: Int = 8): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new Path(new Path(new URI(warehouse)), table.toLowerCase)
+    // resolve the managed location through the catalog (handles db.tbl
+    // qualification and a non-default current database — a string-concat
+    // of warehouse + lowercase name would target the wrong path there)
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val loc = new Path(spark.sessionState.catalog.defaultTablePath(ident))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")

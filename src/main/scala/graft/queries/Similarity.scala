@@ -222,11 +222,14 @@ object Similarity {
     t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("e"))
       .withColumn("amax", expr("array_max(transform(e, x -> abs(cast(x as double))))"))
-      .withColumn("scale", lit(127.0) / col("amax"))
+      // all-zero vector: amax=0 would give scale=Inf and q=floor(NaN) —
+      // Spark's non-ANSI cast silently yields 0 where DuckDB errors. Make
+      // the engines agree by construction: scale=null, q=0, error=x.
+      .withColumn("scale", expr("127.0 / nullif(amax, 0.0d)"))
       .withColumn("q", expr(
-        "transform(e, x -> cast(floor(cast(x as double) * scale + 0.5) as bigint))"))
+        "transform(e, x -> coalesce(cast(floor(cast(x as double) * scale + 0.5) as bigint), 0L))"))
       .withColumn("d", expr(
-        "zip_with(e, q, (x, qi) -> cast(x as double) - cast(qi as double) / scale)"))
+        "zip_with(e, q, (x, qi) -> cast(x as double) - coalesce(cast(qi as double) / scale, 0.0d))"))
       .select(col("vec_id"),
         round(col("scale"), 6).as("scale_r"),
         expr("aggregate(q, 0L, (a, qi) -> a + abs(qi))").as("q_l1"),
@@ -298,14 +301,14 @@ object Similarity {
     "s_quantize_int8" ->
       """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |sc AS (SELECT vec_id, e,
-        |    127.0 / list_max(list_transform(e, x -> abs(x))) AS scale
+        |    127.0 / nullif(list_max(list_transform(e, x -> abs(x))), 0) AS scale
         |  FROM e0),
         |qq AS (SELECT vec_id, e, scale,
-        |    list_transform(e, x -> floor(x * scale + 0.5)::BIGINT) AS q
+        |    list_transform(e, x -> coalesce(floor(x * scale + 0.5)::BIGINT, 0)) AS q
         |  FROM sc),
         |dd AS (SELECT vec_id, scale, q,
         |    list_transform(generate_series(1, len(e)),
-        |      i -> e[i] - CAST(q[i] AS DOUBLE) / scale) AS d,
+        |      i -> e[i] - coalesce(CAST(q[i] AS DOUBLE) / scale, 0)) AS d,
         |    len(e) AS dim
         |  FROM qq)
         |SELECT vec_id, round(scale, 6) AS scale_r,

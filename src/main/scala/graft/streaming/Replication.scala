@@ -108,6 +108,11 @@ object Replication {
     *    with doubling backoff;
     *  - any other status: permanent — fail fast.
     */
+  /** Marker for non-retryable fetch failures (unexpected status, retries
+    * exhausted on 5xx) so the transient catch below can't resurrect them. */
+  private final class PermanentFetchError(msg: String)
+    extends java.io.IOException(msg)
+
   def httpFetch(retries: Int = 5, minBackoffMs: Long = 2000,
       maxBackoffMs: Long = 300000, sleep: Long => Unit = Thread.sleep)
       (url: String, target: String): Boolean = {
@@ -128,7 +133,10 @@ object Replication {
             if (dst.getParent != null) Files.createDirectories(dst.getParent)
             val tmp = Paths.get(target + ".part")
             val in = conn.getInputStream
+            // a reset mid-body is as transient as a connect failure: clean
+            // up the torn .part and let the outer catch retry it
             try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
+            catch { case e: Throwable => Files.deleteIfExists(tmp); throw e }
             finally in.close()
             Files.move(tmp, dst, StandardCopyOption.REPLACE_EXISTING,
               StandardCopyOption.ATOMIC_MOVE)
@@ -137,14 +145,15 @@ object Replication {
             return false
           case code if code >= 500 =>
             if (attempt > retries)
-              throw new java.io.IOException(
+              throw new PermanentFetchError(
                 s"HTTP $code for $url after $attempt attempts")
             backoff.waitOnce()
           case code =>
-            throw new java.io.IOException(s"HTTP $code for $url")
+            throw new PermanentFetchError(s"HTTP $code for $url")
         }
       } catch {
-        case e @ (_: java.net.ConnectException | _: java.net.SocketTimeoutException) =>
+        case e: PermanentFetchError => throw e
+        case e: java.io.IOException => // connect, timeout, reset, torn body
           if (attempt > retries)
             throw new java.io.IOException(
               s"$url unreachable after $attempt attempts", e)
