@@ -211,7 +211,10 @@ object Bench {
         System.err.println(s"[bench] stats ${stats.report()}")
         graft.operators.ImportStats.detach(spark, stats)
         def repArr(f: ((Long, Double, Double, Double)) => Double) =
-          phaseRuns.map(r => f"${f(r)}%.2f").mkString("[", ",", "]")
+          phaseRuns
+            .map(r => String.format(java.util.Locale.ROOT, "%.2f",
+              Double.box(f(r))))
+            .mkString("[", ",", "]")
         osmReps = Some(
           s"""{"parse":${repArr(_._2)},"import":${repArr(_._3)},"gen":${repArr(_._4)}}""")
         Seq(s"osm_parse_synth$copies" -> tParse,

@@ -375,9 +375,12 @@ object Main {
         Replication.readLocalStateAt(spark, s"$diffdir/last.state.txt")
           .map(_.sequence + 1)
       }
-    val from = seeded.getOrElse(a.long("from", 1))
-    seeded.foreach(s =>
-      System.err.println(s"[run] resuming from seeded diff state: sequence $s"))
+    // explicit -from always wins over the seeded state (the escape hatch for
+    // a stale/bad seed, matching the repo's flags-beat-files convention)
+    val from = a.str("from").map(_.toLong).orElse(seeded).getOrElse(1L)
+    if (a.str("from").isEmpty) seeded.foreach(s =>
+      System.err.println(
+        s"[run] seeded state sequence ${s - 1}, fetching from $s"))
     var go = true
     while (go) {
       val applied = Replication.replicate(spark, mapping, cachedir, url,

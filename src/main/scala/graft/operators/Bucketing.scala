@@ -24,11 +24,14 @@ object Bucketing {
   def writeBucketed(df: DataFrame, table: String, key: String,
       nBuckets: Int = 8): Unit = {
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    // resolve the managed location through the catalog (handles db.tbl
-    // qualification and a non-default current database — a string-concat
-    // of warehouse + lowercase name would target the wrong path there)
+    // resolve qualification through the parser (handles db.tbl and a
+    // non-default current database), then quote the PARTS — backtick-quoting
+    // the whole string would make `db.tbl` one literal identifier and the
+    // DROP would miss the real table
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val quoted =
+      ident.database.map(d => s"`$d`.").getOrElse("") + s"`${ident.table}`"
+    spark.sql(s"DROP TABLE IF EXISTS $quoted")
     val loc = new Path(spark.sessionState.catalog.defaultTablePath(ident))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)

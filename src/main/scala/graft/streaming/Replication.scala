@@ -153,7 +153,15 @@ object Replication {
         }
       } catch {
         case e: PermanentFetchError => throw e
-        case e: java.io.IOException => // connect, timeout, reset, torn body
+        // retry ONLY network-shaped failures (connect, DNS, timeout, reset,
+        // torn body). Local-filesystem IOExceptions (target dir not
+        // writable, disk full) propagate immediately — retrying them just
+        // delays the real error by minutes of backoff.
+        case e @ (_: java.net.ConnectException |
+                  _: java.net.SocketTimeoutException |
+                  _: java.net.SocketException |
+                  _: java.net.UnknownHostException |
+                  _: java.io.EOFException) =>
           if (attempt > retries)
             throw new java.io.IOException(
               s"$url unreachable after $attempt attempts", e)
