@@ -38,29 +38,41 @@ object IvfIndex {
   /** Lloyd-refined centroids, seeded from `centroidsOf` (deterministic).
     * Each round assigns every vector to its nearest cell (rounded cosine,
     * ties to the lowest cell id) and recomputes each cell's centroid as the
-    * component-wise mean. The mean is spelled as a sequential fold in
-    * vec_id order so the float sum is bit-identical to the DuckDB oracle's
-    * `list_reduce(list(v ORDER BY vec_id))`; at fleet scale you'd swap it
-    * for a hash-partial `avg` and accept last-ulp drift. Components are
-    * quantized back to float each round (what a written index stores), and
-    * a cell that loses every member keeps its previous centroid.
-    * Assignment is a broadcast cross join (centroids are tiny); the update
-    * is one (cell, pos) shuffle of n×dim skinny rows with map-side
-    * combine — both shapes survive a 100× corpus.
+    * component-wise mean. Components are quantized back to float each round
+    * (what a written index stores), and a cell that loses every member
+    * keeps its previous centroid. Assignment is a broadcast cross join
+    * (centroids are tiny); the update is one (cell, pos) shuffle of n×dim
+    * skinny rows — both shapes survive a 100× corpus.
+    *
+    * Two spellings of the mean, switched by `exact`:
+    *  - `exact = true` (oracle tier): a sequential fold in vec_id order so
+    *    the float sum is bit-identical to the DuckDB oracle's
+    *    `list_reduce(list(v ORDER BY vec_id))`. Costs `collect_list` of
+    *    every member component per (cell, pos) — fine at oracle scale, an
+    *    OOM risk for a hot cell at corpus scale.
+    *  - `exact = false` (fleet tier): plain hash-partial `avg` with
+    *    map-side combine — bounded state per group no matter how hot the
+    *    cell, at the price of last-ulp summation-order drift (which cannot
+    *    flip assignments: similarity is rounded to 1e-6 before ranking).
     */
-  def kmeansCentroids(corpus: DataFrame, nCells: Int = 16, iters: Int = 2): DataFrame = {
+  def kmeansCentroids(corpus: DataFrame, nCells: Int = 16, iters: Int = 2,
+      exact: Boolean = true): DataFrame = {
     // every Lloyd round re-reads the corpus (assign) — persist the normed
     // frame once instead of re-scanning + re-norming per round
     val v = withNorm(corpus, "embedding").select(col("vec_id"), col("e"), col("nrm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents = centroidsOf(corpus, nCells)
+    val mean =
+      if (exact)
+        expr("aggregate(array_sort(collect_list(struct(vec_id, vv))), " +
+          "cast(0 as double), (a, x) -> a + x.vv) / count(1)")
+      else avg(col("vv"))
     for (_ <- 1 to iters) {
       val assigned = nearestCells(v, cents, 1)
       val comp = assigned
         .select(col("c_id"), col("vec_id"), posexplode(col("e")).as(Seq("pos", "vv")))
         .groupBy("c_id", "pos")
-        .agg(expr("aggregate(array_sort(collect_list(struct(vec_id, vv))), " +
-          "cast(0 as double), (a, x) -> a + x.vv) / count(1)").as("cv"))
+        .agg(mean.as("cv"))
       val fresh = comp.groupBy("c_id")
         .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), " +
           "x -> cast(x.cv as float))").as("ce_new"))

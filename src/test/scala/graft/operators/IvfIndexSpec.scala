@@ -84,6 +84,32 @@ class IvfIndexSpec extends SparkSpecBase {
     assert(km >= 0.7, f"kmeans recall $km%.3f below working floor")
   }
 
+  test("fast-path avg centroids match the exact fold and assign identically") {
+    val corpus = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val ex = IvfIndex.kmeansCentroids(corpus, 8, 2, exact = true)
+    val fast = IvfIndex.kmeansCentroids(corpus, 8, 2, exact = false)
+    val exRows = ex.orderBy("c_id").collect()
+    val fastRows = fast.orderBy("c_id").collect()
+    assert(exRows.length == 8 && fastRows.length == 8)
+    exRows.zip(fastRows).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0))
+      val ae = a.getSeq[Float](1); val be = b.getSeq[Float](1)
+      ae.zip(be).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= 1e-6,
+          s"cell ${a.getLong(0)}: exact $x vs fast $y")
+      }
+    }
+    // last-ulp drift must not flip any cell assignment (similarity is
+    // rounded to 1e-6 before ranking, so sub-1e-6 centroid deltas vanish)
+    def assignments(cents: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+      val d = Files.createTempDirectory("ivf-flag").toString + "/idx"
+      IvfIndex.build(spark, corpus, d, nCells = 8, centroids = Some(cents))
+      spark.read.parquet(d).select(col("vec_id"), col("cell").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    }
+    assert(assignments(ex) == assignments(fast))
+  }
+
   test("kmeansCentroids is deterministic across runs") {
     val corpus = spark.read.parquet(s"$sf001/embeddings.parquet")
     val a = IvfIndex.kmeansCentroids(corpus, 8, 2).orderBy("c_id").collect()
