@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data text operators over the `documents` table: deduplication
@@ -416,8 +417,8 @@ object TextOps {
   private def spanWindows(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .withColumn("toks", tokensExpr)
-      .select(col("doc_id"), explode(wordNgramsExpr(SpanK)).as("span"))
-      .select(col("doc_id"), md5(col("span")).as("span_hash"))
+      .select(col("doc_id"), posexplode(wordNgramsExpr(SpanK)).as(Seq("pos", "span")))
+      .select(col("doc_id"), col("pos"), md5(col("span")).as("span_hash"))
 
   private def dedupSpans(s: SparkSession, dir: String): DataFrame =
     spanWindows(s, dir)
@@ -444,6 +445,32 @@ object TextOps {
       .withColumn("dup_ratio",
         col("n_dup_windows").cast("double") / col("n_windows").cast("double"))
       .orderBy("doc_id")
+  }
+
+  // -- maximal duplicated spans (the dedup paper's actual trim unit) ----------
+  // Consecutive duplicated SpanK-windows merged into maximal (start_tok,
+  // end_tok) extents per doc — what a trim/remove pass would actually cut,
+  // rather than the raw window inventory. Classic gaps-and-islands: group key
+  // = pos − row_number() among a doc's duplicated windows. The window
+  // function partitions by doc_id, so its state is bounded by ONE document's
+  // window count (not corpus-global) — the safe kind of Window at 100 TB.
+  // Token indices are 1-based inclusive, matching the oracle's range(1, …).
+  private def dupSpansMerged(s: SparkSession, dir: String): DataFrame = {
+    val w = spanWindows(s, dir)
+    val perHash = w.groupBy("span_hash")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    val dup = w.join(perHash, Seq("span_hash")).filter(col("nd") >= 2)
+    val isl = Window.partitionBy("doc_id").orderBy("pos")
+    dup
+      .withColumn("grp", col("pos") - row_number().over(isl))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("sw"), max(col("pos")).as("ew"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"),
+        (col("sw") + 1).cast("long").as("start_tok"),
+        (col("ew") + SpanK).cast("long").as("end_tok"),
+        col("n_windows"))
+      .orderBy("doc_id", "start_tok")
   }
 
   // -- quality-aware dedup resolution: keep the best doc per cluster ----------
@@ -799,6 +826,7 @@ object TextOps {
     "d_dedup_keep_best"   -> (dedupKeepBest _),
     "d_dedup_spans"       -> (dedupSpans _),
     "d_dup_ratio"         -> (dupRatio _),
+    "d_dup_spans_merged"  -> (dupSpansMerged _),
     "d_decontaminate"     -> (decontaminate _),
     "d_token_stats"       -> (tokenStats _),
     "d_fingerprint_roll"  -> (fingerprintRolling _),
@@ -969,6 +997,24 @@ object TextOps {
          |    / count(*)::DOUBLE AS dup_ratio
          |FROM w JOIN per_hash p ON w.span_hash = p.span_hash
          |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
+    "d_dup_spans_merged" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |w AS (SELECT doc_id, i,
+         |    md5(array_to_string(list_slice(toks, i, i + ${SpanK - 1}), ' ')) AS span_hash
+         |  FROM tk, unnest(range(1, len(toks) - $SpanK + 2)) AS u(i)
+         |  WHERE len(toks) >= $SpanK),
+         |per_hash AS (SELECT span_hash, count(DISTINCT doc_id) AS nd
+         |  FROM w GROUP BY span_hash),
+         |dup AS (SELECT w.doc_id, w.i FROM w
+         |  JOIN per_hash p ON w.span_hash = p.span_hash WHERE p.nd >= 2),
+         |isl AS (SELECT doc_id, i,
+         |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+         |  FROM dup)
+         |SELECT doc_id, min(i)::BIGINT AS start_tok,
+         |  (max(i) + ${SpanK - 1})::BIGINT AS end_tok,
+         |  count(*)::BIGINT AS n_windows
+         |FROM isl GROUP BY doc_id, grp
+         |ORDER BY doc_id, start_tok""".stripMargin,
     "d_dedup_simhash" ->
       s"""WITH tf AS (
          |  SELECT doc_id, tok, count(*)::BIGINT AS c,

@@ -175,6 +175,38 @@ class TextSimSpec extends SparkSpecBase {
       spans.map(_.getAs[Long]("n_occ")).sum)
   }
 
+  test("merged dup spans: maximal, disjoint, window-count-consistent") {
+    val merged = run("d_dup_spans_merged").collect()
+    val k = graft.queries.TextOps.SpanK
+    merged.foreach { r =>
+      val (s, e, n) = (r.getAs[Long]("start_tok"), r.getAs[Long]("end_tok"),
+        r.getAs[Long]("n_windows"))
+      // island of n consecutive windows of width k covers n + k - 1 tokens
+      assert(s >= 1 && e == s + n + k - 2, s"bad extent: $r")
+    }
+    // maximality: consecutive islands of one doc are separated by at least
+    // one non-duplicated window — in window-index space (sw = start_tok - 1,
+    // ew = end_tok - k), island B must start ≥ 2 after island A ends (token
+    // extents may still overlap: the windows are k tokens wide)
+    merged.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rows) =>
+      rows.sortBy(_.getAs[Long]("start_tok")).sliding(2).foreach {
+        case Array(a, b) =>
+          val ewA = a.getAs[Long]("end_tok") - k
+          val swB = b.getAs[Long]("start_tok") - 1
+          assert(swB >= ewA + 2, s"islands touch: $a then $b")
+        case _ =>
+      }
+    }
+    // the merge is a regrouping of d_dup_ratio's duplicated windows: per-doc
+    // window totals must agree exactly
+    val perDoc = merged.groupBy(_.getAs[Long]("doc_id"))
+      .map { case (d, rows) => d -> rows.map(_.getAs[Long]("n_windows")).sum }
+    val fromRatio = run("d_dup_ratio").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dup_windows"))
+      .filter(_._2 > 0).toMap
+    assert(perDoc.toMap == fromRatio)
+  }
+
   test("keep-best survivors: partition of the corpus, argmax-token member") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet").count()
     val clusters = run("d_dedup_clusters").collect()
