@@ -100,6 +100,22 @@ object StreamingDedup {
     if (seq < 0) -1L
     else store.read("batchmark", seq).head().getLong(0)
 
+  /** New-vs-state candidate generation. The state table is bucketed by
+    * doc_id (right for delta-writes) while the join key is (band_idx,
+    * band_hash) — a plain join would therefore hash-SHUFFLE the entire
+    * committed band index every micro-batch, a per-batch cost that grows
+    * with the accepted corpus. Broadcasting the batch's bands instead makes
+    * it a map-side broadcast hash join: the state side is scanned in place
+    * and never exchanged, so per-batch shuffle cost is O(batch + matches),
+    * not O(|state|). (A scan of state still happens — at fleet scale you'd
+    * additionally min/max-index band_hash per file to skip most of it; the
+    * exchange, not the scan, is the term that breaks first.)
+    */
+  private[streaming] def stateCandidates(stBands: DataFrame,
+      nb: DataFrame): DataFrame =
+    stBands.select(col("band_idx"), col("band_hash"), col("doc_id").as("old_id"))
+      .join(broadcast(nb), Seq("band_idx", "band_hash"))
+
   /** Process one batch of (doc_id, text): emit dup decisions, fold
     * survivors into the state index, commit. Exposed for testing; `run`
     * wires it into foreachBatch. Re-invoking with an already-committed
@@ -123,9 +139,7 @@ object StreamingDedup {
     // new-vs-new id-ordered so each in-batch pair appears once
     val nb = bands.select(col("band_idx"), col("band_hash"),
       col("doc_id").as("new_id"))
-    val vsState = nb.join(
-      stBands.select(col("band_idx"), col("band_hash"), col("doc_id").as("old_id")),
-      Seq("band_idx", "band_hash"))
+    val vsState = stateCandidates(stBands, nb)
     val vsBatch = nb.join(
       bands.select(col("band_idx"), col("band_hash"), col("doc_id").as("old_id")),
       Seq("band_idx", "band_hash"))

@@ -68,6 +68,26 @@ class StreamingDedupSpec extends SparkSpecBase {
     assert(StreamingDedup.decisions(spark, state).count() == 2)
   }
 
+  test("candidate generation never shuffles the committed band state") {
+    import spark.implicits._
+    // state: bucketed-by-doc_id layout, joined on (band_idx, band_hash) —
+    // must plan as a broadcast hash join of the batch's bands with the
+    // state side scanned in place (no Exchange hashpartitioning anywhere:
+    // a per-batch reshuffle of the full accepted-corpus index is the term
+    // that grows without bound on a long stream)
+    val st = Seq((1L, 0, "h1"), (2L, 1, "h2"), (3L, 2, "h3"))
+      .toDF("doc_id", "band_idx", "band_hash")
+    val nb = Seq((0, "h1", 10L), (3, "h9", 11L))
+      .toDF("band_idx", "band_hash", "new_id")
+    val cand = StreamingDedup.stateCandidates(st, nb)
+    val plan = cand.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"not a broadcast join:\n$plan")
+    assert(graft.operators.Bucketing.shuffleFree(cand),
+      s"state side shuffles:\n$plan")
+    assert(cand.select("old_id", "new_id").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSet == Set((1L, 10L)))
+  }
+
   test("a crash between state writes and the commit replays cleanly") {
     import spark.implicits._
     val root = Files.createTempDirectory("stream-dedup-crash").toString
