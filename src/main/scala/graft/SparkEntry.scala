@@ -28,6 +28,7 @@ object SparkEntry {
   def benchQueries: Seq[String] = Seq(
     "q1_pricing_summary", "q3_revenue_by_segment", "q5_local_supplier",
     "q_window_top3", "q_window_top3_topk", "q_sessionize", "q_top_parts",
+    "q_top_parts_topk",
     "q_asof_views", "q_asof_nearest", "q_range_windows",
     "d_dedup_minhash", "d_dedup_simhash", "d_token_stats", "d_chunks",
     "d_chunks_cdc", "d_corpus_pipeline", "d_mix_weighted", "d_bm25",

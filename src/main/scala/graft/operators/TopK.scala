@@ -10,4 +10,10 @@ import org.apache.spark.sql.{Column, DataFrame}
 object TopK {
   def perKey(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int): DataFrame =
     org.apache.spark.sql.graft.TopKPerKey(df, keys, order, k)
+
+  /** Global top-k: per-partition partial heaps, then an AllTuples merge of
+    * the ≤ k×partitions survivors (the exchange never carries the input).
+    */
+  def global(df: DataFrame, order: Seq[Column], k: Int): DataFrame =
+    org.apache.spark.sql.graft.TopKPerKey.global(df, order, k)
 }

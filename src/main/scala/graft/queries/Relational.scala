@@ -122,6 +122,24 @@ object Relational {
       .orderBy("o_custkey", "rk")
   }
 
+  // -- same ranking via the custom operator's keyless-global mode -----------
+  // A/B partner for q_top_parts: identical semantics and oracle, planned as
+  // TopK.global — per-partition partial heaps + one k×partitions-row merge —
+  // instead of Catalyst's TakeOrderedAndProject. Same bounded-heap shape;
+  // this proves the custom exec covers the global case too.
+  private def qTopPartsTopK(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p  = t(s, dir, "part")
+    val agg = li.join(p, li("l_partkey") === p("p_partkey"))
+      .groupBy("p_partkey", "p_brand")
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+             .cast("double").as("revenue"))
+    graft.operators.TopK.global(agg,
+        Seq(col("revenue").desc, col("p_partkey")), 10)
+      .drop("rk")
+      .orderBy(col("revenue").desc, col("p_partkey"))
+  }
+
   // -- sessionize: gap>30min sessions from the events stream table ----------
   private def qSessionize(s: SparkSession, dir: String): DataFrame = {
     // ts arrives as a long (ns since epoch) via nanosAsLong; DuckDB sees a
@@ -385,6 +403,7 @@ object Relational {
     "q_stratified_sample"   -> (qStratifiedSample _),
     "q_rollup_events"       -> (qRollupEvents _),
     "q_top_parts"           -> (qTopParts _),
+    "q_top_parts_topk"      -> (qTopPartsTopK _),
     "q_union_users"         -> (qUnionUsers _),
     "q_user_activity"       -> (qUserActivity _),
     "q_nation_stats"        -> (qNationStats _),
@@ -566,6 +585,11 @@ object Relational {
         |FROM events GROUP BY ROLLUP(event_type)
         |ORDER BY event_type NULLS FIRST""".stripMargin,
     "q_top_parts" ->
+      """SELECT p_partkey, p_brand,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1, 2 ORDER BY revenue DESC, p_partkey LIMIT 10""".stripMargin,
+    "q_top_parts_topk" ->
       """SELECT p_partkey, p_brand,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey

@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
@@ -35,7 +35,8 @@ import org.apache.spark.sql.types.LongType
   */
 case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     child: LogicalPlan,
-    rankAttr: Attribute = AttributeReference("rk", LongType, nullable = false)())
+    rankAttr: Attribute = AttributeReference("rk", LongType, nullable = false)(),
+    localOnly: Boolean = false)
   extends UnaryNode {
   require(k > 0, "k must be positive")
   override def output: Seq[Attribute] = child.output :+ rankAttr
@@ -48,7 +49,8 @@ case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: TopKPerKeyNode =>
-      TopKPerKeyExec(n.keys, n.order, n.k, n.rankAttr, planLater(n.child)) :: Nil
+      TopKPerKeyExec(n.keys, n.order, n.k, n.rankAttr, planLater(n.child),
+        n.localOnly) :: Nil
     case _ => Nil
   }
 }
@@ -72,11 +74,18 @@ object TopKStrategy extends SparkStrategy {
   * lets UnsafeRow keys drive Spark's own hash maps).
   */
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
-    rankAttr: Attribute, child: SparkPlan) extends UnaryExecNode {
+    rankAttr: Attribute, child: SparkPlan,
+    localOnly: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output :+ rankAttr
+  // Three distribution modes: per-key (hash shuffle on the keys, same as
+  // the Window spelling), localOnly (no requirement — per-partition partial
+  // top-k, stage 1 of a global ranking), and keyless-global (AllTuples —
+  // the ≤ k×partitions surviving rows of a local pass merge on ONE task).
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    (if (localOnly) UnspecifiedDistribution
+     else if (keys.isEmpty) AllTuples
+     else ClusteredDistribution(keys)) :: Nil
   // rows only shrink per key group; the child's partitioning survives
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
@@ -292,7 +301,8 @@ object TopKPerKey {
   def inject(ext: SparkSessionExtensions): Unit =
     ext.injectPlannerStrategy(_ => TopKStrategy)
 
-  def apply(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
+  def apply(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int,
+      localOnly: Boolean = false): DataFrame = {
     val session = df.sparkSession.asInstanceOf[ClassicSession]
     registerStrategy(session)
     val orderExprs = order.map(c =>
@@ -302,6 +312,20 @@ object TopKPerKey {
       })
     Dataset.ofRows(session,
       TopKPerKeyNode(keys.map(ColumnBridge.catalystExpression(session, _)),
-        orderExprs, k, df.queryExecution.analyzed))
+        orderExprs, k, df.queryExecution.analyzed, localOnly = localOnly))
+  }
+
+  /** Global (keyless) top-k as two chained execs: a per-partition partial
+    * pass with no distribution requirement (each task keeps its own ≤k
+    * heap), then an AllTuples merge of the ≤ k×partitions survivors that
+    * assigns the final ranks on one task. The exchange moves k×partitions
+    * rows, never the input — the same bounded-heap shape as Spark's
+    * TakeOrderedAndProject, but available mid-pipeline as a DataFrame (and
+    * with the exec's spill path for large k).
+    */
+  def global(df: DataFrame, order: Seq[Column], k: Int): DataFrame = {
+    val local = apply(df, Seq.empty, order, k, localOnly = true)
+      .drop("rk") // partial ranks are per-partition; the merge re-ranks
+    apply(local, Seq.empty, order, k)
   }
 }

@@ -54,6 +54,30 @@ class TopKSpec extends SparkSpecBase {
     assert(!plan.contains("Sort "), plan)
   }
 
+  test("global mode matches orderBy+limit; merge exchange carries k×P rows") {
+    val o = spark.read.parquet(s"$sf001/orders.parquet")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val viaGlobal = TopK.global(o,
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 7)
+      .collect()
+    val expected = o.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(7).collect()
+    assert(viaGlobal.length == 7)
+    viaGlobal.zip(expected).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(g.getLong(1) == e.getLong(1), s"row $i differs")
+      assert(g.getAs[Long]("rk") == i + 1L)
+    }
+    // no full-input sort and no hash exchange: the only exchange is the
+    // single-partition merge of the local heaps' survivors
+    val plan = TopK.global(o,
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("Sort "), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(plan.contains("Exchange SinglePartition"), plan)
+  }
+
   test("spill path: results identical under a tiny spill threshold") {
     // force many heap-map flushes: ~1500 orders / ~1000 keys against a 2 KB
     // budget → dozens of sorted runs that the k-way merge must recombine
