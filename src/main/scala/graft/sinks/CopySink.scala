@@ -72,38 +72,67 @@ object CopyRows {
     }.mkString("\t")
 }
 
-/** Live COPY sink: `foreachPartition` + pgjdbc CopyManager, loaded by
-  * reflection so the PostgreSQL driver stays a runtime-optional dependency
-  * (this build ships none — the rendering above is what's unit-tested;
-  * deployments drop postgresql.jar on the executor classpath).
-  *
-  * Each partition opens its own connection — the Spark analog of the
-  * reference's per-table feeder goroutine (tx.go:30-44) with cluster-wide
-  * parallelism instead of one goroutine per table.
+/** One per-task COPY channel. `copyIn` receives the COPY statement plus a
+  * chunk of rendered TEXT rows; implementations stream it to the server.
   */
-final class CopySink(url: String, properties: Properties, schema: String,
+trait CopyTarget extends java.io.Closeable {
+  def copyIn(sql: String, data: String): Unit
+}
+
+/** Opens a [[CopyTarget]] inside an executor task — must be serializable
+  * because the factory (not the target) ships with the closure.
+  */
+trait CopyTargetFactory extends Serializable {
+  def open(): CopyTarget
+}
+
+/** Production factory: pgjdbc CopyManager, loaded by reflection so the
+  * PostgreSQL driver stays a runtime-optional dependency (this build ships
+  * none; deployments drop postgresql.jar on the executor classpath).
+  */
+final class PgJdbcCopyFactory(url: String, properties: Properties)
+  extends CopyTargetFactory {
+  override def open(): CopyTarget = new CopyTarget {
+    private val conn = DriverManager.getConnection(url, properties)
+    private val baseClass = Class.forName("org.postgresql.core.BaseConnection")
+    private val cmClass = Class.forName("org.postgresql.copy.CopyManager")
+    private val cm = cmClass.getConstructor(baseClass)
+      .newInstance(conn.unwrap(baseClass).asInstanceOf[Object])
+    private val copyInM =
+      cmClass.getMethod("copyIn", classOf[String], classOf[java.io.Reader])
+    override def copyIn(sql: String, data: String): Unit =
+      copyInM.invoke(cm, sql, new java.io.StringReader(data))
+    override def close(): Unit = conn.close()
+  }
+}
+
+/** Live COPY sink: `foreachPartition`, one [[CopyTarget]] per non-empty
+  * partition — the Spark analog of the reference's per-table feeder
+  * goroutine (tx.go:30-44) with cluster-wide parallelism instead of one
+  * goroutine per table. The factory indirection lets integration specs
+  * swap pgjdbc for a recording fake and assert the exact statement/chunk
+  * stream without a live server.
+  */
+final class CopySink(factory: CopyTargetFactory, schema: String,
     prefix: String = "osm_", chunkRows: Int = 10000) extends Sink with Serializable {
+
+  def this(url: String, properties: Properties, schema: String,
+      prefix: String, chunkRows: Int) =
+    this(new PgJdbcCopyFactory(url, properties), schema, prefix, chunkRows)
 
   override def write(name: String, df: DataFrame): Unit = {
     val copySql =
       s"""COPY "$schema"."$prefix$name" (${df.columns.map(c => s""""$c"""").mkString(", ")}) FROM STDIN"""
     val rowSchema = df.schema
-    val (u, p, chunk) = (url, properties, chunkRows)
+    val (f, chunk) = (factory, chunkRows)
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
-        val conn = DriverManager.getConnection(u, p)
-        try {
-          val baseClass = Class.forName("org.postgresql.core.BaseConnection")
-          val cmClass = Class.forName("org.postgresql.copy.CopyManager")
-          val cm = cmClass.getConstructor(baseClass)
-            .newInstance(conn.unwrap(baseClass).asInstanceOf[Object])
-          val copyIn = cmClass.getMethod("copyIn", classOf[String], classOf[java.io.Reader])
-          rows.grouped(chunk).foreach { batch =>
-            val sb = new StringBuilder
-            batch.foreach { r => sb.append(CopyRows.renderRow(r, rowSchema)).append('\n') }
-            copyIn.invoke(cm, copySql, new java.io.StringReader(sb.toString))
-          }
-        } finally conn.close()
+        val target = f.open()
+        try rows.grouped(chunk).foreach { batch =>
+          val sb = new StringBuilder
+          batch.foreach { r => sb.append(CopyRows.renderRow(r, rowSchema)).append('\n') }
+          target.copyIn(copySql, sb.toString)
+        } finally target.close()
       }
     }
   }
