@@ -46,13 +46,21 @@ object PrefixSum {
     * (or make one) for reproducible output.
     */
   def exclusive(df: DataFrame, orderCol: String, valueCol: String,
-      outCol: String, partitions: Int = 0): DataFrame = {
+      outCol: String, partitions: Int = 0): DataFrame =
+    exclusive(df, Seq(col(orderCol)), valueCol, outCol, partitions)
+
+  /** Multi-column (and direction-aware) ordering variant: pass e.g.
+    * `Seq(col("merit").desc, col("doc_id"))` — ranges and the within-
+    * partition sort follow the same sort orders.
+    */
+  def exclusive(df: DataFrame, orderCols: Seq[org.apache.spark.sql.Column],
+      valueCol: String, outCol: String, partitions: Int): DataFrame = {
     val spark = df.sparkSession
     val n = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
     val sorted = df
-      .repartitionByRange(n, col(orderCol))
-      .sortWithinPartitions(orderCol)
+      .repartitionByRange(n, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
     val vIdx = sorted.schema.fieldIndex(valueCol)
     val rdd0 = sorted.rdd // one lineage shared by both passes
 

@@ -259,6 +259,27 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  // -- semantic dedup: near-dup pairs → components → survivor per cluster -----
+  // The full embedding-level dedup decision, composed from the verified
+  // pieces: sign-code-blocked near-dup pairs (s_dedup_embedding), pointer-
+  // jumping connected components over the is_dup edges, and a one-aggregate
+  // cluster summary (survivor = lowest vec_id, as batch dedup keeps).
+  // Unclustered vectors are their own singleton via the left join, so the
+  // output partitions the corpus. Scale: edges ≪ corpus (blocked pairs),
+  // CC is O(log diameter) rounds over edges, the summary rides one shuffle.
+  private def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupEmbedding(s, dir).filter(col("is_dup"))
+    val cc = graft.operators.ConnectedComponents
+      .clusters(pairs.select("a_id", "b_id"), "a_id", "b_id")
+    vecs(s, dir).select(col("vec_id"))
+      .join(cc.select(col("id").as("vec_id"), col("cluster_id")),
+        Seq("vec_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("vec_id")))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("survivor_id"))
+      .orderBy("cluster_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "s_quantize_int8"   -> (quantizeInt8 _),
     "s_cosine_mrl"      -> (cosineMrl _),
@@ -268,13 +289,28 @@ object Similarity {
     "s_ann_ivf"         -> (annIvf _),
     "s_ann_ivf_indexed" -> (annIvfIndexed _),
     "s_ann_ivf_kmeans"  -> (annIvfKmeans _),
-    "s_dedup_embedding" -> (dedupEmbedding _)
+    "s_dedup_embedding" -> (dedupEmbedding _),
+    "s_dedup_semantic"  -> (dedupSemantic _)
   )
 
   private val vSql =
     """v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       |  FROM embeddings)""".stripMargin
+
+  /** Sign-code blocking + blocked cosine pairs (shared by the embedding
+    * near-dup oracle and the semantic-dedup clustering oracle). */
+  private val codedPairsSql =
+    """a AS (SELECT vec_id AS a_id, e AS ae FROM v WHERE vec_id < 8),
+      |codes AS (SELECT v.vec_id,
+      |    sum(CASE WHEN list_dot_product(v.e, a.ae) > 0
+      |      THEN (1::BIGINT << a.a_id::INT) ELSE 0 END)::BIGINT AS code
+      |  FROM v, a GROUP BY 1),
+      |coded AS (SELECT v.vec_id, v.e, v.nrm, codes.code
+      |  FROM v JOIN codes ON v.vec_id = codes.vec_id),
+      |pairs AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+      |    round(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 6) AS sim_r
+      |  FROM coded x JOIN coded y ON x.code = y.code AND x.vec_id < y.vec_id)""".stripMargin
 
   /** One unrolled Lloyd round: assign to nearest `prev` centroid (rounded
     * cosine, ties to lowest cell id), recompute each cell's component-wise
@@ -388,18 +424,27 @@ object Similarity {
          |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "s_dedup_embedding" ->
       s"""WITH $vSql,
-         |a AS (SELECT vec_id AS a_id, e AS ae FROM v WHERE vec_id < 8),
-         |codes AS (SELECT v.vec_id,
-         |    sum(CASE WHEN list_dot_product(v.e, a.ae) > 0
-         |      THEN (1::BIGINT << a.a_id::INT) ELSE 0 END)::BIGINT AS code
-         |  FROM v, a GROUP BY 1),
-         |coded AS (SELECT v.vec_id, v.e, v.nrm, codes.code
-         |  FROM v JOIN codes ON v.vec_id = codes.vec_id),
-         |pairs AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id,
-         |    round(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 6) AS sim_r
-         |  FROM coded x JOIN coded y ON x.code = y.code AND x.vec_id < y.vec_id)
+         |$codedPairsSql
          |SELECT a_id, b_id, sim_r, sim_r >= 0.45 AS is_dup
          |FROM pairs ORDER BY a_id, b_id""".stripMargin,
+    "s_dedup_semantic" ->
+      s"""WITH RECURSIVE $vSql,
+         |$codedPairsSql,
+         |dup AS (SELECT a_id, b_id FROM pairs WHERE sim_r >= 0.45),
+         |edges AS (SELECT a_id AS s, b_id AS d FROM dup
+         |  UNION SELECT b_id, a_id FROM dup),
+         |reach AS (
+         |  SELECT s AS id, d AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s),
+         |clusters AS (SELECT id, least(id, min(r)) AS cluster_id
+         |  FROM reach GROUP BY id),
+         |members AS (SELECT v.vec_id,
+         |    coalesce(c.cluster_id, v.vec_id) AS cluster_id
+         |  FROM v LEFT JOIN clusters c ON v.vec_id = c.id)
+         |SELECT cluster_id, count(*)::BIGINT AS n_members,
+         |  min(vec_id) AS survivor_id
+         |FROM members GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
     // identical result set to s_ann_ivf by construction (same centroids,
     // same probe ranking) — the entry exists so the INDEXED path is gated
     "s_ann_ivf_indexed" ->

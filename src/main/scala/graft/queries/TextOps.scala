@@ -730,6 +730,57 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // -- corpus vocabulary / document-frequency table ---------------------------
+  // The corpus-wide (token, tf, df) inventory with the same log-free
+  // rational idf as d_bm25 — the precomputed statistics a serving-time BM25
+  // or a tf-idf featurizer reads instead of re-scanning the corpus. One
+  // explode + one hash aggregate; the doc count rides along as a broadcast
+  // 1-row cross join. At 100 TB the aggregate is the only exchange and its
+  // cardinality is the vocabulary, not the corpus.
+  private def vocab(s: SparkSession, dir: String): DataFrame = {
+    val nDocs = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    docs(s, dir)
+      .select(col("doc_id"), explode(tokensExpr).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df_docs"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf_r", round(
+        ((col("n_docs").cast("double") - col("df_docs").cast("double")) + lit(0.5))
+          / (col("df_docs").cast("double") + lit(0.5)), 6))
+      .select(col("tok"), col("tf"), col("df_docs"), col("idf_r"))
+      .orderBy("tok")
+  }
+
+  // -- token-budget corpus selection -------------------------------------------
+  // "Fill a training budget with the best documents": rank docs by merit
+  // (non-stopword token fraction — deterministic, identical IEEE division
+  // on both engines), then keep every doc whose predecessors in merit order
+  // total under the budget. The global cumulative token count is the
+  // PrefixSum two-phase scan over (merit DESC, doc_id) — the multi-column
+  // ordering variant — never a single-partition Window.
+  private val SelectBudget = 10000L
+
+  private def budgetSelect(s: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(stopwords.map(lit): _*)
+    val base = docs(s, dir)
+      .withColumn("toks", tokensExpr)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => array_contains(stopArr, t))).cast("long"))
+      .withColumn("merit",
+        (col("n_tokens") - col("n_stop")).cast("double")
+          / col("n_tokens").cast("double"))
+      .select("doc_id", "n_tokens", "merit")
+    graft.operators.PrefixSum
+      .exclusive(base, Seq(col("merit").desc, col("doc_id")),
+        "n_tokens", "tokens_before", 0)
+      .filter(col("tokens_before") < SelectBudget)
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("merit"), 6).as("merit_r"), col("tokens_before"))
+      .orderBy("doc_id")
+  }
+
   /** BM25 query terms: one near-ubiquitous, one common, one rare —
     * the idf spread the saturation curve is about. */
   private val bmTerms = Seq("spark", "key", "dup")
@@ -840,6 +891,8 @@ object TextOps {
     "d_lang_id"           -> (langId _),
     "d_mix_weighted"      -> (mixWeighted _),
     "d_bm25"              -> (bm25 _),
+    "d_vocab"             -> (vocab _),
+    "d_budget_select"     -> (budgetSelect _),
     "d_pack_sequences"    -> (packSequences _),
     "d_shuffle"           -> (shuffleDocs _),
     "m_binary_meta"       -> (binaryMeta _)
@@ -1203,6 +1256,31 @@ object TextOps {
          |FROM tf, s2
          |ORDER BY score_r DESC, doc_id""".stripMargin
     },
+    "d_vocab" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
+         |v AS (SELECT tok, count(*)::BIGINT AS tf,
+         |    count(DISTINCT doc_id)::BIGINT AS df_docs
+         |  FROM tok GROUP BY tok),
+         |n AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+         |SELECT tok, tf, df_docs,
+         |  round(((CAST(n_docs AS DOUBLE) - CAST(df_docs AS DOUBLE)) + 0.5)
+         |    / (CAST(df_docs AS DOUBLE) + 0.5), 6) AS idf_r
+         |FROM v, n ORDER BY tok""".stripMargin,
+    "d_budget_select" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |m AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         |    len(list_filter(toks, t -> list_contains($stopSql, t)))::BIGINT AS n_stop
+         |  FROM tk WHERE len(toks) > 0),
+         |s AS (SELECT doc_id, n_tokens,
+         |    CAST(n_tokens - n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS merit
+         |  FROM m),
+         |c AS (SELECT doc_id, n_tokens, merit,
+         |    coalesce(SUM(n_tokens) OVER (ORDER BY merit DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |      AS tokens_before
+         |  FROM s)
+         |SELECT doc_id, n_tokens, round(merit, 6) AS merit_r, tokens_before
+         |FROM c WHERE tokens_before < $SelectBudget ORDER BY doc_id""".stripMargin,
     "d_chunks" ->
       s"""WITH d AS (SELECT doc_id, $tokensSql AS toks FROM documents),
          |c AS (SELECT doc_id, toks,

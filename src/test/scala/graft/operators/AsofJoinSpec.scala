@@ -78,7 +78,7 @@ class AsofJoinSpec extends SparkSpecBase {
   }
 
   test("forward agrees with a brute-force per-row scan on sf0.001 events") {
-    val ev = spark.read.parquet(s"$sf001/events.parquet")
+    val ev = graft.queries.t(spark, sf001, "events")
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
@@ -101,7 +101,7 @@ class AsofJoinSpec extends SparkSpecBase {
   }
 
   test("agrees with a brute-force per-row scan on sf0.001 events") {
-    val ev = spark.read.parquet(s"$sf001/events.parquet")
+    val ev = graft.queries.t(spark, sf001, "events")
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
         col("value"))
     val clicks = ev.filter(col("event_type") === "click")

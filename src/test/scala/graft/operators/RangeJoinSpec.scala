@@ -40,7 +40,7 @@ class RangeJoinSpec extends SparkSpecBase {
   }
 
   test("agrees with a brute-force theta join on sf0.001 events") {
-    val ev = spark.read.parquet(s"$sf001/events.parquet")
+    val ev = graft.queries.t(spark, sf001, "events")
       .withColumn("ts_us", expr("ts DIV 1000"))
     val w = ev.filter(col("event_type") === "error" && col("value") > 80)
       .select(col("event_id").as("err_id"), col("ts_us").as("s"),
