@@ -183,11 +183,23 @@ final class StateStore(spark: SparkSession, dir: String) {
       .filter(_.startsWith("__b=")).map(_.stripPrefix("__b=").toLong)
   }
 
-  /** Full bucketed write (init path): every row, partitioned by bucket. */
-  def writeBucketed(name: String, seq: Long, df: DataFrame, idCol: String): Unit = {
+  /** Full bucketed write (init path): every row, partitioned by bucket.
+    *
+    * `sortWithin`: extra columns to sort by INSIDE each bucket's files.
+    * Sorting ahead of the partitioned write (bucket first, then the extra
+    * columns) means the writer sees its partition column already ordered
+    * and keeps the row order — so parquet row groups carry tight min/max
+    * stats on the sort columns, and a later pushed-down predicate on them
+    * skips whole row groups instead of scanning the bucket.
+    */
+  def writeBucketed(name: String, seq: Long, df: DataFrame, idCol: String,
+      sortWithin: Seq[String] = Nil): Unit = {
     val out = tablePath(name, seq)
-    df.withColumn("__b", bucketOf(col(idCol)))
-      .write.mode("overwrite").partitionBy("__b").parquet(out)
+    val bucketed = df.withColumn("__b", bucketOf(col(idCol)))
+    val ordered =
+      if (sortWithin.isEmpty) bucketed
+      else bucketed.sortWithinPartitions(("__b" +: sortWithin).map(col): _*)
+    ordered.write.mode("overwrite").partitionBy("__b").parquet(out)
     writeManifest(name, seq, df.schema,
       listBuckets(out).map(b => b -> s"v$seq/__b=$b").toMap)
   }
@@ -197,15 +209,18 @@ final class StateStore(spark: SparkSession, dir: String) {
     * manifest pointer, never rewritten). A row outside `changed` would be
     * silently shadowed on read, so it fails loudly instead. */
   def writeBucketedDelta(name: String, seq: Long, prevSeq: Long, df: DataFrame,
-      idCol: String, changed: Set[Long]): Unit = {
+      idCol: String, changed: Set[Long], sortWithin: Seq[String] = Nil): Unit = {
     val (schema, prev) = readManifest(name, prevSeq)
     if (changed.isEmpty) {
       writeManifest(name, seq, schema, prev)
       return
     }
     val out = tablePath(name, seq)
-    df.withColumn("__b", bucketOf(col(idCol)))
-      .write.mode("overwrite").partitionBy("__b").parquet(out)
+    val bucketed = df.withColumn("__b", bucketOf(col(idCol)))
+    val ordered =
+      if (sortWithin.isEmpty) bucketed
+      else bucketed.sortWithinPartitions(("__b" +: sortWithin).map(col): _*)
+    ordered.write.mode("overwrite").partitionBy("__b").parquet(out)
     val written = listBuckets(out).toSet
     require(written.subsetOf(changed),
       s"$name v$seq: rows written to unchanged buckets ${written.diff(changed)} — " +

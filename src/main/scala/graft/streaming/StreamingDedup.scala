@@ -100,6 +100,16 @@ object StreamingDedup {
     if (seq < 0) -1L
     else store.read("batchmark", seq).head().getLong(0)
 
+  /** Cap on the batch band-hash IN list pushed into the state scan. A
+    * micro-batch of ~1000 docs × 4 bands stays under it; a giant backfill
+    * batch skips the filter and amortizes the full scan it would need
+    * anyway. Deployments should set
+    * `spark.sql.parquet.pushdown.inFilterThreshold` ≥ this value so the
+    * list reaches parquet row-group stats (the filter is correct either
+    * way — without pushdown it degrades to a post-scan filter).
+    */
+  private val MaxPrunedHashes = 4096
+
   /** New-vs-state candidate generation. The state table is bucketed by
     * doc_id (right for delta-writes) while the join key is (band_idx,
     * band_hash) — a plain join would therefore hash-SHUFFLE the entire
@@ -107,14 +117,23 @@ object StreamingDedup {
     * with the accepted corpus. Broadcasting the batch's bands instead makes
     * it a map-side broadcast hash join: the state side is scanned in place
     * and never exchanged, so per-batch shuffle cost is O(batch + matches),
-    * not O(|state|). (A scan of state still happens — at fleet scale you'd
-    * additionally min/max-index band_hash per file to skip most of it; the
-    * exchange, not the scan, is the term that breaks first.)
+    * not O(|state|).
+    *
+    * The scan term shrinks too: state band files are written sorted by
+    * band_hash (see applyBatch's sortWithin), so pushing the batch's
+    * distinct band hashes as an IN predicate lets parquet row-group
+    * min/max stats skip every group holding none of them — a small batch
+    * reads a small slice of a huge committed index.
     */
-  private[streaming] def stateCandidates(stBands: DataFrame,
-      nb: DataFrame): DataFrame =
-    stBands.select(col("band_idx"), col("band_hash"), col("doc_id").as("old_id"))
+  private[streaming] def stateCandidates(stBands: DataFrame, nb: DataFrame,
+      batchHashes: Array[String] = Array.empty): DataFrame = {
+    val pruned =
+      if (batchHashes.nonEmpty && batchHashes.length <= MaxPrunedHashes)
+        stBands.filter(col("band_hash").isin(batchHashes.toSeq: _*))
+      else stBands
+    pruned.select(col("band_idx"), col("band_hash"), col("doc_id").as("old_id"))
       .join(broadcast(nb), Seq("band_idx", "band_hash"))
+  }
 
   /** Process one batch of (doc_id, text): emit dup decisions, fold
     * survivors into the state index, commit. Exposed for testing; `run`
@@ -139,7 +158,11 @@ object StreamingDedup {
     // new-vs-new id-ordered so each in-batch pair appears once
     val nb = bands.select(col("band_idx"), col("band_hash"),
       col("doc_id").as("new_id"))
-    val vsState = stateCandidates(stBands, nb)
+    // the batch's distinct band hashes (control-plane sized: ≤ docs × 4
+    // bands per micro-batch, capped) prune the committed-state scan
+    val batchHashes = bands.select("band_hash").distinct()
+      .limit(MaxPrunedHashes + 1).collect().map(_.getString(0))
+    val vsState = stateCandidates(stBands, nb, batchHashes)
     val vsBatch = nb.join(
       bands.select(col("band_idx"), col("band_hash"), col("doc_id").as("old_id")),
       Seq("band_idx", "band_hash"))
@@ -175,21 +198,25 @@ object StreamingDedup {
     val dupIds = decisionRows.select(col("doc_id"))
     val newSets = sets.join(dupIds, Seq("doc_id"), "left_anti")
     val newBands = bands.join(dupIds, Seq("doc_id"), "left_anti")
+    // bands are written band_hash-sorted inside each bucket so the next
+    // batch's pushed IN predicate can skip row groups (stateCandidates)
     if (committed < 0) {
       store.setBucketBits(22)
       store.writeBucketed("decisions", next, decisionRows, "doc_id")
       store.writeBucketed("shingles", next, newSets, "doc_id")
-      store.writeBucketed("bands", next, newBands, "doc_id")
+      store.writeBucketed("bands", next, newBands, "doc_id",
+        sortWithin = Seq("band_hash"))
     } else {
-      def delta(name: String, rows: DataFrame): Unit = {
+      def delta(name: String, rows: DataFrame,
+          sortWithin: Seq[String] = Nil): Unit = {
         val changed = store.bucketsOf(rows, "doc_id")
         store.writeBucketedDelta(name, next, committed,
           store.readBuckets(name, committed, changed).unionByName(rows),
-          "doc_id", changed)
+          "doc_id", changed, sortWithin)
       }
       delta("decisions", decisionRows)
       delta("shingles", newSets)
-      delta("bands", newBands)
+      delta("bands", newBands, sortWithin = Seq("band_hash"))
     }
     store.write("batchmark", next,
       spark.range(1).select(lit(batchId).as("batch_id")))
@@ -218,7 +245,8 @@ object StreamingDedup {
     Seq("decisions" -> decisionsSchema, "shingles" -> setsSchema,
       "bands" -> bandsSchema).foreach { case (name, schema) =>
       store.writeBucketed(name, next,
-        committedTable(spark, store, name, committed, schema), "doc_id")
+        committedTable(spark, store, name, committed, schema), "doc_id",
+        sortWithin = if (name == "bands") Seq("band_hash") else Nil)
     }
     store.write("batchmark", next, store.read("batchmark", committed))
     store.commit(next)

@@ -88,6 +88,35 @@ class StreamingDedupSpec extends SparkSpecBase {
       (r.getLong(0), r.getLong(1))).toSet == Set((1L, 10L)))
   }
 
+  test("batch band hashes prune the state scan at the parquet level") {
+    val root = Files.createTempDirectory("stream-dedup-prune").toString
+    val state = s"$root/state"
+    import spark.implicits._
+    // seed committed state with two accepted docs
+    StreamingDedup.applyBatch(
+      Seq(doc(1, base),
+        doc(2, "some thoroughly unrelated second document about parquet " +
+          "row group statistics pruning selective scans at corpus scale " +
+          "with sorted band hashes inside each bucket file")).toDF("doc_id", "text"),
+      state, batchId = 0)
+    val store = new StateStore(spark, state)
+    val stBands = store.read("bands", store.currentSeq)
+    assert(stBands.count() > 0)
+    val nb = Seq((0, "nosuchhash", 99L)).toDF("band_idx", "band_hash", "new_id")
+    spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "8192")
+    try {
+      val cand = StreamingDedup.stateCandidates(stBands, nb,
+        batchHashes = Array("nosuchhash", "alsonothere", "northis"))
+      val scan = cand.queryExecution.executedPlan.toString
+      // the IN predicate must reach the parquet scan's pushed filters —
+      // with band_hash-sorted files that is what turns O(|state|) reads
+      // into O(matching row groups)
+      assert(scan.contains("PushedFilters") &&
+        scan.contains("In(band_hash"), s"filter not pushed:\n$scan")
+      assert(cand.count() == 0)
+    } finally spark.conf.unset("spark.sql.parquet.pushdown.inFilterThreshold")
+  }
+
   test("a crash between state writes and the commit replays cleanly") {
     import spark.implicits._
     val root = Files.createTempDirectory("stream-dedup-crash").toString
