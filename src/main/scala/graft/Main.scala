@@ -416,6 +416,9 @@ object Main {
         Some(CacheQuery.relationsForWays(b, ids("way"))) else None
     ).flatten
     if (frames.isEmpty) fatal("query-cache: no ids given")
+    // collect() is correct here: this is the debugging CLI printing a
+    // handful of requested elements to stdout (the reference's query-cache
+    // does the same, cache/query.go) — never a data path
     frames.foreach(_.toJSON.collect().foreach(println))
   }
 

@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.SparkSpecBase
+
+/** Plan-shape regression gates for the headline queries: the properties
+  * that make them survive a 100× scale-up — filters and projections
+  * reaching the parquet scan, small dimensions broadcast, per-row
+  * pipelines staying exchange-free — asserted on the actual physical
+  * plans so a refactor that silently loses one fails a test, not a
+  * benchmark round.
+  */
+class PlanAuditSpec extends SparkSpecBase {
+
+  private def planOf(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sf001)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def scanLinesFor(plan: String, table: String): String =
+    plan.split("\n\n").find(s =>
+        s.contains(s"$table.parquet") && s.contains("ReadSchema"))
+      .getOrElse(fail(s"no $table scan section in:\n$plan"))
+
+  test("q6: every predicate and the 4-column projection reach the scan") {
+    val scan = scanLinesFor(planOf("q6_filtered_revenue"), "lineitem")
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(scan.contains(s"IsNotNull($c)") || scan.contains(s"$c)"),
+        s"$c not pushed:\n$scan")
+    val read = scan.split("\n").find(_.contains("ReadSchema")).get
+    // projection pruning: only the filter + aggregate columns are read
+    assert(Seq("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
+      .forall(read.contains), read)
+    assert(!read.contains("l_comment") && !read.contains("l_orderkey"), read)
+  }
+
+  test("q1: scan reads only the aggregate's 6 columns") {
+    val read = scanLinesFor(planOf("q1_pricing_summary"), "lineitem")
+      .split("\n").find(_.contains("ReadSchema")).get
+    assert(Seq("l_returnflag", "l_linestatus", "l_quantity",
+      "l_extendedprice", "l_discount").forall(read.contains), read)
+    assert(!read.contains("l_partkey") && !read.contains("l_shipdate"), read)
+  }
+
+  test("q5: region and nation dimensions broadcast, never shuffled") {
+    val plan = planOf("q5_local_supplier")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the two tiny dimensions must not appear under a hash exchange
+    val hashExchanges = plan.split("\n\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(!hashExchanges.exists(s => s.contains("region") || s.contains("nation")),
+      s"dimension under a hash exchange:\n$plan")
+  }
+
+  test("per-row pipelines run with zero exchanges") {
+    for (name <- Seq("d_mix_weighted", "d_pii_scrub")) {
+      // the output orderBy (presentation-only, for the oracle diff) plans
+      // as a RANGE exchange; the operator body itself must never
+      // hash-shuffle — a per-row filter/rewrite has no grouping to pay for
+      val p = graft.SparkEntry.queries(name)(spark, sf001)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"), s"$name shuffles:\n$p")
+    }
+  }
+
+  test("s_cosine_topk: queries broadcast against a single corpus scan") {
+    val plan = planOf("s_cosine_topk")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    // corpus side: one scan of embeddings, no self-shuffle before scoring
+    assert(plan.split("embeddings.parquet").length - 1 >= 1, plan)
+  }
+}
