@@ -781,6 +781,65 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // -- BPE merge training (real byte-pair-encoding, distributed) --------------
+  // Learns the first `BpeIters` merge rules from the corpus the way a
+  // tokenizer trainer does: start from characters, repeatedly (1) count
+  // adjacent symbol pairs weighted by word frequency, (2) take the most
+  // frequent pair (ties: lexicographic — deterministic), (3) merge every
+  // adjacent occurrence greedily left-to-right.
+  //
+  // Distribution: the corpus collapses to its WORD-FREQUENCY table first
+  // (one shuffle whose cardinality is the vocabulary — ~10⁷ at 100 TB, not
+  // the corpus), and every iteration is a narrow scan + small aggregate
+  // over that table; only the 1-row argmax comes to the driver per
+  // iteration (control plane, like IvfIndex's probed cells).
+  //
+  // Merge application is a string rewrite shared verbatim with the oracle:
+  // symbols are double-space-joined (' a  b  c '); replacing ' a  b ' with
+  // ' ab ' implements exactly the greedy leftmost-first merge because
+  // replace() consumes matches left-to-right without overlap and each
+  // replacement re-establishes the two-space invariant. Symbols are alnum
+  // (never contain spaces), so the encoding is unambiguous.
+  private[queries] val BpeIters = 8
+
+  private def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = docs(s, dir)
+      .select(explode(tokensExpr).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .withColumn("sy", expr("concat('  ', array_join(split(w, ''), '  '), '  ')"))
+      .select("sy", "freq")
+      .persist()
+    words.count() // materialize once; 8 iterations re-read the cached vocab
+    var v = words
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (it <- 1 to BpeIters) {
+      val top = v
+        .select(col("freq"), explode(expr(
+          // single-symbol words have no pairs — and Spark's sequence(1, 0)
+          // counts DOWN, so guard instead of relying on an empty range
+          "if(size(split(trim(sy), '  ')) < 2, " +
+            "array(), " +
+            "transform(sequence(1, size(split(trim(sy), '  ')) - 1), " +
+            "i -> struct(element_at(split(trim(sy), '  '), i) as a, " +
+            "element_at(split(trim(sy), '  '), i + 1) as b)))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (a, b, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((it.toLong, a, b, a + b, cnt))
+        v = v.withColumn("sy",
+          expr(s"replace(sy, ' $a  $b ', ' $a$b ')"))
+      }
+    }
+    words.unpersist()
+    merges.result().toDF("it", "pair_a", "pair_b", "merged", "cnt")
+      .orderBy("it")
+  }
+
   /** BM25 query terms: one near-ubiquitous, one common, one rare —
     * the idf spread the saturation curve is about. */
   private val bmTerms = Seq("spark", "key", "dup")
@@ -892,6 +951,7 @@ object TextOps {
     "d_mix_weighted"      -> (mixWeighted _),
     "d_bm25"              -> (bm25 _),
     "d_vocab"             -> (vocab _),
+    "d_bpe_merges"        -> (bpeMerges _),
     "d_budget_select"     -> (budgetSelect _),
     "d_pack_sequences"    -> (packSequences _),
     "d_shuffle"           -> (shuffleDocs _),
@@ -1255,6 +1315,31 @@ object TextOps {
          |  round((${w(0)} + ${w(1)}) + ${w(2)}, 6) AS score_r
          |FROM tf, s2
          |ORDER BY score_r DESC, doc_id""".stripMargin
+    },
+    "d_bpe_merges" -> {
+      // unrolled mirror of the Spark loop: one (pair-count, argmax, apply)
+      // CTE triple per iteration, same double-space string rewrite
+      val iters = (1 to BpeIters).map { k =>
+        s"""pc$k AS (
+           |  SELECT s[i] AS a, s[i + 1] AS b, sum(freq)::BIGINT AS cnt
+           |  FROM (SELECT string_split(trim(sy), '  ') AS s, freq FROM v${k - 1}),
+           |    unnest(generate_series(1, len(s) - 1)) AS t(i)
+           |  GROUP BY 1, 2),
+           |top$k AS (SELECT a, b, cnt FROM pc$k ORDER BY cnt DESC, a, b LIMIT 1),
+           |v$k AS (SELECT replace(sy, ' ' || a || '  ' || b || ' ',
+           |    ' ' || a || b || ' ') AS sy, freq FROM v${k - 1}, top$k)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to BpeIters).map(k =>
+        s"SELECT $k::BIGINT AS it, a AS pair_a, b AS pair_b, " +
+          s"a || b AS merged, cnt FROM top$k").mkString("\nUNION ALL\n")
+      s"""WITH v0 AS (
+         |  SELECT '  ' || array_to_string(string_split(w, ''), '  ') || '  ' AS sy,
+         |    freq
+         |  FROM (SELECT w, count(*)::BIGINT AS freq
+         |    FROM (SELECT unnest($tokensSql) AS w FROM documents) GROUP BY w)),
+         |$iters
+         |$out
+         |ORDER BY it""".stripMargin
     },
     "d_vocab" ->
       s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
