@@ -802,8 +802,9 @@ object TextOps {
   // (never contain spaces), so the encoding is unambiguous.
   private[queries] val BpeIters = 8
 
-  private def bpeMerges(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** The learned merge rules: (iteration, a, b, merged, weighted count). */
+  private def learnBpeMerges(s: SparkSession,
+      dir: String): Seq[(Long, String, String, String, Long)] = {
     val words = docs(s, dir)
       .select(explode(tokensExpr).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
@@ -836,8 +837,39 @@ object TextOps {
       }
     }
     words.unpersist()
-    merges.result().toDF("it", "pair_a", "pair_b", "merged", "cnt")
+    merges.result()
+  }
+
+  private def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    learnBpeMerges(s, dir).toDF("it", "pair_a", "pair_b", "merged", "cnt")
       .orderBy("it")
+  }
+
+  // -- BPE encode: apply the learned merges to the corpus ---------------------
+  // The serving half of the trainer: every word re-tokenized under the
+  // learned vocab via the same nested replace chain (a literal expression
+  // tree — zero shuffles, pure codegen'd scan), with the per-doc symbol
+  // count and fertility (symbols per word — the metric tokenizer quality
+  // is judged by). The merges are driver-known literals at plan time;
+  // d_bpe_merges gates that they match the oracle's, and the oracle here
+  // recomputes them in-query and applies them as column expressions.
+  private def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val merges = learnBpeMerges(s, dir)
+    val applied = merges.foldLeft(
+      "concat('  ', array_join(split(w, ''), '  '), '  ')") {
+      case (e, (_, a, b, m, _)) => s"replace($e, ' $a  $b ', ' $m ')"
+    }
+    docs(s, dir)
+      .withColumn("toks", tokensExpr)
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        expr("aggregate(toks, 0L, (acc, w) -> acc + " +
+          s"size(split(trim($applied), '  ')))").as("n_syms"))
+      .withColumn("fertility", round(
+        col("n_syms").cast("double") / col("n_words").cast("double"), 6))
+      .orderBy("doc_id")
   }
 
   /** BM25 query terms: one near-ubiquitous, one common, one rare —
@@ -952,6 +984,7 @@ object TextOps {
     "d_bm25"              -> (bm25 _),
     "d_vocab"             -> (vocab _),
     "d_bpe_merges"        -> (bpeMerges _),
+    "d_bpe_encode"        -> (bpeEncode _),
     "d_budget_select"     -> (budgetSelect _),
     "d_pack_sequences"    -> (packSequences _),
     "d_shuffle"           -> (shuffleDocs _),
@@ -994,6 +1027,30 @@ object TextOps {
       "i -> substr(text, i::INT, 5)))"
   private val tokensSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
   private val stopSql = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Unrolled BPE trainer CTEs shared by the merges and encode oracles:
+    * v0 = char-split word-frequency table, then per iteration a
+    * (pair-count, argmax, apply) triple — the exact DuckDB mirror of the
+    * Spark loop in [[learnBpeMerges]].
+    */
+  private lazy val bpeCtes: String = {
+    val iters = (1 to BpeIters).map { k =>
+      s"""pc$k AS (
+         |  SELECT s[i] AS a, s[i + 1] AS b, sum(freq)::BIGINT AS cnt
+         |  FROM (SELECT string_split(trim(sy), '  ') AS s, freq FROM v${k - 1}),
+         |    unnest(generate_series(1, len(s) - 1)) AS t(i)
+         |  GROUP BY 1, 2),
+         |top$k AS (SELECT a, b, cnt FROM pc$k ORDER BY cnt DESC, a, b LIMIT 1),
+         |v$k AS (SELECT replace(sy, ' ' || a || '  ' || b || ' ',
+         |    ' ' || a || b || ' ') AS sy, freq FROM v${k - 1}, top$k)""".stripMargin
+    }.mkString(",\n")
+    s"""v0 AS (
+       |  SELECT '  ' || array_to_string(string_split(w, ''), '  ') || '  ' AS sy,
+       |    freq
+       |  FROM (SELECT w, count(*)::BIGINT AS freq
+       |    FROM (SELECT unnest($tokensSql) AS w FROM documents) GROUP BY w)),
+       |$iters""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "d_dedup_exact" ->
@@ -1316,30 +1373,30 @@ object TextOps {
          |FROM tf, s2
          |ORDER BY score_r DESC, doc_id""".stripMargin
     },
-    "d_bpe_merges" -> {
-      // unrolled mirror of the Spark loop: one (pair-count, argmax, apply)
-      // CTE triple per iteration, same double-space string rewrite
-      val iters = (1 to BpeIters).map { k =>
-        s"""pc$k AS (
-           |  SELECT s[i] AS a, s[i + 1] AS b, sum(freq)::BIGINT AS cnt
-           |  FROM (SELECT string_split(trim(sy), '  ') AS s, freq FROM v${k - 1}),
-           |    unnest(generate_series(1, len(s) - 1)) AS t(i)
-           |  GROUP BY 1, 2),
-           |top$k AS (SELECT a, b, cnt FROM pc$k ORDER BY cnt DESC, a, b LIMIT 1),
-           |v$k AS (SELECT replace(sy, ' ' || a || '  ' || b || ' ',
-           |    ' ' || a || b || ' ') AS sy, freq FROM v${k - 1}, top$k)""".stripMargin
-      }.mkString(",\n")
-      val out = (1 to BpeIters).map(k =>
-        s"SELECT $k::BIGINT AS it, a AS pair_a, b AS pair_b, " +
-          s"a || b AS merged, cnt FROM top$k").mkString("\nUNION ALL\n")
-      s"""WITH v0 AS (
-         |  SELECT '  ' || array_to_string(string_split(w, ''), '  ') || '  ' AS sy,
-         |    freq
-         |  FROM (SELECT w, count(*)::BIGINT AS freq
-         |    FROM (SELECT unnest($tokensSql) AS w FROM documents) GROUP BY w)),
-         |$iters
-         |$out
-         |ORDER BY it""".stripMargin
+    "d_bpe_merges" ->
+      s"""WITH $bpeCtes
+         |${(1 to BpeIters).map(k =>
+             s"SELECT $k::BIGINT AS it, a AS pair_a, b AS pair_b, " +
+               s"a || b AS merged, cnt FROM top$k").mkString("\nUNION ALL\n")}
+         |ORDER BY it""".stripMargin,
+    "d_bpe_encode" -> {
+      // recompute the merges in-query (same CTEs), then apply them to every
+      // word as COLUMN expressions via a cross join of the 8 one-row tops
+      val applied = (1 to BpeIters).foldLeft(
+        "'  ' || array_to_string(string_split(w, ''), '  ') || '  '") {
+        (e, k) =>
+          s"replace($e, ' ' || t$k.a || '  ' || t$k.b || ' ', " +
+            s"' ' || t$k.a || t$k.b || ' ')"
+      }
+      val tops = (1 to BpeIters).map(k => s"top$k t$k").mkString(", ")
+      s"""WITH $bpeCtes,
+         |wordsyms AS (
+         |  SELECT doc_id,
+         |    len(string_split(trim($applied), '  '))::BIGINT AS ns
+         |  FROM (SELECT doc_id, unnest($tokensSql) AS w FROM documents), $tops)
+         |SELECT doc_id, count(*)::BIGINT AS n_words, sum(ns)::BIGINT AS n_syms,
+         |  round(sum(ns)::DOUBLE / count(*)::DOUBLE, 6) AS fertility
+         |FROM wordsyms GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     "d_vocab" ->
       s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
