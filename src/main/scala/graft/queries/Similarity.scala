@@ -209,6 +209,22 @@ object Similarity {
     graft.operators.IvfIndex.search(s, idx, corpus.filter(col("vec_id") < 10))
   }
 
+  // Bench-only A/B partner: the fleet-tier hash-partial-avg update step
+  // (exact = false). Deliberately NO oracle entry — the fold-vs-avg swap
+  // drifts last-ulp sums, and pinning its output to the bit-exact DuckDB
+  // unroll would make the gate flake on rounding boundaries; IvfIndexSpec
+  // gates 1e-6 centroid agreement + identical assignments instead. What
+  // this buys at scale: bounded per-group state in the update aggregate
+  // (no collect_list of a hot cell's members).
+  private def annIvfKmeansFast(s: SparkSession, dir: String): DataFrame = {
+    val idx = java.nio.file.Files.createTempDirectory("ivf-kmfast").toString + "/idx"
+    val corpus = t(s, dir, "embeddings")
+    val cents = graft.operators.IvfIndex.kmeansCentroids(corpus, 16, 2,
+      exact = false)
+    graft.operators.IvfIndex.build(s, corpus, idx, centroids = Some(cents))
+    graft.operators.IvfIndex.search(s, idx, corpus.filter(col("vec_id") < 10))
+  }
+
   // -- scalar int8 quantization ------------------------------------------------
   // Per-vector symmetric quantization: scale = 127 / max|x|, q_i = round to
   // nearest int in [-127, 127]. 4× memory cut for ANN corpora (the float32
@@ -289,6 +305,7 @@ object Similarity {
     "s_ann_ivf"         -> (annIvf _),
     "s_ann_ivf_indexed" -> (annIvfIndexed _),
     "s_ann_ivf_kmeans"  -> (annIvfKmeans _),
+    "s_ann_ivf_kmeans_fast" -> (annIvfKmeansFast _),
     "s_dedup_embedding" -> (dedupEmbedding _),
     "s_dedup_semantic"  -> (dedupSemantic _)
   )

@@ -93,4 +93,50 @@ class OperatorPropertiesSpec extends SparkSpecBase {
       assert(fast == slow)
     }
   }
+
+  test("prefix scan equals sequential cumsum on random multi-key orders") {
+    val gen = for {
+      rows <- Gen.listOfN(60,
+        Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(0L, 50L)))
+    } yield rows
+
+    forAllSeeded(gen) { rows =>
+      val df = rows.zipWithIndex.map { case ((grp, v), i) =>
+        (i.toLong, grp, v)
+      }.toDF("id", "grp", "v").repartition(5)
+      // order by (grp DESC, id): ties in grp resolved by the unique id
+      val got = PrefixSum.exclusive(df,
+          Seq(col("grp").desc, col("id")), "v", "off", 0)
+        .select("id", "off").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      var acc = 0L
+      val want = rows.zipWithIndex
+        .map { case ((grp, v), i) => (grp, i.toLong, v) }
+        .sortBy { case (grp, id, _) => (-grp, id) }
+        .map { case (_, id, v) => val o = acc; acc += v; id -> o }.toMap
+      assert(got == want)
+    }
+  }
+
+  test("salted join equals plain join on random skew profiles") {
+    val gen = for {
+      hotShare <- Gen.chooseNum(0, 90)
+      nBig <- Gen.chooseNum(50, 300)
+      salts <- Gen.oneOf(2, 8, 17)
+    } yield (hotShare, nBig, salts)
+
+    forAllSeeded(gen, n = 8) { case (hotShare, nBig, salts) =>
+      val bigRows = (0 until nBig).map { i =>
+        val k = if (i * 100 / nBig < hotShare) 3L else (i % 11).toLong
+        (k, i.toLong)
+      }
+      val big = bigRows.toDF("k", "payload")
+      val dim = (0L until 11L).map(k => (k, s"d$k")).toDF("k", "tag")
+      val plain = big.join(dim, Seq("k"))
+        .select("k", "payload", "tag").collect().map(_.toSeq).toSet
+      val salted = SkewJoin.salted(big, dim, Seq("k"), salts)
+        .select("k", "payload", "tag").collect().map(_.toSeq).toSet
+      assert(salted == plain && plain.size == nBig)
+    }
+  }
 }
