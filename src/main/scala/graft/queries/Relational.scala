@@ -122,6 +122,87 @@ object Relational {
       .orderBy("o_custkey", "rk")
   }
 
+  // -- q15 shape: top supplier by revenue (scalar-max subquery) --------------
+  // Revenue per supplier in exact DECIMAL, the max as a broadcast 1-row
+  // cross join, equality ON THE DECIMAL (never the double) so the boundary
+  // decision is identical on both engines.
+  private def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val sup = t(s, dir, "supplier")
+    val rev = li.groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .as("tr"))
+    val mx = rev.agg(max(col("tr")).as("mx"))
+    rev.crossJoin(broadcast(mx)).filter(col("tr") === col("mx"))
+      .join(sup, col("supplier_no") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("tr").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  // -- q18 shape: large-volume orders (semi join on a grouped HAVING) --------
+  private def q18LargeVolume(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val big = li.groupBy("l_orderkey")
+      .agg(sum(dec(col("l_quantity"))).as("sum_qty_dec"))
+      .filter(col("sum_qty_dec") > 250)
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(big, o("o_orderkey") === big("l_orderkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        col("sum_qty_dec").cast("double").as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+  }
+
+  // -- q19 shape: disjunctive brand/size/quantity predicates -----------------
+  // The OR-of-ANDs revenue query — the plan-quality point is that the
+  // disjunction still prunes: per-branch part predicates reach the part
+  // scan, and the join stays a broadcast of the filtered part side.
+  private def q19DiscountedRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    val joined = li.join(p, li("l_partkey") === p("p_partkey"))
+    val branch1 = col("p_brand") === "Brand#12" &&
+      col("p_size").between(1, 5) && col("l_quantity").between(1, 11)
+    val branch2 = col("p_brand") === "Brand#23" &&
+      col("p_size").between(1, 10) && col("l_quantity").between(10, 20)
+    val branch3 = col("p_brand") === "Brand#34" &&
+      col("p_size").between(1, 15) && col("l_quantity").between(20, 30)
+    joined.filter(branch1 || branch2 || branch3)
+      .agg(coalesce(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))),
+        lit(0).cast("decimal(18,2)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  // -- q21 shape: sole-blame supplier (semi + anti self-correlation) ---------
+  // Suppliers with a returned line on a multi-supplier order where NO other
+  // supplier returned on that order — TPC-H q21's EXISTS/NOT-EXISTS double
+  // self-join correlation, adapted to this schema's returnflag (it has no
+  // commit/receipt dates). Both correlations are id-only self joins on
+  // l_orderkey: a semi join proving another supplier shipped the order and
+  // an anti join excluding any other supplier's return.
+  private def q21SoleBlame(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val sup = t(s, dir, "supplier")
+    val l1 = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .distinct()
+    val others = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+    val othersR = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+    val waited = l1
+      .join(others, col("ok") === col("ok2") && col("sk") =!= col("sk2"),
+        "left_semi")
+      .join(othersR, col("ok") === col("ok3") && col("sk") =!= col("sk3"),
+        "left_anti")
+    waited.join(sup, col("sk") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(countDistinct(col("ok")).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+  }
+
   // -- same ranking via the custom operator's keyless-global mode -----------
   // A/B partner for q_top_parts: identical semantics and oracle, planned as
   // TopK.global — per-partition partial heaps + one k×partitions-row merge —
@@ -398,6 +479,10 @@ object Relational {
     "q_asof_forward"        -> (qAsofForward _),
     "q_asof_nearest"        -> (qAsofNearest _),
     "q13_order_distribution" -> (q13OrderDistribution _),
+    "q15_top_supplier"      -> (q15TopSupplier _),
+    "q18_large_volume"      -> (q18LargeVolume _),
+    "q19_discounted_revenue" -> (q19DiscountedRevenue _),
+    "q21_sole_blame"        -> (q21SoleBlame _),
     "q22_idle_balance"      -> (q22IdleBalance _),
     "q_range_windows"       -> (qRangeWindows _),
     "q_stratified_sample"   -> (qStratifiedSample _),
@@ -495,6 +580,46 @@ object Relational {
         |        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         |       FROM events))
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS tr
+        |  FROM lineitem GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(tr AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = supplier_no
+        |WHERE tr = (SELECT max(tr) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q18_large_volume" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+        |  FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(sq AS DOUBLE) AS sum_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN big ON o_orderkey = big.l_orderkey
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
+    "q19_discounted_revenue" ->
+      """SELECT
+        | CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 0) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_rows
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q21_sole_blame" ->
+      """WITH l1 AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+        |  FROM lineitem WHERE l_returnflag = 'R'),
+        |waited AS (
+        |  SELECT ok, sk FROM l1
+        |  WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |      WHERE l2.l_orderkey = l1.ok AND l2.l_suppkey <> l1.sk)
+        |    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |      WHERE l3.l_orderkey = l1.ok AND l3.l_suppkey <> l1.sk
+        |        AND l3.l_returnflag = 'R'))
+        |SELECT s_suppkey, s_name, COUNT(DISTINCT ok) AS numwait
+        |FROM waited JOIN supplier ON sk = s_suppkey
+        |GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey""".stripMargin,
     "q13_order_distribution" ->
       """SELECT n_orders, COUNT(*) AS n_customers FROM (
         | SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders

@@ -62,6 +62,14 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("q19: the disjunctive part predicates reach the part scan") {
+    val scan = scanLinesFor(planOf("q19_discounted_revenue"), "part")
+    // the OR-of-ANDs must be extracted per side: every branch constrains
+    // p_brand + p_size, so their disjunction is pushable to the part scan
+    assert(scan.contains("Or("), s"no disjunction pushed:\n$scan")
+    assert(scan.contains("p_brand") && scan.contains("p_size"), scan)
+  }
+
   test("s_cosine_topk: queries broadcast against a single corpus scan") {
     val plan = planOf("s_cosine_topk")
     assert(plan.contains("BroadcastNestedLoopJoin") ||
