@@ -872,6 +872,42 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // -- per-source corpus report ------------------------------------------------
+  // The health dashboard a dataset owner reads before a training run: one
+  // row per (source, lang) rolling up volume (docs, tokens, chars),
+  // quality-gate pass rate, and exact-duplicate rate. Composition of the
+  // existing signals as ONE aggregation — the quality counters and the
+  // dup flag ride the same shuffle; the only extra exchange is the md5
+  // self-grouping that defines duplicates (survivor = min doc_id, as
+  // d_dedup_exact). Integer-ratio outputs keep the gate float-free.
+  private def sourceReport(s: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(stopwords.map(lit): _*)
+    val base = docs(s, dir)
+      .withColumn("toks", tokensExpr)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => array_contains(stopArr, t))).cast("long"))
+      .withColumn("n_punct",
+        (length(col("text")) - length(regexp_replace(lower(col("text")),
+          "[^a-z0-9 ]", ""))).cast("long"))
+      .withColumn("ok",
+        (col("n_tokens") >= 10 && col("n_stop") * 2 < col("n_tokens") &&
+          col("n_punct") * 5 < col("n_tokens")).cast("long"))
+    val survivors = docs(s, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(1L).as("is_survivor"))
+    base.join(survivors, Seq("doc_id"), "left")
+      .withColumn("is_dup", (col("is_survivor").isNull).cast("long"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        sum(col("ok")).as("n_quality_ok"),
+        sum(col("is_dup")).as("n_dups"))
+      .orderBy("source", "lang")
+  }
+
   /** BM25 query terms: one near-ubiquitous, one common, one rare —
     * the idf spread the saturation curve is about. */
   private val bmTerms = Seq("spark", "key", "dup")
@@ -983,6 +1019,7 @@ object TextOps {
     "d_mix_weighted"      -> (mixWeighted _),
     "d_bm25"              -> (bm25 _),
     "d_vocab"             -> (vocab _),
+    "d_source_report"     -> (sourceReport _),
     "d_bpe_merges"        -> (bpeMerges _),
     "d_bpe_encode"        -> (bpeEncode _),
     "d_budget_select"     -> (budgetSelect _),
@@ -1408,6 +1445,22 @@ object TextOps {
          |  round(((CAST(n_docs AS DOUBLE) - CAST(df_docs AS DOUBLE)) + 0.5)
          |    / (CAST(df_docs AS DOUBLE) + 0.5), 6) AS idf_r
          |FROM v, n ORDER BY tok""".stripMargin,
+    "d_source_report" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source, lang, len(text)::BIGINT AS n_chars,
+         |    len(toks)::BIGINT AS n_tokens,
+         |    len(list_filter(toks, t -> list_contains($stopSql, t)))::BIGINT AS n_stop,
+         |    (len(text) - len(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::BIGINT AS n_punct
+         |  FROM (SELECT doc_id, text, source, lang, $tokensSql AS toks FROM documents)),
+         |survivors AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+         |SELECT source, lang, count(*)::BIGINT AS n_docs,
+         |  sum(n_tokens)::BIGINT AS n_tokens, sum(n_chars)::BIGINT AS n_chars,
+         |  sum(CASE WHEN n_tokens >= 10 AND n_stop * 2 < n_tokens
+         |      AND n_punct * 5 < n_tokens THEN 1 ELSE 0 END)::BIGINT AS n_quality_ok,
+         |  sum(CASE WHEN s.doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_dups
+         |FROM base b LEFT JOIN survivors s ON b.doc_id = s.doc_id
+         |GROUP BY source, lang ORDER BY source, lang""".stripMargin,
     "d_budget_select" ->
       s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
          |m AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
