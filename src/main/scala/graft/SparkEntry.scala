@@ -35,6 +35,7 @@ object SparkEntry {
     "d_chunks_cdc", "d_corpus_pipeline", "d_mix_weighted", "d_bm25",
     "d_pack_sequences", "d_shuffle", "d_budget_select", "d_bpe_merges",
     "s_cosine_topk", "s_ann_lsh", "s_ann_lsh_probe", "s_ann_ivf_kmeans",
-    "s_quantize_int8", "s_dedup_semantic", "s_ann_ivf_kmeans_fast"
+    "s_quantize_int8", "s_dedup_semantic", "s_ann_ivf_kmeans_fast",
+    "s_hybrid_rrf"
   )
 }

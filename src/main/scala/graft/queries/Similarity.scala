@@ -275,6 +275,42 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  // -- hybrid retrieval: reciprocal-rank fusion of BM25 and cosine ------------
+  // The two-tower serving primitive: a lexical ranking (BM25 over the fixed
+  // query terms) and a vector ranking (cosine to query vector 0) each keep
+  // their global top-50 — via TopK.global, so the "global rank" that RRF
+  // needs never materializes a single-partition Window — then fuse with
+  // 1/(60 + rank) per side (Cormack's k = 60), absent side contributing 0.
+  // All fusion arithmetic is IEEE exactly-rounded division + addition on
+  // BIGINT ranks, so the scores are bit-identical cross-engine.
+  private def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val lex = graft.operators.TopK.global(
+        TextOps.bm25(s, dir).select(col("doc_id"), col("score_r")),
+        Seq(col("score_r").desc, col("doc_id")), 50)
+      .select(col("doc_id"), col("rk").as("lex_rank"))
+    val v = vecs(s, dir)
+    val q0 = v.filter(col("vec_id") === 0)
+      .select(col("e").as("qe"), col("nrm").as("qn"))
+    val cos = v.crossJoin(broadcast(q0))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("sim_r",
+        round(vecDot(col("qe"), col("e")) / (col("qn") * col("nrm")), 6))
+    val vec = graft.operators.TopK.global(
+        cos.select(col("vec_id"), col("sim_r")),
+        Seq(col("sim_r").desc, col("vec_id")), 50)
+      .select(col("vec_id").as("doc_id"), col("rk").as("vec_rank"))
+    val fused = lex.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_r", round(
+        coalesce(lit(1.0) / (lit(60.0) + col("lex_rank").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("vec_rank").cast("double")), lit(0.0)),
+        6))
+    graft.operators.TopK.global(fused,
+        Seq(col("rrf_r").desc, col("doc_id")), 20)
+      .select(col("rk").as("rnk"), col("doc_id"), col("lex_rank"),
+        col("vec_rank"), col("rrf_r"))
+      .orderBy("rnk")
+  }
+
   // -- semantic dedup: near-dup pairs → components → survivor per cluster -----
   // The full embedding-level dedup decision, composed from the verified
   // pieces: sign-code-blocked near-dup pairs (s_dedup_embedding), pointer-
@@ -306,6 +342,7 @@ object Similarity {
     "s_ann_ivf_indexed" -> (annIvfIndexed _),
     "s_ann_ivf_kmeans"  -> (annIvfKmeans _),
     "s_ann_ivf_kmeans_fast" -> (annIvfKmeansFast _),
+    "s_hybrid_rrf"      -> (hybridRrf _),
     "s_dedup_embedding" -> (dedupEmbedding _),
     "s_dedup_semantic"  -> (dedupSemantic _)
   )
@@ -444,6 +481,34 @@ object Similarity {
          |$codedPairsSql
          |SELECT a_id, b_id, sim_r, sim_r >= 0.45 AS is_dup
          |FROM pairs ORDER BY a_id, b_id""".stripMargin,
+    "s_hybrid_rrf" ->
+      s"""WITH lex0 AS (${TextOps.oracles("d_bm25")}),
+         |lexr AS (
+         |  SELECT doc_id, lex_rank FROM (
+         |    SELECT doc_id,
+         |      row_number() OVER (ORDER BY score_r DESC, doc_id) AS lex_rank
+         |    FROM lex0)
+         |  WHERE lex_rank <= 50),
+         |$vSql,
+         |q0 AS (SELECT e AS qe, nrm AS qn FROM v WHERE vec_id = 0),
+         |cos AS (SELECT vec_id,
+         |    round(list_dot_product(qe, e) / (qn * nrm), 6) AS sim_r
+         |  FROM v, q0 WHERE vec_id <> 0),
+         |vecr AS (
+         |  SELECT doc_id, vec_rank FROM (
+         |    SELECT vec_id AS doc_id,
+         |      row_number() OVER (ORDER BY sim_r DESC, vec_id) AS vec_rank
+         |    FROM cos)
+         |  WHERE vec_rank <= 50),
+         |fused AS (
+         |  SELECT coalesce(l.doc_id, r.doc_id) AS doc_id, l.lex_rank, r.vec_rank,
+         |    round(coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(l.lex_rank AS DOUBLE)), 0)
+         |      + coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(r.vec_rank AS DOUBLE)), 0), 6) AS rrf_r
+         |  FROM lexr l FULL OUTER JOIN vecr r ON l.doc_id = r.doc_id)
+         |SELECT rnk, doc_id, lex_rank, vec_rank, rrf_r FROM (
+         |  SELECT *, row_number() OVER (ORDER BY rrf_r DESC, doc_id) AS rnk
+         |  FROM fused)
+         |WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
     "s_dedup_semantic" ->
       s"""WITH RECURSIVE $vSql,
          |$codedPairsSql,

@@ -926,7 +926,7 @@ object TextOps {
   // corpus stats (N, Σdl, df per term) are one tiny aggregate broadcast
   // back. An ad-hoc-query serving path would build the df-capped posting
   // index of d_dedup_ngram instead.
-  private def bm25(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def bm25(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir)
       .withColumn("toks", tokensExpr)
       .withColumn("dl", size(col("toks")).cast("long"))
