@@ -55,6 +55,26 @@ object EventsStream {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment + per-dimension windowed rollup: each
+    * micro-batch broadcast-joins the (small) dimension — no stream-side
+    * join state, no shuffle of the stream beyond the windowed aggregate's
+    * own grouping — then aggregates value per (window, dimension
+    * attribute). Caveat worth knowing: a PLAIN-parquet static side pins
+    * its file listing at plan time, so overwriting the path mid-query
+    * fails the scan rather than refreshing the dimension — a live
+    * slowly-changing dimension needs a snapshot-isolated table format or
+    * a foreachBatch that re-reads the frame per batch.
+    */
+  def enrichedSegmentCounts(events: DataFrame, dim: DataFrame,
+      dimKey: String = "user_id", attr: String = "segment"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .join(broadcast(dim.select(col(dimKey), col(attr))), Seq(dimKey))
+      .groupBy(window(col("ts"), "5 minutes"), col(attr))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col(attr),
+        col("n_events"), col("total_value"))
+
   /** Gap-based sessionization (default 30 min): a session closes when the
     * watermark passes its last event + gap; closed sessions are emitted in
     * Append mode and their state is freed. */

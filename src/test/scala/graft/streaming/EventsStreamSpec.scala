@@ -43,6 +43,40 @@ class EventsStreamSpec extends SparkSpecBase {
     assert(rows.contains((b + 5 * 60L, "view", 1L, 3.0)))
   }
 
+  test("stream-static enrichment joins the broadcast dimension per window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dimPath = java.nio.file.Files.createTempDirectory("seg-dim").toString
+    Seq((1L, "gold"), (2L, "free")).toDF("user_id", "segment")
+      .write.mode("overwrite").parquet(dimPath)
+    val input = MemoryStream[Event]
+    val q = EventsStream.enrichedSegmentCounts(
+        input.toDF(), spark.read.parquet(dimPath))
+      .writeStream.format("memory").queryName("seg_counts")
+      .outputMode(OutputMode.Append()).start()
+
+    input.addData(
+      Event(1, ts(0), 1, "view", 1.0),
+      Event(2, ts(1), 2, "view", 2.0),
+      Event(3, ts(2), 1, "purchase", 10.0))
+    q.processAllAvailable()
+    input.addData(Event(4, ts(7), 2, "view", 5.0)) // second batch, window 2
+    q.processAllAvailable()
+    input.addData(Event(5, ts(60), 9, "view", 0.0)) // close the windows
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("seg_counts")
+      .selectExpr("cast(window_start as long) ws", "segment", "n_events", "total_value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val b = base / 1000
+    // user 9 has no dimension row → dropped by the inner join
+    assert(rows == Set(
+      (b, "gold", 2L, 11.0),
+      (b, "free", 1L, 2.0),
+      (b + 5 * 60L, "free", 1L, 5.0)), rows.toString)
+  }
+
   test("watermarked dedup suppresses replayed event ids across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
