@@ -27,6 +27,7 @@ object SparkEntry {
   /** Headline subset timed by Bench (kept fast enough for sf0.1 per-round). */
   def benchQueries: Seq[String] = Seq(
     "q1_pricing_summary", "q3_revenue_by_segment", "q5_local_supplier",
+    "q7_volume_shipping", "q9_product_profit",
     "q18_large_volume", "q21_sole_blame",
     "q_window_top3", "q_window_top3_topk", "q_sessionize", "q_top_parts",
     "q_top_parts_topk",

@@ -221,6 +221,237 @@ object Relational {
       .orderBy(col("revenue").desc, col("p_partkey"))
   }
 
+  // -- q2 shape: min-cost supplier (correlated scalar-min subquery) ----------
+  // The schema has no partsupp, so the supply relation is derived from
+  // lineitem: cost(part, supp) = MIN(extendedprice) over their shipments —
+  // the correlated "= (SELECT MIN(...) WHERE same part)" structure is what
+  // this gates. The per-part min rides as an equi join against a groupBy
+  // (Catalyst's decorrelation target shape); region/nation are broadcast.
+  private def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val sup = t(s, dir, "supplier")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    val p = t(s, dir, "part")
+    val ps = li.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(dec(col("l_extendedprice"))).as("cost"))
+    val eu = ps.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .select(col("l_partkey"), col("l_suppkey"), col("cost"),
+        col("s_name"), col("s_acctbal"), col("n_name"))
+    val euMin = eu.groupBy(col("l_partkey").as("m_partkey"))
+      .agg(min(col("cost")).as("min_cost"))
+    p.filter(col("p_type") === "LARGE" && col("p_size").between(10, 20))
+      .join(eu, col("p_partkey") === eu("l_partkey"))
+      .join(euMin, col("p_partkey") === col("m_partkey") &&
+        col("cost") === col("min_cost"))
+      .select(col("p_partkey"), col("l_suppkey").as("s_suppkey"),
+        col("s_name"), col("n_name"), col("s_acctbal"),
+        col("cost").cast("double").as("supply_cost"))
+      .orderBy(col("s_acctbal").desc, col("p_partkey"), col("s_suppkey"))
+  }
+
+  // -- q7 shape: volume shipping between two nations (either direction) ------
+  // The disjunctive nation-pair predicate sits above two independent
+  // broadcast nation joins; everything else is the usual fact-chain shuffle.
+  private def q7VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val sup = t(s, dir, "supplier")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val n1 = n.select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = n.select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    li.filter(col("l_shipdate") >= lit("1995-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+              (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  // -- q8 shape: market share of one supplier nation per order year ----------
+  // Conditional share: both the numerator (CASE) and denominator are exact
+  // DECIMAL sums, divided as doubles only at the end — one IEEE division,
+  // identical on both engines.
+  private def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val sup = t(s, dir, "supplier")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    val n1 = n.select(col("n_nationkey").as("n1_key"), col("n_regionkey").as("n1_region"))
+    val n2 = n.select(col("n_nationkey").as("n2_key"), col("n_name").as("supp_nation"))
+    val volume = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+    li.join(p.filter(col("p_type") === "ECONOMY"), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("n1_key"))
+      .join(broadcast(r.filter(col("r_name") === "ASIA")),
+        col("n1_region") === col("r_regionkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n2), col("s_nationkey") === col("n2_key"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        (sum(when(col("supp_nation") === "NATION_5", volume)
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+          sum(volume).cast("double")).as("mkt_share"),
+        sum(volume).cast("double").as("total_volume"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("o_year")
+  }
+
+  // -- q9 shape: product-type profit by nation and year (LIKE-filtered) ------
+  // No partsupp/supplycost in this schema, so profit is the discounted
+  // revenue — the gated shape is the LIKE-pruned part join feeding a
+  // 4-table chain grouped on (dimension attribute, derived year).
+  private def q9ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    val sup = t(s, dir, "supplier")
+    val o = t(s, dir, "orders")
+    val n = t(s, dir, "nation")
+    li.join(p.filter(col("p_name").like("%bolt%")), col("l_partkey") === col("p_partkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("profit"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  // -- q10 shape: top returned-revenue customers in a quarter ----------------
+  private def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    val n = t(s, dir, "nation")
+    c.join(o.filter(col("o_orderdate") >= lit("1997-01-01") &&
+        col("o_orderdate") < lit("1997-04-01")),
+        col("c_custkey") === col("o_custkey"))
+      .join(li.filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"), col("c_acctbal"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .select("c_custkey", "c_name", "n_name", "revenue", "c_acctbal")
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  // -- q11 shape: important stock (scalar subquery in HAVING) ----------------
+  // The HAVING threshold is a scalar aggregate over the SAME derived frame,
+  // broadcast back as a 1-row cross join; the boundary decision is exact
+  // (DECIMAL × 1000 vs DECIMAL total), never a float fraction.
+  private def q11ImportantStock(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val sup = t(s, dir, "supplier")
+    val n = t(s, dir, "nation")
+    val v = li
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n.filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(sum(dec(col("l_extendedprice"))).as("val"))
+    val total = v.agg(sum(col("val")).as("total_val"))
+    v.crossJoin(broadcast(total))
+      .filter(col("val") * 1000 > col("total_val"))
+      .select(col("partkey"), col("val").cast("double").as("value"))
+      .orderBy(col("value").desc, col("partkey"))
+  }
+
+  // -- q12 shape: late shipments split by order priority (CASE counts) -------
+  // No shipmode/receiptdate in this schema: "late" = shipped more than 90
+  // days after the order date; the gated shape is the join + CASE-bucketed
+  // counts per group.
+  private def q12LatePriority(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(high, 1L).otherwise(0L)).cast("long").as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).cast("long").as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  // -- q14 shape: promo revenue share in one month ---------------------------
+  private def q14PromoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    val volume = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+    li.filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1997-02-01"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) * sum(when(col("p_type") === "PROMO", volume)
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+          sum(volume).cast("double")).as("promo_revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  // -- q16 shape: supplier count per part group, NOT-IN exclusion ------------
+  // The part-supplier relation is the distinct (l_partkey, l_suppkey) pairs
+  // from lineitem (no partsupp table); "complaint" suppliers are the
+  // negative-balance ones, excluded with a left-anti join — the NOT IN
+  // (subquery) plan shape.
+  private def q16SupplierCnt(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    val sup = t(s, dir, "supplier")
+    val ps = li.select(col("l_partkey"), col("l_suppkey")).distinct()
+    val excluded = sup.filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    ps.join(p.filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 5, 15, 25, 35, 45)),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size").cast("long").as("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  // -- q20 shape: suppliers shipping big volumes of LIKE-named parts ---------
+  // Nested IN-subqueries become a chain: LIKE-filtered part ids feed a
+  // grouped-HAVING aggregate over lineitem, whose supplier ids semi-join
+  // the supplier table.
+  private def q20PartPromotion(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    val sup = t(s, dir, "supplier")
+    val n = t(s, dir, "nation")
+    val smallParts = p.filter(col("p_name").like("small%")).select(col("p_partkey"))
+    val bigShippers = li
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .join(smallParts, col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(dec(col("l_quantity"))).as("sq"))
+      .filter(col("sq") > 50)
+      .select(col("l_suppkey"))
+    sup.join(bigShippers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy("s_suppkey")
+  }
+
   // -- sessionize: gap>30min sessions from the events stream table ----------
   private def qSessionize(s: SparkSession, dir: String): DataFrame = {
     // ts arrives as a long (ns since epoch) via nanosAsLong; DuckDB sees a
@@ -235,6 +466,29 @@ object Relational {
           .otherwise(0L))
       .groupBy("user_id")
       .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  // -- conversion funnel: first view → first click after → first purchase ----
+  // The product-analytics staple: per user, the earliest view, the earliest
+  // click strictly after it, the earliest purchase strictly after that —
+  // only fully-converted users survive. Three min-aggregates all hashed on
+  // user_id, so the exchanges collapse onto one partitioning (Catalyst
+  // reuses the shuffle); at 100 TB this is one shuffle of the events table,
+  // not three. Time math in µs (DuckDB's parquet reader truncates ns).
+  private def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").withColumn("ts_us", expr("ts DIV 1000"))
+      .select("user_id", "event_type", "ts_us")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("view_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("ts_us") > col("view_us"))
+      .groupBy(col("user_id"), col("view_us"))
+      .agg(min(col("ts_us")).as("click_us"))
+    ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("ts_us") > col("click_us"))
+      .groupBy(col("user_id"), col("view_us"), col("click_us"))
+      .agg(min(col("ts_us")).as("purchase_us"))
       .orderBy("user_id")
   }
 
@@ -463,6 +717,16 @@ object Relational {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "q2_min_cost_supplier"  -> (q2MinCostSupplier _),
+    "q7_volume_shipping"    -> (q7VolumeShipping _),
+    "q8_market_share"       -> (q8MarketShare _),
+    "q9_product_profit"     -> (q9ProductProfit _),
+    "q10_returned_items"    -> (q10ReturnedItems _),
+    "q11_important_stock"   -> (q11ImportantStock _),
+    "q12_late_priority"     -> (q12LatePriority _),
+    "q14_promo_revenue"     -> (q14PromoRevenue _),
+    "q16_supplier_cnt"      -> (q16SupplierCnt _),
+    "q20_part_promotion"    -> (q20PartPromotion _),
     "q17_small_qty_revenue" -> (qSmallQtyRevenue _),
     "q_grouping_sets"       -> (qGroupingSets _),
     "q_percentiles"         -> (qPercentiles _),
@@ -475,6 +739,7 @@ object Relational {
     "q_window_top3"         -> (qWindowTop3 _),
     "q_window_top3_topk"    -> (qWindowTop3TopK _),
     "q_sessionize"          -> (qSessionize _),
+    "q_funnel"              -> (qFunnel _),
     "q_asof_views"          -> (qAsofViews _),
     "q_asof_forward"        -> (qAsofForward _),
     "q_asof_nearest"        -> (qAsofNearest _),
@@ -496,6 +761,126 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q2_min_cost_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey, MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |eu AS (
+        |  SELECT l_partkey, l_suppkey, cost, s_name, s_acctbal, n_name
+        |  FROM ps JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE')
+        |SELECT p_partkey, eu.l_suppkey AS s_suppkey, s_name, n_name, s_acctbal,
+        |  CAST(cost AS DOUBLE) AS supply_cost
+        |FROM part JOIN eu ON p_partkey = eu.l_partkey
+        |WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 20
+        |  AND cost = (SELECT MIN(cost) FROM eu e2 WHERE e2.l_partkey = p_partkey)
+        |ORDER BY s_acctbal DESC, p_partkey, s_suppkey""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_rows
+        |FROM lineitem
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        | JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      """WITH all_n AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem
+        |   JOIN part ON l_partkey = p_partkey
+        |   JOIN orders ON l_orderkey = o_orderkey
+        |   JOIN customer ON o_custkey = c_custkey
+        |   JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |   JOIN region ON n1.n_regionkey = r_regionkey
+        |   JOIN supplier ON l_suppkey = s_suppkey
+        |   JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY')
+        |SELECT o_year,
+        |  CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+        |  CAST(SUM(volume) AS DOUBLE) AS total_volume,
+        |  COUNT(*) AS n_rows
+        |FROM all_n GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS profit,
+        | COUNT(*) AS n_rows
+        |FROM lineitem
+        | JOIN part ON l_partkey = p_partkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%bolt%'
+        |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | c_acctbal
+        |FROM customer
+        | JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+        |GROUP BY 1, 2, 3, 5
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q11_important_stock" ->
+      """WITH v AS (
+        |  SELECT l_partkey AS partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_3' GROUP BY 1)
+        |SELECT partkey, CAST(val AS DOUBLE) AS value
+        |FROM v
+        |WHERE val * 1000 > (SELECT SUM(val) FROM v)
+        |ORDER BY value DESC, partkey""".stripMargin,
+    "q12_late_priority" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT
+        | 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |     THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |   / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS promo_revenue,
+        | COUNT(*) AS n_rows
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-02-01'""".stripMargin,
+    "q16_supplier_cnt" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM ps JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 15, 25, 35, 45)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q20_part_promotion" ->
+      """SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 50)
+        |ORDER BY s_suppkey""".stripMargin,
     "q17_small_qty_revenue" ->
       """SELECT
         | CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_price,
@@ -580,6 +965,18 @@ object Relational {
         |        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         |       FROM events))
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |v AS (SELECT user_id, MIN(ts_us) AS view_us
+        |  FROM e WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, view_us, MIN(ts_us) AS click_us
+        |  FROM e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND ts_us > view_us GROUP BY 1, 2),
+        |p AS (SELECT e.user_id, view_us, click_us, MIN(ts_us) AS purchase_us
+        |  FROM e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts_us > click_us GROUP BY 1, 2, 3)
+        |SELECT user_id, view_us, click_us, purchase_us FROM p
+        |ORDER BY user_id""".stripMargin,
     "q15_top_supplier" ->
       """WITH rev AS (
         |  SELECT l_suppkey AS supplier_no,

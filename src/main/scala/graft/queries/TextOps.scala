@@ -730,6 +730,85 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // -- temperature-scaled language rebalancing ---------------------------------
+  // The mC4/XLM-R style mix: keep-rate per language ∝ (n_lang / n_max)^α,
+  // boosting scarce languages relative to the dominant pile. α = 0.5 is
+  // spelled as sqrt — an IEEE exactly-rounded op on both engines (a general
+  // pow() is not), so the derived rates are bit-identical cross-engine. Two
+  // phases: a language-cardinality aggregate (rows = #languages, broadcast
+  // back), then the same pure per-row hash filter as d_mix_weighted — the
+  // recipe is DERIVED from the corpus instead of hand-written, but the
+  // corpus pass is still one narrow filtered scan with no shuffle.
+  private def mixTemperature(s: SparkSession, dir: String): DataFrame = {
+    val counts = docs(s, dir).groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+    val nmax = counts.agg(max(col("nl")).as("nmax"))
+    val rates = counts.crossJoin(broadcast(nmax))
+      .select(col("lang").as("r_lang"),
+        floor(lit(10000.0) *
+          sqrt(col("nl").cast("double") / col("nmax").cast("double")))
+          .cast("long").as("rate"))
+    docs(s, dir)
+      .withColumn("bucket", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 10000"))
+      .join(broadcast(rates), col("lang") === col("r_lang"))
+      .filter(col("bucket") < col("rate"))
+      .select(col("doc_id"), col("lang"), col("bucket"), col("rate"))
+      .orderBy("doc_id")
+  }
+
+  // -- class-balanced deterministic sampling (k docs per language) -------------
+  // A balanced evaluation/calibration subset: exactly k = 50 docs per
+  // language, chosen by a salted md5 order so the pick is uniform,
+  // reproducible, and independent of the mix queries' hash buckets. Runs
+  // through the custom TopKPerKeyExec — one hash shuffle on lang, then a
+  // bounded per-key heap (memory k × #languages) instead of Window's full
+  // per-language sort; at 100 TB the heap never holds more than k rows per
+  // class regardless of how skewed the language distribution is.
+  private def samplePerClass(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("lang"), col("doc_id"),
+        md5(concat(lit("cls:"), col("doc_id").cast("string"))).as("h"))
+    graft.operators.TopK.perKey(d,
+        Seq(col("lang")), Seq(col("h").asc, col("doc_id").asc), 50)
+      .select(col("lang"), col("rk"), col("doc_id"), col("h"))
+      .orderBy("lang", "rk")
+  }
+
+  // -- KMV distinct-count sketch (per-source vocabulary size) ------------------
+  // The mergeable k-minimum-values sketch: hash every distinct token into a
+  // 60-bit space (15 md5 hex chars — DETERMINISTIC, unlike engine-native
+  // hash functions), keep the k = 256 smallest per source, and estimate
+  // |distinct| = (k-1) / F(h_k) with F(h) = h / 2^60. The k smallest ride
+  // the custom TopKPerKeyExec — bounded heap state, so a source with a
+  // billion distinct tokens costs the same memory as one with a thousand.
+  // The exact count rides along to audit the sketch's relative error; at
+  // 100 TB you would DROP the exact branch (that is the point of the
+  // sketch) — it is here because the driver gate compares exact values.
+  // All estimate arithmetic is exactly-rounded IEEE (255·2^60 is exact in
+  // double, one division), so the estimates are bit-identical cross-engine.
+  private val KmvK = 256
+
+  private def distinctKmv(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("source"), explode(tokensExpr).as("tok"))
+      .distinct()
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"))
+    val exact = toks.groupBy("source").agg(count(lit(1)).as("n_exact"))
+    val kth = graft.operators.TopK.perKey(
+        toks.select(col("source").as("ksrc"), col("h")),
+        Seq(col("ksrc")), Seq(col("h").asc), KmvK)
+      .filter(col("rk") === KmvK)
+      .select(col("ksrc"), col("h").as("hk"))
+    exact.join(kth, col("source") === col("ksrc"), "left_outer")
+      .select(col("source"), col("n_exact"),
+        when(col("hk").isNull, col("n_exact").cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) *
+            lit(1152921504606846976L).cast("double") / col("hk").cast("double"))
+          .as("est_distinct"))
+      .orderBy("source")
+  }
+
   // -- corpus vocabulary / document-frequency table ---------------------------
   // The corpus-wide (token, tf, df) inventory with the same log-free
   // rational idf as d_bm25 — the precomputed statistics a serving-time BM25
@@ -1017,6 +1096,9 @@ object TextOps {
     "d_pii_scrub"         -> (piiScrubCustomer _),
     "d_lang_id"           -> (langId _),
     "d_mix_weighted"      -> (mixWeighted _),
+    "d_mix_temperature"   -> (mixTemperature _),
+    "d_sample_per_class"  -> (samplePerClass _),
+    "d_distinct_kmv"      -> (distinctKmv _),
     "d_bm25"              -> (bm25 _),
     "d_vocab"             -> (vocab _),
     "d_source_report"     -> (sourceReport _),
@@ -1385,6 +1467,41 @@ object TextOps {
         |   WHEN 'fr' THEN 80 WHEN 'es' THEN 80 ELSE 100 END AS rate
         | FROM documents)
         |WHERE bucket < rate ORDER BY doc_id""".stripMargin,
+    "d_mix_temperature" ->
+      """WITH n AS (SELECT lang, COUNT(*) AS nl FROM documents GROUP BY 1),
+        |m AS (SELECT MAX(nl) AS nmax FROM n),
+        |r AS (SELECT lang,
+        |   CAST(floor(10000.0 * sqrt(CAST(nl AS DOUBLE) / CAST(nmax AS DOUBLE))) AS BIGINT) AS rate
+        | FROM n, m)
+        |SELECT doc_id, d.lang, bucket, rate FROM (
+        | SELECT doc_id, lang,
+        |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS bucket
+        | FROM documents) d
+        |JOIN r ON d.lang = r.lang
+        |WHERE bucket < rate ORDER BY doc_id""".stripMargin,
+    "d_sample_per_class" ->
+      """SELECT lang, rk, doc_id, h FROM (
+        | SELECT lang, doc_id, h,
+        |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+        | FROM (SELECT lang, doc_id, md5('cls:' || doc_id::VARCHAR) AS h
+        |       FROM documents))
+        |WHERE rk <= 50 ORDER BY lang, rk""".stripMargin,
+    "d_distinct_kmv" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT source, tok FROM (
+        |    SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS tok
+        |    FROM documents)),
+        |h AS (SELECT source, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+        |kth AS (SELECT source, h AS hk FROM (
+        |  SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk FROM h)
+        |  WHERE rk = 256),
+        |exact AS (SELECT source, COUNT(*) AS n_exact FROM h GROUP BY 1)
+        |SELECT e.source AS source, n_exact,
+        |  CASE WHEN hk IS NULL THEN CAST(n_exact AS DOUBLE)
+        |       ELSE CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) / CAST(hk AS DOUBLE)
+        |  END AS est_distinct
+        |FROM exact e LEFT JOIN kth ON e.source = kth.source
+        |ORDER BY e.source""".stripMargin,
     "d_bm25" -> {
       // identical expression tree to the Spark side: every op is IEEE
       // exactly-rounded, so same tree ⇒ same bits (see bm25's header)

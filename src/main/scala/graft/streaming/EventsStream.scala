@@ -75,6 +75,38 @@ object EventsStream {
       .select(col("window.start").as("window_start"), col(attr),
         col("n_events"), col("total_value"))
 
+  /** Stream-stream interval join (click attribution): each click pairs with
+    * the same user's views in the preceding `windowMinutes`. Both sides are
+    * watermarked and the join condition bounds event time in BOTH
+    * directions, so the state store retains only watermark + window worth
+    * of rows per side — the unbounded-state trap of an unconstrained
+    * stream-stream join is exactly what the interval predicate avoids. With
+    * `joinType = "left_outer"`, clicks with no view emit a null-view row
+    * once the watermark proves no match can still arrive.
+    *
+    * Scale note: the join shuffles both sides on user_id once; state size
+    * is throughput × (watermark + window), independent of stream length.
+    */
+  def clickViewAttribution(events: DataFrame, windowMinutes: Int = 10,
+      joinType: String = "inner"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"), col("value").as("click_value"))
+      .withWatermark("click_ts", "10 minutes")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "10 minutes")
+    clicks.join(views,
+        col("c_user") === col("v_user") &&
+          col("view_ts") <= col("click_ts") &&
+          col("view_ts") >= col("click_ts") -
+            expr(s"INTERVAL $windowMinutes MINUTES"),
+        joinType)
+      .select(col("click_id"), col("c_user").as("user_id"), col("click_ts"),
+        col("click_value"), col("view_id"), col("view_ts"))
+  }
+
   /** Gap-based sessionization (default 30 min): a session closes when the
     * watermark passes its last event + gap; closed sessions are emitted in
     * Append mode and their state is freed. */

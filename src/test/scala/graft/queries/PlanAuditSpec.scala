@@ -70,6 +70,30 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(scan.contains("p_brand") && scan.contains("p_size"), scan)
   }
 
+  test("q9: the LIKE predicate reaches the part scan; nation broadcasts") {
+    val plan = planOf("q9_product_profit")
+    val scan = scanLinesFor(plan, "part")
+    // StringContains('%bolt%') must prune part BEFORE the 4-table chain —
+    // at sf100 this is the difference between joining 2M and 20M part rows
+    assert(scan.contains("Contains(p_name,bolt)") || scan.contains("bolt"),
+      s"LIKE not pushed:\n$scan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q2: the correlated min decorrelates to joins, never a cartesian") {
+    val plan = planOf("q2_min_cost_supplier")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the part filter (p_type, p_size) must reach the part scan
+    val scan = scanLinesFor(plan, "part")
+    assert(scan.contains("p_type") && scan.contains("p_size"), scan)
+  }
+
+  test("q16: the NOT-IN exclusion plans as a broadcast anti join") {
+    val plan = planOf("q16_supplier_cnt")
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("s_cosine_topk: queries broadcast against a single corpus scan") {
     val plan = planOf("s_cosine_topk")
     assert(plan.contains("BroadcastNestedLoopJoin") ||

@@ -101,6 +101,66 @@ class EventsStreamSpec extends SparkSpecBase {
     assert(ids.toSeq == Seq(1L, 2L, 3L), ids.mkString(","))
   }
 
+  test("stream-stream interval join pairs clicks with preceding views") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStream.clickViewAttribution(input.toDF(), windowMinutes = 10)
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append()).start()
+
+    input.addData(
+      Event(1, ts(0), 1, "view", 1.0),
+      Event(2, ts(3), 1, "view", 2.0),
+      Event(3, ts(5), 1, "click", 5.0),   // pairs with views 1 and 2
+      Event(4, ts(20), 1, "click", 6.0),  // both views > 10 min old: no pair
+      Event(5, ts(4), 2, "view", 3.0),
+      Event(6, ts(6), 2, "click", 7.0))   // pairs with view 5
+    q.processAllAvailable()
+    q.stop()
+
+    val pairs = spark.table("attrib")
+      .select("click_id", "view_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((3L, 1L), (3L, 2L), (6L, 5L)), pairs.toString)
+  }
+
+  test("left-outer interval join emits null-view clicks after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStream.clickViewAttribution(input.toDF(), windowMinutes = 10,
+        joinType = "left_outer")
+      .writeStream.format("memory").queryName("attrib_outer")
+      .outputMode(OutputMode.Append()).start()
+
+    input.addData(
+      Event(1, ts(0), 1, "view", 1.0),
+      Event(2, ts(5), 1, "click", 5.0),   // matched
+      Event(3, ts(6), 2, "click", 6.0))   // user 2 never views
+    q.processAllAvailable()
+    // push the watermark past click 3 + window so the join can PROVE no
+    // view will arrive and emit the null-padded row. BOTH sides must
+    // advance: the global watermark is the MIN over the two withWatermark
+    // nodes, so a stalled click side would pin it at zero forever even as
+    // views keep flowing (user 8 never views, so its clicks stay pending)
+    input.addData(Event(9, ts(120), 9, "view", 0.0),
+      Event(11, ts(121), 8, "click", 0.0))
+    q.processAllAvailable()
+    input.addData(Event(10, ts(240), 9, "view", 0.0),
+      Event(12, ts(241), 8, "click", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("attrib_outer")
+      .select("click_id", "view_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    // click 11 also nulls out: the final watermark (230 min, advanced by the
+    // trailing no-data micro-batch) passes it too; click 12 stays pending
+    assert(rows == Set((2L, 1L), (3L, -1L), (11L, -1L)), rows.toString)
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -13,7 +13,11 @@ object ExplainCheck {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
-    for (name <- Seq("s_hybrid_rrf", "d_budget_select", "d_source_report")) {
+    for (name <- Seq("q2_min_cost_supplier", "q7_volume_shipping",
+        "q8_market_share", "q9_product_profit", "q10_returned_items",
+        "q11_important_stock", "q12_late_priority", "q14_promo_revenue",
+        "q16_supplier_cnt", "q20_part_promotion", "q_funnel",
+        "d_mix_temperature", "d_sample_per_class", "d_distinct_kmv")) {
       val plan = graft.SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
       val nHash = "Exchange hashpartitioning".r.findAllIn(plan).length
