@@ -492,6 +492,44 @@ object Relational {
       .orderBy("user_id")
   }
 
+  // -- retention cohorts: first-event week × weeks-since-cohort --------------
+  // The classic cohort table: each user's cohort is their first-activity
+  // week; every event then lands in (cohort_week, week_offset) with a
+  // distinct-user count. Both the first-event aggregate and the join hash
+  // on user_id, so the events table shuffles once and the partitioning is
+  // reused; week indices are pure integer µs division — no calendar
+  // functions whose week-numbering rules could diverge between engines.
+  private def qCohort(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("week", expr("ts DIV 1000 DIV 604800000000"))
+      .select("user_id", "week")
+    val first = ev.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    ev.join(first, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  // -- decile distribution: ntile within each order priority -----------------
+  // ntile(10) partitioned by o_orderpriority (deterministic under the
+  // unique (o_totalprice, o_orderkey) order), rolled up to per-decile
+  // min/max/count — the quantile-bucket report shape. Partitioned windows
+  // scale (state is one partition's run, not the table); only GLOBAL
+  // ntile would need the PrefixSum spelling.
+  private def qDeciles(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    o.withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("o_orderpriority", "decile")
+      .agg(min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority", "decile")
+  }
+
   // -- q13 shape: outer-join distribution (customers with zero orders) ------
   private def q13OrderDistribution(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
@@ -740,6 +778,8 @@ object Relational {
     "q_window_top3_topk"    -> (qWindowTop3TopK _),
     "q_sessionize"          -> (qSessionize _),
     "q_funnel"              -> (qFunnel _),
+    "q_cohort"              -> (qCohort _),
+    "q_deciles"             -> (qDeciles _),
     "q_asof_views"          -> (qAsofViews _),
     "q_asof_forward"        -> (qAsofForward _),
     "q_asof_nearest"        -> (qAsofNearest _),
@@ -977,6 +1017,22 @@ object Relational {
         |  WHERE event_type = 'purchase' AND ts_us > click_us GROUP BY 1, 2, 3)
         |SELECT user_id, view_us, click_us, purchase_us FROM p
         |ORDER BY user_id""".stripMargin,
+    "q_cohort" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+        |f AS (SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY 1)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |  COUNT(DISTINCT e.user_id) AS n_users, COUNT(*) AS n_events
+        |FROM e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_deciles" ->
+      """SELECT o_orderpriority, decile,
+        | MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+        | COUNT(*) AS n_orders
+        |FROM (SELECT o_orderpriority, o_totalprice,
+        |   CAST(NTILE(10) OVER (PARTITION BY o_orderpriority
+        |     ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS decile
+        | FROM orders)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q15_top_supplier" ->
       """WITH rev AS (
         |  SELECT l_suppkey AS supplier_no,

@@ -800,13 +800,35 @@ object TextOps {
         Seq(col("ksrc")), Seq(col("h").asc), KmvK)
       .filter(col("rk") === KmvK)
       .select(col("ksrc"), col("h").as("hk"))
-    exact.join(kth, col("source") === col("ksrc"), "left_outer")
+    exact.join(broadcast(kth), col("source") === col("ksrc"), "left_outer")
       .select(col("source"), col("n_exact"),
         when(col("hk").isNull, col("n_exact").cast("double"))
           .otherwise(lit((KmvK - 1).toDouble) *
             lit(1152921504606846976L).cast("double") / col("hk").cast("double"))
           .as("est_distinct"))
       .orderBy("source")
+  }
+
+  // -- relative quality gate: per-language median threshold --------------------
+  // Absolute quality cutoffs misfire across languages (token counts differ
+  // structurally), so production gates threshold RELATIVE to the language's
+  // own distribution. Two phases like d_mix_temperature: an exact per-lang
+  // median of n_tokens (rows = #languages, broadcast back), then a narrow
+  // filtered scan. The median is `percentile` — linear interpolation,
+  // already proven bit-compatible with DuckDB's quantile_cont by
+  // q_percentiles. At 100 TB the exact percentile becomes the one expensive
+  // step (it sorts per language); the swap is approx_percentile with the
+  // same join shape.
+  private def qualityGateRel(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(tokensExpr).cast("long").as("n_tokens"))
+    val th = d.groupBy(col("lang").as("t_lang"))
+      .agg(expr("percentile(n_tokens, 0.5)").as("p50"))
+    d.join(broadcast(th), col("lang") === col("t_lang"))
+      .filter(col("n_tokens").cast("double") >= col("p50"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("p50"))
+      .orderBy("doc_id")
   }
 
   // -- corpus vocabulary / document-frequency table ---------------------------
@@ -1099,6 +1121,7 @@ object TextOps {
     "d_mix_temperature"   -> (mixTemperature _),
     "d_sample_per_class"  -> (samplePerClass _),
     "d_distinct_kmv"      -> (distinctKmv _),
+    "d_quality_gate_rel"  -> (qualityGateRel _),
     "d_bm25"              -> (bm25 _),
     "d_vocab"             -> (vocab _),
     "d_source_report"     -> (sourceReport _),
@@ -1502,6 +1525,15 @@ object TextOps {
         |  END AS est_distinct
         |FROM exact e LEFT JOIN kth ON e.source = kth.source
         |ORDER BY e.source""".stripMargin,
+    "d_quality_gate_rel" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |   CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |th AS (SELECT lang, quantile_cont(n_tokens, 0.5) AS p50 FROM d GROUP BY 1)
+        |SELECT doc_id, d.lang AS lang, n_tokens, p50
+        |FROM d JOIN th ON d.lang = th.lang
+        |WHERE CAST(n_tokens AS DOUBLE) >= p50
+        |ORDER BY doc_id""".stripMargin,
     "d_bm25" -> {
       // identical expression tree to the Spark side: every op is IEEE
       // exactly-rounded, so same tree ⇒ same bits (see bm25's header)
