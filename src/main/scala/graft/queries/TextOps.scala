@@ -194,6 +194,47 @@ object TextOps {
       .orderBy("a_id", "b_id")
   }
 
+  // -- MinHash LSH recall audit ------------------------------------------------
+  // "Measure, don't guess" for the banding parameters: every TRUE near-dup
+  // pair (exact trigram-set jaccard >= 0.7, found through an UNCAPPED
+  // shingle inverted index — a >=0.7 pair must share a shingle, so the
+  // index misses nothing) is marked with whether the 4×3 LSH band stage
+  // proposed it. Recall = fraction caught; a parameter change (bands,
+  // rows, hash family) shows up as flipped `caught` bits, gated by the
+  // oracle. The uncapped self-join is quadratic in the hottest shingle's
+  // df — this is the audit you run on a SAMPLE when tuning, not on the
+  // full corpus (the production candidate path stays df-capped/banded).
+  private def minhashAudit(s: SparkSession, dir: String): DataFrame = {
+    val d = minhashPrep(docs(s, dir))
+    val bands = minhashBandsOf(d)
+    val cand = bands
+      .select(col("band_idx"), col("band_hash"), col("doc_id").as("a_id"))
+      .join(bands.select(col("band_idx"), col("band_hash"),
+        col("doc_id").as("b_id")), Seq("band_idx", "band_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+      .withColumn("hit", lit(1))
+    val inv = d.select(col("doc_id"), explode(col("ss")).as("sg"))
+    val tc = inv.select(col("doc_id").as("a_id"), col("sg"))
+      .join(inv.select(col("doc_id").as("b_id"), col("sg")), Seq("sg"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val sets = d.select(col("doc_id"), col("ss"))
+    tc.join(sets.select(col("doc_id").as("a_id"), col("ss").as("a_ss")), Seq("a_id"))
+      .join(sets.select(col("doc_id").as("b_id"), col("ss").as("b_ss")), Seq("b_id"))
+      .withColumn("n_common",
+        size(array_intersect(col("a_ss"), col("b_ss"))).cast("long"))
+      .withColumn("n_union",
+        (size(col("a_ss")) + size(col("b_ss"))).cast("long") - col("n_common"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / col("n_union").cast("double"))
+      .filter(col("jaccard") >= 0.7)
+      .join(cand, Seq("a_id", "b_id"), "left_outer")
+      .select(col("a_id"), col("b_id"), col("jaccard"),
+        col("hit").isNotNull.as("caught"))
+      .orderBy("a_id", "b_id")
+  }
+
   // -- SimHash dedup -----------------------------------------------------------
   // 64-bit simhash over weighted word tokens; the per-token hash is the first
   // 16 md5 hex chars taken as two 32-bit halves (a single conv() of 16 chars
@@ -1122,6 +1163,7 @@ object TextOps {
     "d_sample_per_class"  -> (samplePerClass _),
     "d_distinct_kmv"      -> (distinctKmv _),
     "d_quality_gate_rel"  -> (qualityGateRel _),
+    "d_minhash_audit"     -> (minhashAudit _),
     "d_bm25"              -> (bm25 _),
     "d_vocab"             -> (vocab _),
     "d_source_report"     -> (sourceReport _),
@@ -1218,6 +1260,23 @@ object TextOps {
          |  n_common::DOUBLE / n_union::DOUBLE AS jaccard
          |FROM scored WHERE n_common::DOUBLE / n_union::DOUBLE > 0.5
          |ORDER BY a_id, b_id""".stripMargin,
+    "d_minhash_audit" ->
+      s"""WITH $minhashCtes,
+         |inv AS (SELECT doc_id, unnest(ss) AS sg FROM sh),
+         |tc AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM inv a JOIN inv b ON a.sg = b.sg AND a.doc_id < b.doc_id),
+         |truth AS (SELECT * FROM (
+         |  SELECT tc.a_id, tc.b_id,
+         |    len(list_intersect(sa.ss, sb.ss))::BIGINT AS n_common,
+         |    (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)))::BIGINT AS n_union
+         |  FROM tc JOIN sh sa ON tc.a_id = sa.doc_id
+         |           JOIN sh sb ON tc.b_id = sb.doc_id)
+         |  WHERE n_common::DOUBLE / n_union::DOUBLE >= 0.7)
+         |SELECT t.a_id, t.b_id,
+         |  n_common::DOUBLE / n_union::DOUBLE AS jaccard,
+         |  (c.a_id IS NOT NULL) AS caught
+         |FROM truth t LEFT JOIN cand c ON t.a_id = c.a_id AND t.b_id = c.b_id
+         |ORDER BY t.a_id, t.b_id""".stripMargin,
     "d_dedup_minhash" ->
       s"""WITH $minhashCtes
          |SELECT a_id, b_id, n_common, n_union,

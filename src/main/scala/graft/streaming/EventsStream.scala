@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 /** Structured Streaming operators over the generic event stream (the
   * `events` table shape) — the engine's non-OSM streaming surface:
@@ -151,5 +153,78 @@ object EventsStream {
             closed.result().iterator
           }
       }
+  }
+
+  /** The same gap sessionization on the transformWithState API (Spark 4's
+    * arbitrary-state successor to flatMapGroupsWithState): typed ValueState
+    * plus an explicit event-time timer per open session, re-armed on every
+    * update. Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` →
+    * RocksDBStateStoreProvider) — which is also the 100 TB answer: state
+    * lives off-heap with changelog checkpointing instead of in executor
+    * memory. Output is identical to `sessionize` on the same input.
+    */
+  def sessionizeTws(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMinutes * 60L * 1000L),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Per-user session state machine for [[sessionizeTws]]. One ValueState
+    * slot + one armed timer per open session; the timer fires when the
+    * watermark passes last event + gap, emitting and freeing the session.
+    */
+  private class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Event, Session] {
+    @transient private var state: ValueState[SessionAcc] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionAcc]("session",
+        Encoders.product[SessionAcc], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[Session] = {
+      val events = rows.toSeq.sortBy(_.ts.getTime)
+      val closed = Seq.newBuilder[Session]
+      var acc = if (state.exists()) Some(state.get()) else None
+      val prevTimer = acc.map(_.lastMs + gapMs)
+      for (e <- events) {
+        val t = e.ts.getTime
+        acc match {
+          case Some(a) if t - a.lastMs <= gapMs =>
+            acc = Some(a.copy(startMs = math.min(a.startMs, t),
+              lastMs = math.max(a.lastMs, t),
+              nEvents = a.nEvents + 1, totalValue = a.totalValue + e.value))
+          case Some(a) =>
+            closed += Session(userId, a.startMs, a.lastMs, a.nEvents, a.totalValue)
+            acc = Some(SessionAcc(t, t, 1, e.value))
+          case None =>
+            acc = Some(SessionAcc(t, t, 1, e.value))
+        }
+      }
+      acc.foreach { a =>
+        state.update(a)
+        val next = a.lastMs + gapMs
+        prevTimer.filter(_ != next).foreach(getHandle.deleteTimer)
+        if (!prevTimer.contains(next)) getHandle.registerTimer(next)
+      }
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[Session] = {
+      // a stale timer (session extended after it was armed) just no-ops:
+      // the live timer for lastMs + gap is still pending
+      if (state.exists()) {
+        val a = state.get()
+        if (a.lastMs + gapMs <= info.getExpiryTimeInMs) {
+          state.clear()
+          Iterator.single(Session(userId, a.startMs, a.lastMs, a.nEvents, a.totalValue))
+        } else Iterator.empty
+      } else Iterator.empty
+    }
   }
 }

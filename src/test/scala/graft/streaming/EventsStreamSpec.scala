@@ -161,6 +161,46 @@ class EventsStreamSpec extends SparkSpecBase {
     assert(rows == Set((2L, 1L), (3L, -1L), (11L, -1L)), rows.toString)
   }
 
+  test("transformWithState sessionization matches the fMGWS operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    // transformWithState requires the RocksDB provider; restore the
+    // default afterwards so the other streaming suites keep HDFS state
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event]
+      val q = EventsStream.sessionizeTws(input.toDS(), gapMinutes = 30)
+        .writeStream.format("memory").queryName("sessions_tws")
+        .outputMode(OutputMode.Append()).start()
+
+      input.addData(
+        Event(1, ts(0), 1, "view", 1.0),
+        Event(2, ts(5), 1, "view", 2.0),
+        Event(3, ts(45), 1, "view", 4.0))
+      q.processAllAvailable()
+      input.addData(Event(9, ts(200), 2, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(10, ts(400), 2, "view", 0.0))
+      q.processAllAvailable()
+      q.stop()
+
+      val sessions = spark.table("sessions_tws").as[Session].collect()
+        .filter(_.user_id == 1).sortBy(_.start_ms)
+      assert(sessions.length == 2, sessions.mkString(", "))
+      assert(sessions(0).n_events == 2 && sessions(0).total_value == 3.0)
+      assert(sessions(0).start_ms == base && sessions(0).end_ms == base + 5 * 60000L)
+      assert(sessions(1).n_events == 1 && sessions(1).total_value == 4.0)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
