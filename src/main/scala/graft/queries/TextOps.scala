@@ -850,6 +850,79 @@ object TextOps {
       .orderBy("source")
   }
 
+  // -- sparse lexical cosine via inverted index --------------------------------
+  // Pairwise cosine over token-frequency vectors WITHOUT densifying: the
+  // classic sparse similarity join. Candidates come from a df-capped
+  // inverted index (id-only shuffle); the exact numerator Σ tf_a·tf_b is
+  // then a pair×token equi join over the candidates only — never the n²
+  // pair space, never a dense vector. All counts are BIGINT, the norms are
+  // one sqrt each and the cosine one division, so the scores are
+  // bit-identical cross-engine. Complements s_cosine_topk (dense
+  // embeddings): this is the lexical half of a hybrid retrieval stack.
+  private def sparseCosine(s: SparkSession, dir: String): DataFrame = {
+    val tf = docs(s, dir)
+      .select(col("doc_id"), explode(tokensExpr).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val norms = tf.groupBy("doc_id")
+      .agg(sqrt(sum(col("tf") * col("tf")).cast("double")).as("norm"))
+    val rare = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= NgramDfCap).select("tok")
+    val capped = tf.join(rare, Seq("tok"), "left_semi")
+    val cand = capped.select(col("tok"), col("doc_id").as("a_id"))
+      .join(capped.select(col("tok"), col("doc_id").as("b_id")), Seq("tok"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val num = cand
+      .join(tf.select(col("doc_id").as("a_id"), col("tok"), col("tf").as("tf_a")),
+        Seq("a_id"))
+      .join(tf.select(col("doc_id").as("b_id"), col("tok"), col("tf").as("tf_b")),
+        Seq("b_id", "tok"))
+      .groupBy("a_id", "b_id")
+      .agg(sum(col("tf_a") * col("tf_b")).as("dot"))
+    num
+      .join(norms.select(col("doc_id").as("a_id"), col("norm").as("norm_a")), Seq("a_id"))
+      .join(norms.select(col("doc_id").as("b_id"), col("norm").as("norm_b")), Seq("b_id"))
+      .withColumn("cosine",
+        col("dot").cast("double") / (col("norm_a") * col("norm_b")))
+      .filter(col("cosine") >= 0.8)
+      .select(col("a_id"), col("b_id"), col("dot"), col("cosine"))
+      .orderBy("a_id", "b_id")
+  }
+
+  // -- collocation mining: adjacent-bigram lift --------------------------------
+  // PMI-style collocations without the log (log is not exactly-rounded
+  // IEEE; the RATIO is): lift(a,b) = c_ab · N / (c_a · c_b) over adjacent
+  // token pairs. Two aggregates whose cardinality is the vocabulary; the
+  // unigram counts broadcast back onto the bigram table at fleet scale.
+  // The bigram extraction guards size<2 explicitly — Spark's sequence(1,0)
+  // counts DOWN ([1,0]) where DuckDB's generate_series(1,0) is empty, a
+  // cross-engine trap worth pinning here.
+  private def collocations(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), tokensExpr.as("toks"))
+      .withColumn("bigrams", expr(
+        "case when size(toks) < 2 then array() else " +
+          "transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) end"))
+    val uni = d.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    val total = uni.agg(sum(col("c1")).as("n_total"))
+    val bi = d.select(explode(col("bigrams")).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+    bi
+      .withColumn("tok_a", expr("split_part(bigram, ' ', 1)"))
+      .withColumn("tok_b", expr("split_part(bigram, ' ', 2)"))
+      .join(uni.select(col("tok").as("tok_a"), col("c1").as("c_a")), Seq("tok_a"))
+      .join(uni.select(col("tok").as("tok_b"), col("c1").as("c_b")), Seq("tok_b"))
+      .crossJoin(broadcast(total))
+      .withColumn("lift",
+        (col("c_ab") * col("n_total")).cast("double") /
+          (col("c_a") * col("c_b")).cast("double"))
+      .select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"), col("lift"))
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(100)
+  }
+
   // -- relative quality gate: per-language median threshold --------------------
   // Absolute quality cutoffs misfire across languages (token counts differ
   // structurally), so production gates threshold RELATIVE to the language's
@@ -1164,6 +1237,8 @@ object TextOps {
     "d_distinct_kmv"      -> (distinctKmv _),
     "d_quality_gate_rel"  -> (qualityGateRel _),
     "d_minhash_audit"     -> (minhashAudit _),
+    "d_sparse_cosine"     -> (sparseCosine _),
+    "d_collocations"      -> (collocations _),
     "d_bm25"              -> (bm25 _),
     "d_vocab"             -> (vocab _),
     "d_source_report"     -> (sourceReport _),
@@ -1584,6 +1659,45 @@ object TextOps {
         |  END AS est_distinct
         |FROM exact e LEFT JOIN kth ON e.source = kth.source
         |ORDER BY e.source""".stripMargin,
+    "d_sparse_cosine" ->
+      """WITH tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |norms AS (SELECT doc_id, sqrt(CAST(SUM(tf * tf) AS DOUBLE)) AS norm
+        |  FROM tf GROUP BY 1),
+        |rare AS (SELECT tok FROM (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1)
+        |  WHERE df <= 100),
+        |capped AS (SELECT tf.doc_id, tf.tok FROM tf JOIN rare USING (tok)),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM capped a JOIN capped b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+        |num AS (SELECT a_id, b_id, CAST(SUM(ta.tf * tb.tf) AS BIGINT) AS dot
+        |  FROM cand JOIN tf ta ON cand.a_id = ta.doc_id
+        |            JOIN tf tb ON cand.b_id = tb.doc_id AND ta.tok = tb.tok
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id, dot,
+        |  CAST(dot AS DOUBLE) / (na.norm * nb.norm) AS cosine
+        |FROM num JOIN norms na ON a_id = na.doc_id
+        |         JOIN norms nb ON b_id = nb.doc_id
+        |WHERE CAST(dot AS DOUBLE) / (na.norm * nb.norm) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
+    "d_collocations" ->
+      """WITH tk AS (SELECT doc_id,
+        |   regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |uni AS (SELECT tok, COUNT(*) AS c1 FROM (
+        |   SELECT unnest(toks) AS tok FROM tk) GROUP BY 1),
+        |total AS (SELECT CAST(SUM(c1) AS BIGINT) AS n_total FROM uni),
+        |bi AS (SELECT bigram, COUNT(*) AS c_ab FROM (
+        |    SELECT unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[]) ELSE
+        |      list_transform(generate_series(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i + 1]) END) AS bigram
+        |    FROM tk) GROUP BY 1 HAVING COUNT(*) >= 5)
+        |SELECT bigram, c_ab, c_a, c_b,
+        |  CAST(c_ab * n_total AS DOUBLE) / CAST(c_a * c_b AS DOUBLE) AS lift
+        |FROM (SELECT bi.bigram, bi.c_ab, ua.c1 AS c_a, ub.c1 AS c_b
+        |  FROM bi JOIN uni ua ON split_part(bi.bigram, ' ', 1) = ua.tok
+        |          JOIN uni ub ON split_part(bi.bigram, ' ', 2) = ub.tok), total
+        |ORDER BY lift DESC, bigram LIMIT 100""".stripMargin,
     "d_quality_gate_rel" ->
       """WITH d AS (SELECT doc_id, lang,
         |   CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS BIGINT) AS n_tokens
