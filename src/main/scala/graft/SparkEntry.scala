@@ -32,9 +32,11 @@ object SparkEntry {
     "q_window_top3", "q_window_top3_topk", "q_sessionize", "q_top_parts",
     "q_top_parts_topk",
     "q_asof_views", "q_asof_nearest", "q_range_windows",
+    "q_funnel", "q_ntile_global",
     "d_dedup_minhash", "d_dedup_simhash", "d_token_stats", "d_chunks",
     "d_chunks_cdc", "d_corpus_pipeline", "d_mix_weighted", "d_bm25",
     "d_pack_sequences", "d_shuffle", "d_budget_select", "d_bpe_merges",
+    "d_sparse_cosine", "d_mix_temperature",
     "s_cosine_topk", "s_ann_lsh", "s_ann_lsh_probe", "s_ann_ivf_kmeans",
     "s_quantize_int8", "s_dedup_semantic", "s_ann_ivf_kmeans_fast",
     "s_hybrid_rrf"

@@ -530,6 +530,60 @@ object Relational {
       .orderBy("o_orderpriority", "decile")
   }
 
+  // -- GLOBAL ntile via the distributed prefix scan --------------------------
+  // The scale-safe spelling of a global quantile bucketing: a global
+  // NTILE/ROW_NUMBER window collapses to ONE partition; here the 0-based
+  // global position comes from PrefixSum (one range shuffle, O(partitions)
+  // longs to the driver) and bucket = pos*10 DIV n — pure integer math,
+  // identical to the oracle's ROW_NUMBER arithmetic. Complements
+  // q_deciles (per-key ntile, where a partitioned Window is fine).
+  private def qNtileGlobal(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice")).withColumn("one", lit(1L))
+    val pos = graft.operators.PrefixSum.exclusive(o,
+      Seq(col("o_totalprice"), col("o_orderkey")), "one", "pos", 0)
+    val n = o.agg(count(lit(1)).as("n_total"))
+    pos.crossJoin(broadcast(n))
+      .withColumn("bucket", expr("pos * 10 DIV n_total") + 1)
+      .groupBy("bucket")
+      .agg(min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("bucket")
+  }
+
+  // -- rank statistics: rank / dense_rank / percent_rank / cume_dist ---------
+  // The remaining ranking-window family in one gate. Ordering by the
+  // non-unique o_totalprice is deliberate: tie groups share rank and
+  // cume_dist, which is exactly where engines disagree if the semantics
+  // are off. percent_rank and cume_dist are single divisions of exact
+  // integers — bit-identical cross-engine.
+  private def qRankStats(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_totalprice") > 450000)
+    val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice"))
+    o.select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(w).cast("long").as("rk"),
+        dense_rank().over(w).cast("long").as("drk"),
+        percent_rank().over(w).as("prk"),
+        cume_dist().over(w).as("cd"))
+      .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+  }
+
+  // -- set operations: EXCEPT and INTERSECT (distinct semantics) -------------
+  // Spark plans both as distinct + left-anti / left-semi joins; the gate
+  // pins the SQL set semantics (dedup, null handling) against the oracle.
+  private def qExceptIntersect(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val y97 = o.filter(col("o_orderdate") >= lit("1997-01-01") &&
+      col("o_orderdate") < lit("1998-01-01")).select(col("o_custkey"))
+    val y98 = o.filter(col("o_orderdate") >= lit("1998-01-01") &&
+      col("o_orderdate") < lit("1999-01-01")).select(col("o_custkey"))
+    y97.except(y98).withColumn("tag", lit("only_1997"))
+      .unionByName(y97.intersect(y98).withColumn("tag", lit("both")))
+      .select(col("tag"), col("o_custkey"))
+      .orderBy("tag", "o_custkey")
+  }
+
   // -- q13 shape: outer-join distribution (customers with zero orders) ------
   private def q13OrderDistribution(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
@@ -780,6 +834,9 @@ object Relational {
     "q_funnel"              -> (qFunnel _),
     "q_cohort"              -> (qCohort _),
     "q_deciles"             -> (qDeciles _),
+    "q_ntile_global"        -> (qNtileGlobal _),
+    "q_rank_stats"          -> (qRankStats _),
+    "q_except_intersect"    -> (qExceptIntersect _),
     "q_asof_views"          -> (qAsofViews _),
     "q_asof_forward"        -> (qAsofForward _),
     "q_asof_nearest"        -> (qAsofNearest _),
@@ -1024,6 +1081,33 @@ object Relational {
         |  COUNT(DISTINCT e.user_id) AS n_users, COUNT(*) AS n_events
         |FROM e JOIN f ON e.user_id = f.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_ntile_global" ->
+      """WITH p AS (SELECT o_totalprice,
+        |   ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS pos
+        | FROM orders),
+        |n AS (SELECT COUNT(*) AS n_total FROM orders)
+        |SELECT (pos * 10 // n_total) + 1 AS bucket,
+        | MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+        | COUNT(*) AS n_orders
+        |FROM p, n GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_rank_stats" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        | CAST(RANK() OVER w AS BIGINT) AS rk,
+        | CAST(DENSE_RANK() OVER w AS BIGINT) AS drk,
+        | PERCENT_RANK() OVER w AS prk,
+        | CUME_DIST() OVER w AS cd
+        |FROM orders WHERE o_totalprice > 450000
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+        |ORDER BY o_orderpriority, o_totalprice, o_orderkey""".stripMargin,
+    "q_except_intersect" ->
+      """WITH y97 AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'),
+        |y98 AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01')
+        |SELECT 'only_1997' AS tag, o_custkey FROM (SELECT o_custkey FROM y97 EXCEPT SELECT o_custkey FROM y98)
+        |UNION ALL
+        |SELECT 'both' AS tag, o_custkey FROM (SELECT o_custkey FROM y97 INTERSECT SELECT o_custkey FROM y98)
+        |ORDER BY tag, o_custkey""".stripMargin,
     "q_deciles" ->
       """SELECT o_orderpriority, decile,
         | MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,

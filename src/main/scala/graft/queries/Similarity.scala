@@ -332,7 +332,36 @@ object Similarity {
       .orderBy("cluster_id")
   }
 
+  // -- 1-bit binary quantization + Hamming top-k -------------------------------
+  // The 32× memory cut of binary embeddings: each 64-dim float vector
+  // collapses to ONE BIGINT of sign bits, and ranking is bit_count(xor) —
+  // pure integer ops, so the gate is exact. Bit 63 needs care on the
+  // oracle side (DuckDB raises on 1::BIGINT << 63; Spark's shiftleft
+  // wraps to Long.MinValue — same bit pattern, different spelling).
+  // Ranking runs through the bounded-heap TopK exec like every other ANN
+  // ranking; at fleet scale the codes table is ~n×8 bytes and the scan is
+  // a codegen'd integer loop — the cheap first stage before exact rerank.
+  private def hammingTopK(s: SparkSession, dir: String): DataFrame = {
+    val codes = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr(
+        "aggregate(sequence(0, 63), 0L, (acc, i) -> " +
+          "acc + if(element_at(embedding, i + 1) > 0, shiftleft(1L, i), 0L))")
+        .as("code"))
+    val q = codes.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("code").as("q_code"))
+    val scored = codes.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("hamming", expr("bit_count(code ^ q_code)").cast("long"))
+    graft.operators.TopK.perKey(scored, Seq(col("q_id")),
+        Seq(col("hamming").asc, col("vec_id").asc), 5)
+      .withColumnRenamed("rk", "rnk")
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        col("hamming"))
+      .orderBy("q_id", "rnk")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "s_hamming_topk"    -> (hammingTopK _),
     "s_quantize_int8"   -> (quantizeInt8 _),
     "s_cosine_mrl"      -> (cosineMrl _),
     "s_cosine_topk"     -> (cosineTopK _),
@@ -388,6 +417,22 @@ object Similarity {
        |  FROM $prev p LEFT JOIN n$i USING (c_id))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "s_hamming_topk" ->
+      """WITH codes AS (SELECT vec_id,
+        |   CAST(list_sum(list_transform(generate_series(0, 63), i ->
+        |     CASE WHEN embedding[i + 1] > 0 THEN
+        |       CASE WHEN i = 63 THEN -9223372036854775808 ELSE (1::BIGINT << i) END
+        |     ELSE 0 END)) AS BIGINT) AS code
+        | FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, code AS q_code FROM codes WHERE vec_id < 10),
+        |scored AS (SELECT q_id, vec_id,
+        |   CAST(bit_count(xor(code, q_code)) AS BIGINT) AS hamming
+        | FROM codes, q WHERE q_id <> vec_id),
+        |r AS (SELECT q_id, vec_id, hamming,
+        |   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS rnk
+        | FROM scored)
+        |SELECT q_id, rnk, vec_id AS neighbor_id, hamming
+        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "s_quantize_int8" ->
       """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |sc AS (SELECT vec_id, e,

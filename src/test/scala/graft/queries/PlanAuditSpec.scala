@@ -94,6 +94,26 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q_funnel: the three user_id aggregates reuse one partitioning") {
+    // partial aggregates satisfy distribution-over-subset: hashing on
+    // user_id serves all three groupBys, so the events table must not be
+    // hash-exchanged three times (the range exchange is the output orderBy)
+    val p = graft.SparkEntry.queries("q_funnel")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    val nHash = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(nHash <= 2, s"funnel shuffles $nHash times:\n$p")
+  }
+
+  test("q_ntile_global: no single-partition window anywhere in the plan") {
+    val p = graft.SparkEntry.queries("q_ntile_global")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"global window crept in:\n$p")
+    assert(!p.contains("Exchange SinglePartition") ||
+      // the 1-row count aggregate is allowed to single-partition; the data
+      // path must not — assert the orders scan feeds a range partitioning
+      p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("s_cosine_topk: queries broadcast against a single corpus scan") {
     val plan = planOf("s_cosine_topk")
     assert(plan.contains("BroadcastNestedLoopJoin") ||
