@@ -26,12 +26,46 @@ object MediaOps {
       .toDF()
       .orderBy("doc_id", "frame_idx")
 
+  // STFT-shaped windowing over the "audio" payloads (doc_id % 3 = 1):
+  // overlapping 256-byte windows at 128-byte hop, each with its content
+  // hash and mean level — the frame/hop batch shape a real audio
+  // featurizer consumes, minus the (stubbed) codec. Zero shuffles: one
+  // posexplode per document, the window math rides the scan.
+  private val AudioWin = 256
+  private val AudioHop = 128
+
+  private def audioWindows(s: SparkSession, dir: String): DataFrame =
+    graft.queries.t(s, dir, "documents")
+      .filter(expr("doc_id % 3 = 1"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, greatest((length(text) - $AudioWin) DIV $AudioHop, 0)), " +
+          s"w -> substring(text, w * $AudioHop + 1, $AudioWin))"))
+        .as(Seq("win_idx", "win")))
+      .select(col("doc_id"), col("win_idx").cast("long").as("win_idx"),
+        length(col("win")).cast("long").as("n_bytes"),
+        md5(col("win")).as("win_md5"),
+        (expr("aggregate(sequence(1, length(win)), 0L, " +
+          "(a, i) -> a + ascii(substring(win, i, 1)))").cast("double") /
+          length(col("win")).cast("double")).as("mean_level"))
+      .orderBy("doc_id", "win_idx")
+
   val queries: Map[String, QueryFn] = Map(
     "m_media_features" -> (mediaFeatures _),
-    "m_frame_sample"   -> (frameSample _)
+    "m_frame_sample"   -> (frameSample _),
+    "m_audio_windows"  -> (audioWindows _)
   )
 
   val oracles: Map[String, String] = Map(
+    "m_audio_windows" ->
+      s"""SELECT doc_id, w::BIGINT AS win_idx, len(win)::BIGINT AS n_bytes,
+         | md5(win) AS win_md5,
+         | list_sum(list_transform(generate_series(1, len(win)),
+         |   i -> ascii(substr(win, i::INT, 1))))::DOUBLE / len(win)::DOUBLE AS mean_level
+         |FROM (SELECT doc_id, w, substr(text, (w * $AudioHop + 1)::INT, $AudioWin) AS win
+         |  FROM documents,
+         |   unnest(generate_series(0, greatest((len(text) - $AudioWin) // $AudioHop, 0))) AS t(w)
+         |  WHERE doc_id % 3 = 1)
+         |ORDER BY doc_id, win_idx""".stripMargin,
     "m_media_features" ->
       s"""SELECT doc_id,
          | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,

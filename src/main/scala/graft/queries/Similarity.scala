@@ -360,8 +360,59 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  // -- product quantization (PQ) encode + ADC ranking --------------------------
+  // The vector-store compression workhorse: 8 subspaces × 8 dims, 16
+  // codewords each — 64 float dims become 8 nibbles. Codebooks here are the
+  // first 16 vectors' subvectors (deterministic training stand-in; the
+  // Lloyd machinery is gated separately by s_ann_ivf_kmeans), because this
+  // gate is about ENCODE (argmin over codewords, ties to lowest id) and
+  // ADC (asymmetric distance: per-query distance table to each codeword,
+  // summed over subspaces by code lookup). Float-determinism contract:
+  // every squared-distance is an explicit left-associated 8-term chain and
+  // the ADC sum folds the 8 subspace terms in m order — both engines
+  // execute the IDENTICAL sequence of IEEE additions, so scores are
+  // bit-identical. Scale shape: encode is vectors × 128 broadcast codebook
+  // rows (O(n·M·K), the true PQ cost); ADC joins the n×8 code table
+  // against a broadcast 1280-row query distance table and never touches
+  // the original floats — that is the point of PQ.
+  private def annPq(s: SparkSession, dir: String): DataFrame = {
+    val dist2Chain = (1 to 8).map { i =>
+      s"(cast(element_at(sub, $i) as double) - cast(element_at(csub, $i) as double)) * " +
+        s"(cast(element_at(sub, $i) as double) - cast(element_at(csub, $i) as double))"
+    }.mkString(" + ")
+    val subs = t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(expr(
+        "transform(sequence(0, 7), m -> slice(embedding, m * 8 + 1, 8))"))
+        .as(Seq("m", "sub")))
+    val cb = subs.filter(col("vec_id") < 16)
+      .select(col("m"), col("vec_id").as("k"), col("sub").as("csub"))
+    val d = subs.join(broadcast(cb), Seq("m"))
+      .withColumn("dist2", expr(dist2Chain))
+    val enc = d.groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("dist2"), col("k"))).as("mk"))
+      .select(col("vec_id"), col("m"), col("mk.k").as("code"))
+    val qd = d.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("m").as("qm"),
+        col("k").as("qk"), col("dist2").as("qdist2"))
+    val adc = enc
+      .join(broadcast(qd), col("m") === col("qm") && col("code") === col("qk"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("m").as("m"),
+        col("qdist2").as("qdist2")))).as("ds"))
+      .withColumn("dist", expr(
+        "aggregate(ds, cast(0 as double), (a, x) -> a + x.qdist2)"))
+    graft.operators.TopK.perKey(adc, Seq(col("q_id")),
+        Seq(col("dist").asc, col("vec_id").asc), 5)
+      .withColumnRenamed("rk", "rnk")
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        round(col("dist"), 6).as("adc_r"))
+      .orderBy("q_id", "rnk")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "s_hamming_topk"    -> (hammingTopK _),
+    "s_ann_pq"          -> (annPq _),
     "s_quantize_int8"   -> (quantizeInt8 _),
     "s_cosine_mrl"      -> (cosineMrl _),
     "s_cosine_topk"     -> (cosineTopK _),
@@ -416,7 +467,33 @@ object Similarity {
        |    sqrt(list_dot_product(coalesce(n$i.ce, p.ce), coalesce(n$i.ce, p.ce))) AS cn
        |  FROM $prev p LEFT JOIN n$i USING (c_id))""".stripMargin
 
+  private val pqDist2Sql = (1 to 8).map(i =>
+    s"(s.sub[$i] - cb.csub[$i]) * (s.sub[$i] - cb.csub[$i])").mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    "s_ann_pq" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |subs AS (SELECT vec_id, m, list_slice(e, m * 8 + 1, m * 8 + 8) AS sub
+         |  FROM v, unnest(generate_series(0, 7)) AS t(m)),
+         |cb AS (SELECT m, vec_id AS k, sub AS csub FROM subs WHERE vec_id < 16),
+         |d AS (SELECT s.vec_id, s.m, cb.k, $pqDist2Sql AS dist2
+         |  FROM subs s JOIN cb ON s.m = cb.m),
+         |md AS (SELECT vec_id, m, MIN(dist2) AS mind FROM d GROUP BY 1, 2),
+         |enc AS (SELECT d.vec_id, d.m, MIN(d.k) AS code
+         |  FROM d JOIN md ON d.vec_id = md.vec_id AND d.m = md.m AND d.dist2 = md.mind
+         |  GROUP BY 1, 2),
+         |qd AS (SELECT vec_id AS q_id, m, k, dist2 AS qdist2 FROM d WHERE vec_id < 10),
+         |parts AS (SELECT qd.q_id, enc.vec_id, list(qd.qdist2 ORDER BY enc.m) AS ds
+         |  FROM enc JOIN qd ON enc.m = qd.m AND enc.code = qd.k
+         |  WHERE qd.q_id <> enc.vec_id
+         |  GROUP BY 1, 2),
+         |adc AS (SELECT q_id, vec_id,
+         |  ds[1] + ds[2] + ds[3] + ds[4] + ds[5] + ds[6] + ds[7] + ds[8] AS dist
+         |  FROM parts),
+         |r AS (SELECT q_id, vec_id, dist,
+         |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rnk FROM adc)
+         |SELECT q_id, rnk, vec_id AS neighbor_id, round(dist, 6) AS adc_r
+         |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "s_hamming_topk" ->
       """WITH codes AS (SELECT vec_id,
         |   CAST(list_sum(list_transform(generate_series(0, 63), i ->
