@@ -375,7 +375,12 @@ object Similarity {
   // rows (O(n·M·K), the true PQ cost); ADC joins the n×8 code table
   // against a broadcast 1280-row query distance table and never touches
   // the original floats — that is the point of PQ.
-  private def annPq(s: SparkSession, dir: String): DataFrame = {
+  /** Shared PQ machinery: `enc` = per-vector subspace codes (argmin over
+    * the broadcast codebook, ties to lowest codeword id); `qd` = the
+    * per-query distance table (q_id, qm, qk, qdist2) the ADC step looks
+    * codes up in. See annPq's header for the float-determinism contract.
+    */
+  private def pqPieces(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val dist2Chain = (1 to 8).map { i =>
       s"(cast(element_at(sub, $i) as double) - cast(element_at(csub, $i) as double)) * " +
         s"(cast(element_at(sub, $i) as double) - cast(element_at(csub, $i) as double))"
@@ -394,14 +399,23 @@ object Similarity {
     val qd = d.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("m").as("qm"),
         col("k").as("qk"), col("dist2").as("qdist2"))
-    val adc = enc
-      .join(broadcast(qd), col("m") === col("qm") && col("code") === col("qk"))
-      .filter(col("q_id") =!= col("vec_id"))
-      .groupBy(col("q_id"), col("vec_id"))
+    (enc, qd)
+  }
+
+  /** ADC fold in m order over a (…, m, qdist2) frame grouped by `keys`. */
+  private def adcSum(joined: DataFrame, keys: Seq[Column]): DataFrame =
+    joined.groupBy(keys: _*)
       .agg(sort_array(collect_list(struct(col("m").as("m"),
         col("qdist2").as("qdist2")))).as("ds"))
       .withColumn("dist", expr(
         "aggregate(ds, cast(0 as double), (a, x) -> a + x.qdist2)"))
+
+  private def annPq(s: SparkSession, dir: String): DataFrame = {
+    val (enc, qd) = pqPieces(s, dir)
+    val adc = adcSum(enc
+      .join(broadcast(qd), col("m") === col("qm") && col("code") === col("qk"))
+      .filter(col("q_id") =!= col("vec_id")),
+      Seq(col("q_id"), col("vec_id")))
     graft.operators.TopK.perKey(adc, Seq(col("q_id")),
         Seq(col("dist").asc, col("vec_id").asc), 5)
       .withColumnRenamed("rk", "rnk")
@@ -410,9 +424,52 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  // -- IVF + PQ: the composed modern ANN serving stack -------------------------
+  // Coarse stage: cosine-nearest of 16 centroids assigns every vector to a
+  // cell; queries probe their 2 nearest cells (identical to s_ann_ivf).
+  // Fine stage: candidates from the probed cells are ranked by PQ ADC —
+  // codes + a broadcast query distance table, never the original floats.
+  // The scale story compounds: the coarse stage prunes the corpus to the
+  // probed cells, and the fine stage ranks those WITHOUT reading vectors —
+  // I/O is the n×8 code table slice for two cells per query.
+  private def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+    val cents = v.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
+    val simToCent = v.select(col("vec_id"), col("e").as("qe"), col("nrm").as("qn"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", round(
+        vecDot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+    val assigned = graft.operators.TopK.perKey(simToCent, Seq(col("vec_id")),
+        Seq(col("csim").desc, col("c_id").asc), 2)
+      .withColumnRenamed("rk", "crk")
+      .select(col("vec_id"), col("c_id").as("cell"), col("crk"))
+    val cells = assigned.filter(col("crk") === 1).select(col("vec_id"), col("cell"))
+    val probes = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("cell"))
+    val cand = broadcast(probes).join(cells, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), col("cell"))
+    val (enc, qd) = pqPieces(s, dir)
+    val qdR = qd.withColumnRenamed("q_id", "qq_id")
+    val adc = adcSum(cand
+      .join(enc, Seq("vec_id"))
+      .join(broadcast(qdR), col("q_id") === col("qq_id") &&
+        col("m") === col("qm") && col("code") === col("qk"))
+      .drop("qq_id"),
+      Seq(col("q_id"), col("vec_id"), col("cell")))
+    graft.operators.TopK.perKey(adc, Seq(col("q_id")),
+        Seq(col("dist").asc, col("vec_id").asc), 5)
+      .withColumnRenamed("rk", "rnk")
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        col("cell"), round(col("dist"), 6).as("adc_r"))
+      .orderBy("q_id", "rnk")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "s_hamming_topk"    -> (hammingTopK _),
     "s_ann_pq"          -> (annPq _),
+    "s_ann_ivfpq"       -> (annIvfPq _),
     "s_quantize_int8"   -> (quantizeInt8 _),
     "s_cosine_mrl"      -> (cosineMrl _),
     "s_cosine_topk"     -> (cosineTopK _),
@@ -470,19 +527,51 @@ object Similarity {
   private val pqDist2Sql = (1 to 8).map(i =>
     s"(s.sub[$i] - cb.csub[$i]) * (s.sub[$i] - cb.csub[$i])").mkString(" + ")
 
+  /** PQ CTE chain (expects a `v(vec_id, e DOUBLE[])` CTE in scope):
+    * subspace slices, codebook, distance table, codes, query distances.
+    */
+  private val pqCtesSql =
+    s"""subs AS (SELECT vec_id, m, list_slice(e, m * 8 + 1, m * 8 + 8) AS sub
+       |  FROM v, unnest(generate_series(0, 7)) AS t(m)),
+       |cb AS (SELECT m, vec_id AS k, sub AS csub FROM subs WHERE vec_id < 16),
+       |d AS (SELECT s.vec_id, s.m, cb.k, $pqDist2Sql AS dist2
+       |  FROM subs s JOIN cb ON s.m = cb.m),
+       |md AS (SELECT vec_id, m, MIN(dist2) AS mind FROM d GROUP BY 1, 2),
+       |enc AS (SELECT d.vec_id, d.m, MIN(d.k) AS code
+       |  FROM d JOIN md ON d.vec_id = md.vec_id AND d.m = md.m AND d.dist2 = md.mind
+       |  GROUP BY 1, 2),
+       |qd AS (SELECT vec_id AS q_id, m, k, dist2 AS qdist2 FROM d WHERE vec_id < 10)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "s_ann_ivfpq" ->
+      s"""WITH $vSql,
+         |c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM v WHERE vec_id < 16),
+         |sims AS (SELECT v.vec_id, c.c_id,
+         |    round(list_dot_product(v.e, c.ce) / (v.nrm * c.cn), 6) AS csim
+         |  FROM v, c),
+         |ranked AS (SELECT vec_id, c_id AS cell, csim,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS crk
+         |  FROM sims),
+         |cells AS (SELECT vec_id, cell FROM ranked WHERE crk = 1),
+         |probes AS (SELECT vec_id AS q_id, cell FROM ranked WHERE crk <= 2 AND vec_id < 10),
+         |cand AS (SELECT p.q_id, cl.vec_id, p.cell
+         |  FROM probes p JOIN cells cl ON p.cell = cl.cell AND p.q_id != cl.vec_id),
+         |$pqCtesSql,
+         |parts AS (SELECT c2.q_id, c2.vec_id, c2.cell,
+         |    list(qd.qdist2 ORDER BY enc.m) AS ds
+         |  FROM cand c2 JOIN enc ON enc.vec_id = c2.vec_id
+         |    JOIN qd ON qd.q_id = c2.q_id AND qd.m = enc.m AND qd.k = enc.code
+         |  GROUP BY 1, 2, 3),
+         |adc AS (SELECT q_id, vec_id, cell,
+         |  ds[1] + ds[2] + ds[3] + ds[4] + ds[5] + ds[6] + ds[7] + ds[8] AS dist
+         |  FROM parts),
+         |r AS (SELECT q_id, vec_id, cell, dist,
+         |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rnk FROM adc)
+         |SELECT q_id, rnk, vec_id AS neighbor_id, cell, round(dist, 6) AS adc_r
+         |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "s_ann_pq" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         |subs AS (SELECT vec_id, m, list_slice(e, m * 8 + 1, m * 8 + 8) AS sub
-         |  FROM v, unnest(generate_series(0, 7)) AS t(m)),
-         |cb AS (SELECT m, vec_id AS k, sub AS csub FROM subs WHERE vec_id < 16),
-         |d AS (SELECT s.vec_id, s.m, cb.k, $pqDist2Sql AS dist2
-         |  FROM subs s JOIN cb ON s.m = cb.m),
-         |md AS (SELECT vec_id, m, MIN(dist2) AS mind FROM d GROUP BY 1, 2),
-         |enc AS (SELECT d.vec_id, d.m, MIN(d.k) AS code
-         |  FROM d JOIN md ON d.vec_id = md.vec_id AND d.m = md.m AND d.dist2 = md.mind
-         |  GROUP BY 1, 2),
-         |qd AS (SELECT vec_id AS q_id, m, k, dist2 AS qdist2 FROM d WHERE vec_id < 10),
+      s"""WITH $vSql,
+         |$pqCtesSql,
          |parts AS (SELECT qd.q_id, enc.vec_id, list(qd.qdist2 ORDER BY enc.m) AS ds
          |  FROM enc JOIN qd ON enc.m = qd.m AND enc.code = qd.k
          |  WHERE qd.q_id <> enc.vec_id
