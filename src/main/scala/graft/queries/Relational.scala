@@ -569,6 +569,27 @@ object Relational {
       .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
   }
 
+  // -- blocked fuzzy match: Levenshtein entity resolution --------------------
+  // The dedup-by-typo shape: candidate pairs meet only inside a blocking
+  // key (first character — an EQUI join Catalyst extracts, never a
+  // cross join) plus a length band, then the edit-distance predicate
+  // decides. Levenshtein is pure integer DP, identical on both engines.
+  // At scale the blocking key is the whole game: first-char is the demo;
+  // production uses phonetic keys or q-gram buckets, same plan shape.
+  private def qFuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    val names = t(s, dir, "part").select(col("p_name")).distinct()
+    val a = names.select(col("p_name").as("name_a"),
+      substring(col("p_name"), 1, 1).as("blk_a"), length(col("p_name")).as("len_a"))
+    val b = names.select(col("p_name").as("name_b"),
+      substring(col("p_name"), 1, 1).as("blk_b"), length(col("p_name")).as("len_b"))
+    a.join(b, col("blk_a") === col("blk_b") &&
+        abs(col("len_a") - col("len_b")) <= 2 && col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 3)
+      .select(col("name_a"), col("name_b"), col("dist"))
+      .orderBy("name_a", "name_b")
+  }
+
   // -- set operations: EXCEPT and INTERSECT (distinct semantics) -------------
   // Spark plans both as distinct + left-anti / left-semi joins; the gate
   // pins the SQL set semantics (dedup, null handling) against the oracle.
@@ -837,6 +858,7 @@ object Relational {
     "q_ntile_global"        -> (qNtileGlobal _),
     "q_rank_stats"          -> (qRankStats _),
     "q_except_intersect"    -> (qExceptIntersect _),
+    "q_fuzzy_match"         -> (qFuzzyMatch _),
     "q_asof_views"          -> (qAsofViews _),
     "q_asof_forward"        -> (qAsofForward _),
     "q_asof_nearest"        -> (qAsofNearest _),
@@ -1099,6 +1121,16 @@ object Relational {
         |FROM orders WHERE o_totalprice > 450000
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
         |ORDER BY o_orderpriority, o_totalprice, o_orderkey""".stripMargin,
+    "q_fuzzy_match" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM n a JOIN n b
+        |  ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+        | AND abs(len(a.p_name) - len(b.p_name)) <= 2
+        | AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY name_a, name_b""".stripMargin,
     "q_except_intersect" ->
       """WITH y97 AS (SELECT o_custkey FROM orders
         |  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'),

@@ -114,6 +114,29 @@ class PlanAuditSpec extends SparkSpecBase {
       p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("s_ann_ivfpq and d_sparse_cosine: no cartesian, no nested-loop join") {
+    for (name <- Seq("s_ann_ivfpq", "d_sparse_cosine")) {
+      val p = graft.SparkEntry.queries(name)(spark, sf001)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      // the one legal BNLJ is a broadcast of the tiny centroid table in the
+      // coarse IVF stage; the candidate/fine stages must all be hash joins
+      assert(!p.contains("BroadcastNestedLoopJoin") ||
+        name == "s_ann_ivfpq", s"$name:\n$p")
+      assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+        p.contains("ShuffledHashJoin"), s"$name has no real join:\n$p")
+    }
+  }
+
+  test("q_fuzzy_match: the blocking key plans as an equi join") {
+    val p = graft.SparkEntry.queries("q_fuzzy_match")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    // first-char blocking must be extracted as the join key — a fuzzy
+    // match that degrades to BNLJ/cartesian is the classic scale accident
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("s_cosine_topk: queries broadcast against a single corpus scan") {
     val plan = planOf("s_cosine_topk")
     assert(plan.contains("BroadcastNestedLoopJoin") ||
