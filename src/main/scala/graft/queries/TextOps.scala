@@ -859,6 +859,12 @@ object TextOps {
   // one sqrt each and the cosine one division, so the scores are
   // bit-identical cross-engine. Complements s_cosine_topk (dense
   // embeddings): this is the lexical half of a hybrid retrieval stack.
+  // Parameterization caveat the stress probe surfaces: the ABSOLUTE df
+  // cap must scale with the corpus — at 10× corpus size every token's df
+  // grows ~10×, the fixed cap swallows all shared tokens and candidate
+  // generation goes dark (0 pairs). Production uses a df FRACTION
+  // (df/n_docs ≤ ε) or idf floor; the gate keeps the absolute cap because
+  // the oracle mirrors it exactly.
   private def sparseCosine(s: SparkSession, dir: String): DataFrame = {
     val tf = docs(s, dir)
       .select(col("doc_id"), explode(tokensExpr).as("tok"))

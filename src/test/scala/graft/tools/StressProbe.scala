@@ -1,0 +1,63 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Diagnostic (Test/runMain graft.tools.StressProbe, not part of `sbt
+  * test`): scale probe for the text operators. Builds a corpus K× the
+  * sf0.1 documents table (id-shifted exact copies — worst case for the
+  * dedup family: every doc sits in a K-clone cluster, so pair counts and
+  * cluster sizes blow up K²/2-fold) and times the expensive operators on
+  * it. The point is trend, not absolutes: a candidate path that is
+  * genuinely bucketed should scale ~linearly in corpus size here, while
+  * anything accidentally quadratic in the DATA (not just in the clone
+  * pairs) explodes and flags itself.
+  */
+object StressProbe {
+  def main(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val src = "/root/testdata/sf0.1"
+    val dir = s"/tmp/graft-stress-x$copies"
+    val docsOut = new java.io.File(s"$dir/documents.parquet")
+    if (!docsOut.isDirectory) {
+      new java.io.File(dir).mkdirs()
+      val d = spark.read.parquet(s"$src/documents.parquet")
+      val rep = (0 until copies).map(i =>
+        d.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
+        .reduce(_ unionByName _)
+      rep.repartition(32).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      // the non-document tables ride along unchanged so any query resolves
+      for (t <- Seq("embeddings", "region", "nation", "customer", "supplier",
+          "part", "orders", "lineitem", "events"))
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    println(s"[stress] corpus: $nDocs docs (${copies}x sf0.1)")
+
+    for (name <- Seq("d_dedup_exact", "d_dedup_fingerprint", "d_token_stats",
+        "d_dedup_simhash", "d_dedup_minhash", "d_dedup_spans", "d_dup_ratio",
+        "d_corpus_pipeline", "d_chunks_cdc", "d_bpe_merges", "d_bm25",
+        "d_sparse_cosine", "d_pack_sequences", "d_shuffle")) {
+      val t0 = System.nanoTime()
+      try {
+        val n = graft.SparkEntry.queries(name)(spark, dir).count()
+        println(f"[stress] $name%-20s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$n")
+      } catch { case e: Throwable =>
+        println(s"[stress] $name FAILED: ${e.getMessage}")
+      }
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
