@@ -569,6 +569,24 @@ object Relational {
       .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
   }
 
+  // -- correlated LATERAL subquery with per-row LIMIT ------------------------
+  // The SQL spelling of top-N-per-group: each nation row drives a
+  // correlated ordered-LIMIT subquery. Catalyst decorrelates the lateral
+  // into a window/join plan — the gate pins that the rewrite's semantics
+  // (per-group limit + tie order) survive. Expressed through spark.sql
+  // because LATERAL has no DataFrame-API equivalent.
+  private def qLateralTop2(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "nation").createOrReplaceTempView("v_nation")
+    t(s, dir, "customer").createOrReplaceTempView("v_customer")
+    s.sql(
+      """SELECT n_name, c_custkey, c_acctbal
+        |FROM v_nation,
+        | LATERAL (SELECT c_custkey, c_acctbal FROM v_customer
+        |   WHERE c_nationkey = n_nationkey
+        |   ORDER BY c_acctbal DESC, c_custkey LIMIT 2)
+        |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin)
+  }
+
   // -- blocked fuzzy match: Levenshtein entity resolution --------------------
   // The dedup-by-typo shape: candidate pairs meet only inside a blocking
   // key (first character — an EQUI join Catalyst extracts, never a
@@ -859,6 +877,7 @@ object Relational {
     "q_rank_stats"          -> (qRankStats _),
     "q_except_intersect"    -> (qExceptIntersect _),
     "q_fuzzy_match"         -> (qFuzzyMatch _),
+    "q_lateral_top2"        -> (qLateralTop2 _),
     "q_asof_views"          -> (qAsofViews _),
     "q_asof_forward"        -> (qAsofForward _),
     "q_asof_nearest"        -> (qAsofNearest _),
@@ -1121,6 +1140,13 @@ object Relational {
         |FROM orders WHERE o_totalprice > 450000
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
         |ORDER BY o_orderpriority, o_totalprice, o_orderkey""".stripMargin,
+    "q_lateral_top2" ->
+      """SELECT n_name, c_custkey, c_acctbal
+        |FROM nation,
+        | LATERAL (SELECT c_custkey, c_acctbal FROM customer
+        |   WHERE c_nationkey = n_nationkey
+        |   ORDER BY c_acctbal DESC, c_custkey LIMIT 2)
+        |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin,
     "q_fuzzy_match" ->
       """WITH n AS (SELECT DISTINCT p_name FROM part)
         |SELECT a.p_name AS name_a, b.p_name AS name_b,

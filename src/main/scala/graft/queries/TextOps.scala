@@ -895,6 +895,45 @@ object TextOps {
       .orderBy("a_id", "b_id")
   }
 
+  // -- sparse cosine, fraction-capped (the stress-safe parameterization) ------
+  // Same operator as d_sparse_cosine but the posting cap is RELATIVE:
+  // tokens in more than 20% of documents are stop-tokens for candidate
+  // generation (exact 5·df ≤ n_docs integer comparison — no float
+  // boundary). A 10× corpus grows every df 10× AND the threshold 10×, so
+  // candidate generation keeps working at any scale — this is the fix for
+  // the absolute-cap saturation the clone-corpus stress probe surfaced.
+  private def sparseCosineFrac(s: SparkSession, dir: String): DataFrame = {
+    val tf = docs(s, dir)
+      .select(col("doc_id"), explode(tokensExpr).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val norms = tf.groupBy("doc_id")
+      .agg(sqrt(sum(col("tf") * col("tf")).cast("double")).as("norm"))
+    val nDocs = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    val rare = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * 5 <= col("n_docs")).select("tok")
+    val capped = tf.join(rare, Seq("tok"), "left_semi")
+    val cand = capped.select(col("tok"), col("doc_id").as("a_id"))
+      .join(capped.select(col("tok"), col("doc_id").as("b_id")), Seq("tok"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val num = cand
+      .join(tf.select(col("doc_id").as("a_id"), col("tok"), col("tf").as("tf_a")),
+        Seq("a_id"))
+      .join(tf.select(col("doc_id").as("b_id"), col("tok"), col("tf").as("tf_b")),
+        Seq("b_id", "tok"))
+      .groupBy("a_id", "b_id")
+      .agg(sum(col("tf_a") * col("tf_b")).as("dot"))
+    num
+      .join(norms.select(col("doc_id").as("a_id"), col("norm").as("norm_a")), Seq("a_id"))
+      .join(norms.select(col("doc_id").as("b_id"), col("norm").as("norm_b")), Seq("b_id"))
+      .withColumn("cosine",
+        col("dot").cast("double") / (col("norm_a") * col("norm_b")))
+      .filter(col("cosine") >= 0.8)
+      .select(col("a_id"), col("b_id"), col("dot"), col("cosine"))
+      .orderBy("a_id", "b_id")
+  }
+
   // -- collocation mining: adjacent-bigram lift --------------------------------
   // PMI-style collocations without the log (log is not exactly-rounded
   // IEEE; the RATIO is): lift(a,b) = c_ab · N / (c_a · c_b) over adjacent
@@ -1244,6 +1283,7 @@ object TextOps {
     "d_quality_gate_rel"  -> (qualityGateRel _),
     "d_minhash_audit"     -> (minhashAudit _),
     "d_sparse_cosine"     -> (sparseCosine _),
+    "d_sparse_cosine_frac" -> (sparseCosineFrac _),
     "d_collocations"      -> (collocations _),
     "d_bm25"              -> (bm25 _),
     "d_vocab"             -> (vocab _),
@@ -1674,6 +1714,29 @@ object TextOps {
         |  FROM tf GROUP BY 1),
         |rare AS (SELECT tok FROM (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1)
         |  WHERE df <= 100),
+        |capped AS (SELECT tf.doc_id, tf.tok FROM tf JOIN rare USING (tok)),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM capped a JOIN capped b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+        |num AS (SELECT a_id, b_id, CAST(SUM(ta.tf * tb.tf) AS BIGINT) AS dot
+        |  FROM cand JOIN tf ta ON cand.a_id = ta.doc_id
+        |            JOIN tf tb ON cand.b_id = tb.doc_id AND ta.tok = tb.tok
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id, dot,
+        |  CAST(dot AS DOUBLE) / (na.norm * nb.norm) AS cosine
+        |FROM num JOIN norms na ON a_id = na.doc_id
+        |         JOIN norms nb ON b_id = nb.doc_id
+        |WHERE CAST(dot AS DOUBLE) / (na.norm * nb.norm) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
+    "d_sparse_cosine_frac" ->
+      """WITH tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |norms AS (SELECT doc_id, sqrt(CAST(SUM(tf * tf) AS DOUBLE)) AS norm
+        |  FROM tf GROUP BY 1),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |rare AS (SELECT tok FROM (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1), nd
+        |  WHERE df * 5 <= n_docs),
         |capped AS (SELECT tf.doc_id, tf.tok FROM tf JOIN rare USING (tok)),
         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         |  FROM capped a JOIN capped b ON a.tok = b.tok AND a.doc_id < b.doc_id),

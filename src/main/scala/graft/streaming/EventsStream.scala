@@ -3,8 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
-  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
-  TimerValues, ValueState}
+  GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming operators over the generic event stream (the
   * `events` table shape) — the engine's non-OSM streaming surface:
@@ -171,6 +171,53 @@ object EventsStream {
       .groupByKey(_.user_id)
       .transformWithState(new SessionProcessor(gapMinutes * 60L * 1000L),
         TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  final case class TypeUsers(event_type: String, n_users: Long)
+
+  /** Running distinct-user count per event type on transformWithState's
+    * composite state: a MapState holds the membership set (point lookups
+    * and inserts — never materialized as one blob, which is what makes a
+    * large per-key set viable on the RocksDB store) and a ValueState
+    * carries the count so emitting never iterates the map. Update-mode
+    * output: one refreshed (type, n_users) row per batch that changed it.
+    */
+  def distinctUsersPerType(events: Dataset[Event]): Dataset[TypeUsers] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .transformWithState(new DistinctUsersProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  private class DistinctUsersProcessor
+      extends StatefulProcessor[String, Event, TypeUsers] {
+    @transient private var seen: MapState[Long, Boolean] = _
+    @transient private var count: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      seen = getHandle.getMapState[Long, Boolean]("seen",
+        Encoders.scalaLong, Encoders.scalaBoolean, TTLConfig.NONE)
+      count = getHandle.getValueState[Long]("count",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(eventType: String, rows: Iterator[Event],
+        tv: TimerValues): Iterator[TypeUsers] = {
+      var n = if (count.exists()) count.get() else 0L
+      var changed = false
+      rows.foreach { e =>
+        if (!seen.containsKey(e.user_id)) {
+          seen.updateValue(e.user_id, true)
+          n += 1
+          changed = true
+        }
+      }
+      if (changed) {
+        count.update(n)
+        Iterator.single(TypeUsers(eventType, n))
+      } else Iterator.empty
+    }
   }
 
   /** Per-user session state machine for [[sessionizeTws]]. One ValueState

@@ -201,6 +201,44 @@ class EventsStreamSpec extends SparkSpecBase {
     }
   }
 
+  test("transformWithState MapState tracks running distinct users per type") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event]
+      val q = EventsStream.distinctUsersPerType(input.toDS())
+        .writeStream.format("memory").queryName("type_users")
+        .outputMode(OutputMode.Update()).start()
+
+      input.addData(
+        Event(1, ts(0), 1, "view", 1.0),
+        Event(2, ts(1), 2, "view", 1.0),
+        Event(3, ts(2), 1, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(
+        Event(4, ts(3), 1, "view", 1.0),   // user 1 already counted for view
+        Event(5, ts(4), 3, "view", 1.0),   // new view user
+        Event(6, ts(5), 1, "click", 1.0))  // no change for click
+      q.processAllAvailable()
+      q.stop()
+
+      // Update mode: the LAST row per type is the running count
+      val last = spark.table("type_users")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+      assert(last == Map("view" -> 3L, "click" -> 1L), last.toString)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -48,7 +48,8 @@ object StressProbe {
     for (name <- Seq("d_dedup_exact", "d_dedup_fingerprint", "d_token_stats",
         "d_dedup_simhash", "d_dedup_minhash", "d_dedup_spans", "d_dup_ratio",
         "d_corpus_pipeline", "d_chunks_cdc", "d_bpe_merges", "d_bm25",
-        "d_sparse_cosine", "d_pack_sequences", "d_shuffle")) {
+        "d_sparse_cosine", "d_sparse_cosine_frac", "d_pack_sequences",
+        "d_shuffle")) {
       val t0 = System.nanoTime()
       try {
         val n = graft.SparkEntry.queries(name)(spark, dir).count()
