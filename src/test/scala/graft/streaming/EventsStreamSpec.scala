@@ -239,6 +239,54 @@ class EventsStreamSpec extends SparkSpecBase {
     }
   }
 
+  test("randomized stream: fMGWS and transformWithState sessions agree") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // seeded random stream: 5 users, gaps that straddle the 30-min session
+    // boundary, delivered in 3 batches + a far-future watermark push
+    val rnd = new scala.util.Random(42)
+    var id = 0L
+    val evs = (1 to 5).flatMap { u =>
+      var m = rnd.nextInt(10)
+      (1 to 24).map { _ =>
+        m += (if (rnd.nextBoolean()) rnd.nextInt(10) else 25 + rnd.nextInt(50))
+        id += 1
+        Event(id, ts(m), u, "view", rnd.nextInt(10).toDouble)
+      }
+    }
+    val batches = evs.grouped(40).toSeq
+
+    def run(name: String,
+        f: org.apache.spark.sql.Dataset[Event] => org.apache.spark.sql.Dataset[Session]): Set[Session] = {
+      val input = MemoryStream[Event]
+      val q = f(input.toDS()).writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      input.addData(Event(900000, ts(100000), 99, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(900001, ts(200000), 99, "view", 0.0))
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name).as[Session].collect().filter(_.user_id != 99).toSet
+    }
+
+    val viaFmgws = run("sess_rand_fmgws", ds => EventsStream.sessionize(ds))
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val viaTws =
+      try run("sess_rand_tws", ds => EventsStream.sessionizeTws(ds))
+      finally prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    assert(viaFmgws.nonEmpty && viaFmgws == viaTws,
+      s"fmgws=${viaFmgws.size} tws=${viaTws.size}\n" +
+        s"only fmgws: ${(viaFmgws -- viaTws).take(3)}\n" +
+        s"only tws: ${(viaTws -- viaFmgws).take(3)}")
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

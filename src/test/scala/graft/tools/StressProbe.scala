@@ -36,8 +36,17 @@ object StressProbe {
         .reduce(_ unionByName _)
       rep.repartition(32).write.mode("overwrite")
         .parquet(s"$dir/documents.parquet")
-      // the non-document tables ride along unchanged so any query resolves
-      for (t <- Seq("embeddings", "region", "nation", "customer", "supplier",
+      // embeddings replicate too (id-shifted, so clones keep identical
+      // vectors — again the ANN/dedup worst case: every sign-code bucket
+      // and IVF cell holds K copies of each original)
+      val em = spark.read.parquet(s"$src/embeddings.parquet")
+      (0 until copies).map(i =>
+          em.withColumn("vec_id", col("vec_id") + lit(i * 10000000L)))
+        .reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+      // the rest ride along unchanged so any query resolves
+      for (t <- Seq("region", "nation", "customer", "supplier",
           "part", "orders", "lineitem", "events"))
         spark.read.parquet(s"$src/$t.parquet")
           .write.mode("overwrite").parquet(s"$dir/$t.parquet")
@@ -49,7 +58,9 @@ object StressProbe {
         "d_dedup_simhash", "d_dedup_minhash", "d_dedup_spans", "d_dup_ratio",
         "d_corpus_pipeline", "d_chunks_cdc", "d_bpe_merges", "d_bm25",
         "d_sparse_cosine", "d_sparse_cosine_frac", "d_pack_sequences",
-        "d_shuffle")) {
+        "d_shuffle",
+        "s_cosine_topk", "s_hamming_topk", "s_ann_pq", "s_ann_ivfpq",
+        "s_dedup_semantic", "s_quantize_int8")) {
       val t0 = System.nanoTime()
       try {
         val n = graft.SparkEntry.queries(name)(spark, dir).count()
