@@ -623,6 +623,37 @@ object Relational {
       .orderBy("tag", "o_custkey")
   }
 
+  // -- native session_window gated by a gaps-and-islands oracle --------------
+  // q_sessionize hand-rolls sessions with lag(); this gates Spark's NATIVE
+  // session_window aggregate against an INDEPENDENT spelling (DuckDB
+  // break/cumsum islands) — two different algorithms agreeing on the same
+  // session set, including the boundary rule (gap exactly equal ⇒ merge).
+  private def qSessionWindow(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("tsts", expr("timestamp_micros(ts DIV 1000)"))
+    ev.groupBy(col("user_id"),
+        session_window(col("tsts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
+      .select(col("user_id"),
+        expr("unix_micros(sw.start)").as("start_us"),
+        expr("unix_micros(sw.end)").as("end_us"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "start_us")
+  }
+
+  // -- native tumbling window() aggregate ------------------------------------
+  private def qTumblingHour(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("tsts", expr("timestamp_micros(ts DIV 1000)"))
+    ev.groupBy(window(col("tsts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
+      .select(expr("unix_micros(w.start)").as("start_us"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy("start_us", "event_type")
+  }
+
   // -- q13 shape: outer-join distribution (customers with zero orders) ------
   private def q13OrderDistribution(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
@@ -878,6 +909,8 @@ object Relational {
     "q_except_intersect"    -> (qExceptIntersect _),
     "q_fuzzy_match"         -> (qFuzzyMatch _),
     "q_lateral_top2"        -> (qLateralTop2 _),
+    "q_session_window"      -> (qSessionWindow _),
+    "q_tumbling_hour"       -> (qTumblingHour _),
     "q_asof_views"          -> (qAsofViews _),
     "q_asof_forward"        -> (qAsofForward _),
     "q_asof_nearest"        -> (qAsofNearest _),
@@ -1140,6 +1173,25 @@ object Relational {
         |FROM orders WHERE o_totalprice > 450000
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
         |ORDER BY o_orderpriority, o_totalprice, o_orderkey""".stripMargin,
+    "q_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+        |   CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |m AS (SELECT user_id, us, v,
+        |  CASE WHEN LAG(us) OVER w IS NULL
+        |        OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |g AS (SELECT user_id, us, v,
+        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM m)
+        |SELECT user_id, MIN(us) AS start_us, MAX(us) + 1800000000 AS end_us,
+        | COUNT(*) AS n_events, CAST(SUM(v) AS DOUBLE) AS total_value
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+    "q_tumbling_hour" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS start_us,
+        | event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_lateral_top2" ->
       """SELECT n_name, c_custkey, c_acctbal
         |FROM nation,
