@@ -466,7 +466,49 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  // -- contrastive pair mining --------------------------------------------------
+  // Builds the (anchor, positive, negatives) triplets a contrastive
+  // trainer consumes: the positive is the cosine top-1 (hard positive —
+  // mined, not labeled), negatives are hash-drawn uniform ids (md5 of
+  // anchor⊕index mod corpus size — reproducible across runs/engines, no
+  // RNG state), with anchor/positive collisions dropped deterministically.
+  // Every pair carries its similarity so downstream can re-weight or
+  // re-bucket into hard/easy negatives without touching the vectors again.
+  // At fleet scale the positive mining is whatever ANN stack is already
+  // built (IVF/PQ above); the negative draw is a zero-shuffle expression.
+  private def contrastivePairs(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+    val anchors = v.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val scored = v.crossJoin(broadcast(anchors))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("sim_r", round(dotQE / (col("qn") * col("nrm")), 6))
+    val pos = graft.operators.TopK.perKey(scored, Seq(col("q_id")),
+        Seq(col("sim_r").desc, col("vec_id").asc), 1)
+      .select(col("q_id"), lit(0L).as("j"), lit("pos").as("role"),
+        col("vec_id").as("other_id"), col("sim_r"))
+    val n = v.agg(count(lit(1)).as("n_vecs"))
+    val negIds = anchors.select(col("q_id")).crossJoin(broadcast(n))
+      .select(col("q_id"), explode(expr("sequence(1, 3)")).as("j"), col("n_vecs"))
+      .withColumn("other_id", expr(
+        "cast(conv(substring(md5(concat('neg:', q_id, ':', j)), 1, 8), 16, 10) as bigint) % n_vecs"))
+      .filter(col("other_id") =!= col("q_id"))
+    val posIds = pos.select(col("q_id").as("p_q"), col("other_id").as("p_id"))
+    val negs = negIds
+      .join(broadcast(posIds), col("q_id") === col("p_q") &&
+        col("other_id") === col("p_id"), "left_anti")
+      .join(v.select(col("vec_id").as("other_id"), col("e").as("ne"),
+        col("nrm").as("nn")), Seq("other_id"))
+      .join(broadcast(anchors), Seq("q_id"))
+      .withColumn("sim_r", round(
+        vecDot(col("qe"), col("ne")) / (col("qn") * col("nn")), 6))
+      .select(col("q_id"), col("j").cast("long").as("j"), lit("neg").as("role"),
+        col("other_id"), col("sim_r"))
+    pos.unionByName(negs).orderBy("q_id", "j")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "s_contrastive_pairs" -> (contrastivePairs _),
     "s_hamming_topk"    -> (hammingTopK _),
     "s_ann_pq"          -> (annPq _),
     "s_ann_ivfpq"       -> (annIvfPq _),
@@ -543,6 +585,28 @@ object Similarity {
        |qd AS (SELECT vec_id AS q_id, m, k, dist2 AS qdist2 FROM d WHERE vec_id < 10)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "s_contrastive_pairs" ->
+      s"""WITH $vSql,
+         |a AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM v WHERE vec_id < 50),
+         |sc AS (SELECT a.q_id, v.vec_id,
+         |    round(list_dot_product(a.qe, v.e) / (a.qn * v.nrm), 6) AS sim_r
+         |  FROM a, v WHERE a.q_id <> v.vec_id),
+         |pos AS (SELECT q_id, 0::BIGINT AS j, 'pos' AS role, vec_id AS other_id, sim_r
+         |  FROM (SELECT q_id, vec_id, sim_r,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim_r DESC, vec_id) AS rk
+         |   FROM sc) WHERE rk = 1),
+         |n AS (SELECT COUNT(*) AS n_vecs FROM v),
+         |negid AS (SELECT q_id, j,
+         |    ('0x' || substr(md5('neg:' || q_id || ':' || j), 1, 8))::BIGINT % n_vecs AS other_id
+         |  FROM a, unnest(generate_series(1, 3)) AS t(j), n),
+         |negf AS (SELECT negid.q_id, negid.j, negid.other_id FROM negid
+         |  LEFT JOIN pos ON negid.q_id = pos.q_id AND negid.other_id = pos.other_id
+         |  WHERE negid.other_id <> negid.q_id AND pos.q_id IS NULL),
+         |negs AS (SELECT f.q_id, f.j::BIGINT AS j, 'neg' AS role, f.other_id,
+         |    round(list_dot_product(a.qe, v.e) / (a.qn * v.nrm), 6) AS sim_r
+         |  FROM negf f JOIN v ON f.other_id = v.vec_id JOIN a ON f.q_id = a.q_id)
+         |SELECT * FROM (SELECT * FROM pos UNION ALL SELECT * FROM negs)
+         |ORDER BY q_id, j""".stripMargin,
     "s_ann_ivfpq" ->
       s"""WITH $vSql,
          |c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM v WHERE vec_id < 16),
