@@ -49,13 +49,61 @@ object MediaOps {
           length(col("win")).cast("double")).as("mean_level"))
       .orderBy("doc_id", "win_idx")
 
+  // ViT-style patch extraction over the "image" payloads (doc_id % 3 = 0):
+  // the byte stream is a row-major grid 64 bytes wide; each patch gathers
+  // a 16×4 tile — four NON-contiguous row segments concatenated, which is
+  // the actual data movement of image patching (a patch is never a
+  // contiguous slice). Emits (row, col) grid coordinates + content hash +
+  // mean level per patch; partial tiles at the bottom edge are dropped
+  // (floor division), matching a stride-equals-size patcher.
+  private val GridW = 64
+  private val PatchW = 16
+  private val PatchH = 4
+
+  private def imagePatches(s: SparkSession, dir: String): DataFrame =
+    graft.queries.t(s, dir, "documents")
+      .filter(expr("doc_id % 3 = 0"))
+      .withColumn("pr", expr(s"length(text) DIV $GridW DIV $PatchH"))
+      .filter(col("pr") > 0)
+      .select(col("doc_id"), col("pr"),
+        explode(expr(s"""transform(
+          flatten(transform(sequence(0, cast(pr as int) - 1),
+            r -> transform(sequence(0, ${GridW / PatchW - 1}), c -> struct(r, c)))),
+          rc -> struct(rc.r AS r, rc.c AS c,
+            concat_ws('', transform(sequence(0, ${PatchH - 1}),
+              k -> substring(text, (rc.r * $PatchH + k) * $GridW + rc.c * $PatchW + 1, $PatchW))) AS patch))"""))
+          .as("p"))
+      .select(col("doc_id"), col("p.r").cast("long").as("patch_row"),
+        col("p.c").cast("long").as("patch_col"),
+        md5(col("p.patch")).as("patch_md5"),
+        (expr("aggregate(sequence(1, length(p.patch)), 0L, " +
+          "(a, i) -> a + ascii(substring(p.patch, i, 1)))").cast("double") /
+          length(col("p.patch")).cast("double")).as("mean_level"))
+      .orderBy("doc_id", "patch_row", "patch_col")
+
   val queries: Map[String, QueryFn] = Map(
     "m_media_features" -> (mediaFeatures _),
     "m_frame_sample"   -> (frameSample _),
-    "m_audio_windows"  -> (audioWindows _)
+    "m_audio_windows"  -> (audioWindows _),
+    "m_image_patches"  -> (imagePatches _)
   )
 
   val oracles: Map[String, String] = Map(
+    "m_image_patches" ->
+      s"""WITH g AS (SELECT doc_id, text, len(text) // $GridW // $PatchH AS pr
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |p AS (SELECT doc_id, r, c,
+         |   array_to_string(list_transform(generate_series(0, ${PatchH - 1}),
+         |     k -> substr(text, ((r * $PatchH + k) * $GridW + c * $PatchW + 1)::INT, $PatchW)), '') AS patch
+         | FROM g,
+         |  unnest(generate_series(0, pr - 1)) AS tr(r),
+         |  unnest(generate_series(0, ${GridW / PatchW - 1})) AS tc(c)
+         | WHERE pr > 0)
+         |SELECT doc_id, r::BIGINT AS patch_row, c::BIGINT AS patch_col,
+         | md5(patch) AS patch_md5,
+         | list_sum(list_transform(generate_series(1, len(patch)),
+         |   i -> ascii(substr(patch, i::INT, 1))))::DOUBLE / len(patch)::DOUBLE AS mean_level
+         |FROM p ORDER BY doc_id, patch_row, patch_col""".stripMargin,
     "m_audio_windows" ->
       s"""SELECT doc_id, w::BIGINT AS win_idx, len(win)::BIGINT AS n_bytes,
          | md5(win) AS win_md5,
