@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -654,6 +654,55 @@ object Relational {
       .orderBy("start_us", "event_type")
   }
 
+  // -- FULL OUTER join: reconciling two per-user aggregates ------------------
+  // The remaining outer-join class (q13 gates left outer): purchase and
+  // error totals per user, full-outer merged so users present on either
+  // side survive with NULL-coalesced counts.
+  private def qFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user"))
+      .agg(count(lit(1)).as("n_purchase"),
+        sum(dec(col("value"))).cast("double").as("purchase_value"))
+    val e = ev.filter(col("event_type") === "error")
+      .groupBy(col("user_id").as("e_user"))
+      .agg(count(lit(1)).as("n_error"))
+    p.join(e, col("p_user") === col("e_user"), "full_outer")
+      .select(coalesce(col("p_user"), col("e_user")).as("user_id"),
+        coalesce(col("n_purchase"), lit(0L)).as("n_purchase"),
+        coalesce(col("purchase_value"), lit(0.0)).as("purchase_value"),
+        coalesce(col("n_error"), lit(0L)).as("n_error"))
+      .orderBy("user_id")
+  }
+
+  // -- correlation from exact moment sums ------------------------------------
+  // Pearson correlation WITHOUT the engine's corr(): the five moment sums
+  // (Σx, Σy, Σxy, Σx², Σy²) are exact DECIMALs — map-side combinable and
+  // order-independent, unlike a float corr whose partial merges drift by
+  // partition order — and the final formula is a fixed chain of exactly-
+  // rounded double ops. This is how a 100 TB job gets DETERMINISTIC
+  // statistics: exact integer/decimal moments first, one float expression
+  // at the end.
+  private def qCorrManual(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val x = dec(col("l_quantity"))
+    val y = dec(col("l_extendedprice"))
+    li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .select(col("l_returnflag"), col("n"), {
+        // decimal×long can exceed precision 38 and round engine-specifically,
+        // so the FORMULA runs in doubles: each exact decimal moment is cast
+        // once (deterministic rounding), then a fixed operation tree
+        def d(c: Column) = c.cast("double")
+        ((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+          (sqrt(d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+            sqrt(d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))))
+          .as("corr_qty_price")
+      })
+      .orderBy("l_returnflag")
+  }
+
   // -- q13 shape: outer-join distribution (customers with zero orders) ------
   private def q13OrderDistribution(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
@@ -911,6 +960,8 @@ object Relational {
     "q_lateral_top2"        -> (qLateralTop2 _),
     "q_session_window"      -> (qSessionWindow _),
     "q_tumbling_hour"       -> (qTumblingHour _),
+    "q_full_outer"          -> (qFullOuter _),
+    "q_corr_manual"         -> (qCorrManual _),
     "q_asof_views"          -> (qAsofViews _),
     "q_asof_forward"        -> (qAsofForward _),
     "q_asof_nearest"        -> (qAsofNearest _),
@@ -1187,6 +1238,32 @@ object Relational {
         |SELECT user_id, MIN(us) AS start_us, MAX(us) + 1800000000 AS end_us,
         | COUNT(*) AS n_events, CAST(SUM(v) AS DOUBLE) AS total_value
         |FROM g GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+    "q_full_outer" ->
+      """WITH p AS (SELECT user_id, COUNT(*) AS n_purchase,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |e AS (SELECT user_id, COUNT(*) AS n_error
+        |  FROM events WHERE event_type = 'error' GROUP BY 1)
+        |SELECT COALESCE(p.user_id, e.user_id) AS user_id,
+        |  COALESCE(n_purchase, 0) AS n_purchase,
+        |  COALESCE(purchase_value, CAST(0 AS DOUBLE)) AS purchase_value,
+        |  COALESCE(n_error, 0) AS n_error
+        |FROM p FULL OUTER JOIN e ON p.user_id = e.user_id
+        |ORDER BY user_id""".stripMargin,
+    "q_corr_manual" ->
+      """WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+        | FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        | (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |  AS corr_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "q_tumbling_hour" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS start_us,
         | event_type, COUNT(*) AS n_events,
