@@ -968,6 +968,29 @@ object TextOps {
       .limit(100)
   }
 
+  // -- KMV sketch via the custom mergeable Aggregator ---------------------------
+  // Identical semantics (and oracle) to d_distinct_kmv, but as ONE
+  // aggregate function instead of a TopK ranking: the
+  // functions.KmvSketchAggregator buffer holds ≤ k sorted longs, map-side
+  // partials bound every task at k values, and the exchange carries ≤ k
+  // longs per group — the aggregate-function spelling a SQL user composes
+  // freely with other aggregates in the same groupBy.
+  private def distinctKmvAgg(s: SparkSession, dir: String): DataFrame = {
+    val kmv = udaf(new graft.functions.KmvSketchAggregator(KmvK))
+    val toks = docs(s, dir)
+      .select(col("source"), explode(tokensExpr).as("tok"))
+      .distinct()
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"))
+    toks.groupBy("source").agg(kmv(col("h")).as("r"))
+      .select(col("source"), col("r.n_exact").as("n_exact"),
+        when(col("r.hk") === Long.MinValue, col("r.n_exact").cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) *
+            lit(1152921504606846976L).cast("double") / col("r.hk").cast("double"))
+          .as("est_distinct"))
+      .orderBy("source")
+  }
+
   // -- relative quality gate: per-language median threshold --------------------
   // Absolute quality cutoffs misfire across languages (token counts differ
   // structurally), so production gates threshold RELATIVE to the language's
@@ -1280,6 +1303,7 @@ object TextOps {
     "d_mix_temperature"   -> (mixTemperature _),
     "d_sample_per_class"  -> (samplePerClass _),
     "d_distinct_kmv"      -> (distinctKmv _),
+    "d_distinct_kmv_agg"  -> (distinctKmvAgg _),
     "d_quality_gate_rel"  -> (qualityGateRel _),
     "d_minhash_audit"     -> (minhashAudit _),
     "d_sparse_cosine"     -> (sparseCosine _),
@@ -1298,6 +1322,26 @@ object TextOps {
 
   /** Shared CTE chain: word-trigram shingles → MinHash bands → verified
     * candidate pairs (used by the minhash oracle and the cluster oracle). */
+  /** Shared by d_distinct_kmv (TopK spelling) and d_distinct_kmv_agg
+    * (custom Aggregator spelling) — the two must agree bit-for-bit.
+    */
+  private val kmvOracleSql =
+    """WITH toks AS (
+      |  SELECT DISTINCT source, tok FROM (
+      |    SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS tok
+      |    FROM documents)),
+      |h AS (SELECT source, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+      |kth AS (SELECT source, h AS hk FROM (
+      |  SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk FROM h)
+      |  WHERE rk = 256),
+      |exact AS (SELECT source, COUNT(*) AS n_exact FROM h GROUP BY 1)
+      |SELECT e.source AS source, n_exact,
+      |  CASE WHEN hk IS NULL THEN CAST(n_exact AS DOUBLE)
+      |       ELSE CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) / CAST(hk AS DOUBLE)
+      |  END AS est_distinct
+      |FROM exact e LEFT JOIN kth ON e.source = kth.source
+      |ORDER BY e.source""".stripMargin
+
   private val minhashCtes =
     """tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |sh AS (SELECT doc_id,
@@ -1689,22 +1733,9 @@ object TextOps {
         | FROM (SELECT lang, doc_id, md5('cls:' || doc_id::VARCHAR) AS h
         |       FROM documents))
         |WHERE rk <= 50 ORDER BY lang, rk""".stripMargin,
-    "d_distinct_kmv" ->
-      """WITH toks AS (
-        |  SELECT DISTINCT source, tok FROM (
-        |    SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS tok
-        |    FROM documents)),
-        |h AS (SELECT source, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
-        |kth AS (SELECT source, h AS hk FROM (
-        |  SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk FROM h)
-        |  WHERE rk = 256),
-        |exact AS (SELECT source, COUNT(*) AS n_exact FROM h GROUP BY 1)
-        |SELECT e.source AS source, n_exact,
-        |  CASE WHEN hk IS NULL THEN CAST(n_exact AS DOUBLE)
-        |       ELSE CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) / CAST(hk AS DOUBLE)
-        |  END AS est_distinct
-        |FROM exact e LEFT JOIN kth ON e.source = kth.source
-        |ORDER BY e.source""".stripMargin,
+    "d_distinct_kmv" -> kmvOracleSql,
+    // the Aggregator spelling is semantics-identical — same oracle
+    "d_distinct_kmv_agg" -> kmvOracleSql,
     "d_sparse_cosine" ->
       """WITH tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM (
         |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
