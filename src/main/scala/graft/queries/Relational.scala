@@ -703,6 +703,49 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  // -- JSON property extraction (the semi-structured column path) ------------
+  // events.props is a JSON string; get_json_object is the codegen'd
+  // extraction that at scale replaces a parse-into-struct when only one
+  // key is read (no full schema inference pass, predicate stays on the
+  // scan).
+  private def qJsonProps(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+    ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        count(when(col("k") > 50, 1)).as("n_high"))
+      .orderBy("event_type")
+  }
+
+  // -- CUBE over two dimensions ----------------------------------------------
+  private def qCube(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.cube("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total_price"))
+      .orderBy(asc_nulls_first("o_orderpriority"), asc_nulls_first("o_orderstatus"))
+  }
+
+  // -- window frames: sliding sum, lead, first/last_value --------------------
+  // The frame-specification family under an explicit ROWS frame: a 3-row
+  // moving sum (exact DECIMAL), lead(), and first/last_value over a
+  // bounded frame — ordered by the unique (user_id, ts, event_id) so every
+  // frame content is deterministic.
+  private def qWindowFrames(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").withColumn("ts_us", expr("ts DIV 1000"))
+      .filter(col("event_type") === "purchase")
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val w3 = w.rowsBetween(-2, 0)
+    ev.select(col("user_id"), col("event_id"), col("ts_us"),
+        sum(dec(col("value"))).over(w3).cast("double").as("moving_sum3"),
+        lead(col("event_id"), 1).over(w).as("next_event"),
+        first(col("event_id")).over(w3).as("frame_first"),
+        last(col("event_id")).over(w3).as("frame_last"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
   // -- q13 shape: outer-join distribution (customers with zero orders) ------
   private def q13OrderDistribution(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
@@ -962,6 +1005,9 @@ object Relational {
     "q_tumbling_hour"       -> (qTumblingHour _),
     "q_full_outer"          -> (qFullOuter _),
     "q_corr_manual"         -> (qCorrManual _),
+    "q_json_props"          -> (qJsonProps _),
+    "q_cube"                -> (qCube _),
+    "q_window_frames"       -> (qWindowFrames _),
     "q_asof_views"          -> (qAsofViews _),
     "q_asof_forward"        -> (qAsofForward _),
     "q_asof_nearest"        -> (qAsofNearest _),
@@ -1238,6 +1284,30 @@ object Relational {
         |SELECT user_id, MIN(us) AS start_us, MAX(us) + 1800000000 AS end_us,
         | COUNT(*) AS n_events, CAST(SUM(v) AS DOUBLE) AS total_value
         |FROM g GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+    "q_json_props" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        | MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        | COUNT(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50) AS n_high
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+    "q_window_frames" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w3 AS DOUBLE) AS moving_sum3,
+        | LEAD(event_id, 1) OVER w AS next_event,
+        | FIRST_VALUE(event_id) OVER w3 AS frame_first,
+        | LAST_VALUE(event_id) OVER w3 AS frame_last
+        |FROM events WHERE event_type = 'purchase'
+        |WINDOW
+        | w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
+        | w3 AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
     "q_full_outer" ->
       """WITH p AS (SELECT user_id, COUNT(*) AS n_purchase,
         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_value
