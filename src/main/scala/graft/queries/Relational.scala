@@ -746,6 +746,40 @@ object Relational {
       .orderBy("user_id", "ts_us", "event_id")
   }
 
+  // -- PIVOT with an explicit value list -------------------------------------
+  // The relational pivot operator proper (q_user_activity does the manual
+  // conditional-agg spelling). Values are EXPLICIT: at scale an implicit
+  // pivot first runs a distinct scan to discover them, and the output
+  // schema stops being static — both are production footguns the explicit
+  // list avoids. Empty cells coalesce to 0 (Spark's pivot yields null
+  // where FILTER-count yields 0 — a cross-engine trap this query pins).
+  private def qPivot(s: SparkSession, dir: String): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val p = c.join(o, c("c_custkey") === o("o_custkey"))
+      .groupBy("c_mktsegment")
+      .pivot("o_orderpriority", prios)
+      .agg(count(lit(1)))
+    prios.foldLeft(p) { (df, pr) =>
+      df.withColumn(pr, coalesce(col(s"`$pr`"), lit(0L)))
+    }.orderBy("c_mktsegment")
+  }
+
+  // -- UNPIVOT (melt): wide metrics back to long form ------------------------
+  private def qUnpivot(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val wide = ev.groupBy("user_id")
+      .agg(
+        count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+        count(when(col("event_type") === "error", 1)).as("n_error"),
+        count(when(col("event_type") === "view", 1)).as("n_view"))
+    wide.unpivot(Array(col("user_id")),
+        Array(col("n_purchase"), col("n_error"), col("n_view")),
+        "metric", "value")
+      .orderBy("user_id", "metric")
+  }
+
   // -- q13 shape: outer-join distribution (customers with zero orders) ------
   private def q13OrderDistribution(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
@@ -1006,6 +1040,8 @@ object Relational {
     "q_full_outer"          -> (qFullOuter _),
     "q_corr_manual"         -> (qCorrManual _),
     "q_json_props"          -> (qJsonProps _),
+    "q_pivot"               -> (qPivot _),
+    "q_unpivot"             -> (qUnpivot _),
     "q_cube"                -> (qCube _),
     "q_window_frames"       -> (qWindowFrames _),
     "q_asof_views"          -> (qAsofViews _),
@@ -1284,6 +1320,26 @@ object Relational {
         |SELECT user_id, MIN(us) AS start_us, MAX(us) + 1800000000 AS end_us,
         | COUNT(*) AS n_events, CAST(SUM(v) AS DOUBLE) AS total_value
         |FROM g GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+    "q_pivot" ->
+      """SELECT c_mktsegment,
+        | COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS "1-URGENT",
+        | COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS "2-HIGH",
+        | COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+        | COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+        | COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW"
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_unpivot" ->
+      """WITH w AS (SELECT user_id,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS n_view
+        | FROM events GROUP BY 1)
+        |SELECT user_id, metric, value FROM (
+        | SELECT user_id, 'n_purchase' AS metric, n_purchase AS value FROM w
+        | UNION ALL SELECT user_id, 'n_error', n_error FROM w
+        | UNION ALL SELECT user_id, 'n_view', n_view FROM w)
+        |ORDER BY user_id, metric""".stripMargin,
     "q_json_props" ->
       """SELECT event_type, COUNT(*) AS n_events,
         | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
