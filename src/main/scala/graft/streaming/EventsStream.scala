@@ -3,8 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
-  GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig,
-  TimeMode, TimerValues, ValueState}
+  GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor,
+  TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming operators over the generic event stream (the
   * `events` table shape) — the engine's non-OSM streaming surface:
@@ -217,6 +217,42 @@ object EventsStream {
         count.update(n)
         Iterator.single(TypeUsers(eventType, n))
       } else Iterator.empty
+    }
+  }
+
+  final case class Recent(user_id: Long, recent_ids: Seq[Long])
+
+  /** Rolling last-N event history per user on ListState — the online
+    * feature-store shape ("user's last 3 actions") kept incrementally:
+    * append the batch's events in (ts, id) order, trim to N, emit the
+    * refreshed window in Update mode. ListState stores elements
+    * individually (append is O(1) on RocksDB, no read-modify-write of one
+    * blob) — with ValueState and MapState elsewhere in this file, all
+    * three transformWithState state types are exercised.
+    */
+  def recentEventsPerUser(events: Dataset[Event], n: Int = 3): Dataset[Recent] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RecentProcessor(n),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  private class RecentProcessor(n: Int)
+      extends StatefulProcessor[Long, Event, Recent] {
+    @transient private var hist: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      hist = getHandle.getListState[Long]("hist",
+        Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[Recent] = {
+      val incoming = rows.toSeq
+        .sortBy(e => (e.ts.getTime, e.event_id)).map(_.event_id)
+      val cur = (if (hist.exists()) hist.get().toSeq else Seq.empty) ++ incoming
+      val trimmed = cur.takeRight(n)
+      hist.put(trimmed.toArray)
+      Iterator.single(Recent(userId, trimmed))
     }
   }
 

@@ -239,6 +239,45 @@ class EventsStreamSpec extends SparkSpecBase {
     }
   }
 
+  test("transformWithState ListState keeps the rolling last-3 history") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event]
+      val q = EventsStream.recentEventsPerUser(input.toDS(), n = 3)
+        .writeStream.format("memory").queryName("recent")
+        .outputMode(OutputMode.Update()).start()
+
+      input.addData(
+        Event(1, ts(0), 1, "view", 1.0),
+        Event(2, ts(1), 1, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(
+        Event(3, ts(2), 1, "view", 1.0),
+        Event(4, ts(3), 1, "view", 1.0),   // 1 falls out of the window
+        Event(5, ts(4), 2, "view", 1.0))
+      q.processAllAvailable()
+      q.stop()
+
+      val rows = spark.table("recent").as[EventsStream.Recent].collect()
+      val lastPerUser = rows.groupBy(_.user_id)
+        .map { case (u, rs) => u -> rs.last.recent_ids.toList }
+      assert(lastPerUser == Map(1L -> List(2L, 3L, 4L), 2L -> List(5L)),
+        lastPerUser.toString)
+      // first batch emitted the pre-trim state for user 1
+      assert(rows.exists(r => r.user_id == 1 && r.recent_ids == Seq(1L, 2L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("randomized stream: fMGWS and transformWithState sessions agree") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
