@@ -780,6 +780,39 @@ object Relational {
       .orderBy("user_id", "metric")
   }
 
+  // -- multiset set ops: INTERSECT ALL / EXCEPT ALL --------------------------
+  // The bag-semantics variants (q_except_intersect gates the distinct
+  // forms): duplicates survive by multiplicity — Spark plans these with a
+  // count-tracking aggregate + generate, a genuinely different operator
+  // than the anti/semi rewrite.
+  private def qMultisetOps(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val a = li.filter(col("l_quantity") >= 30).select(col("l_suppkey"))
+    val b = li.filter(col("l_returnflag") === "R").select(col("l_suppkey"))
+    a.intersectAll(b).groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      .unionByName(
+        a.exceptAll(b).groupBy("l_suppkey")
+          .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all")))
+      .select("op", "l_suppkey", "n")
+      .orderBy("op", "l_suppkey")
+  }
+
+  // -- ordered string aggregation --------------------------------------------
+  // listagg/string_agg: Spark spells it sort_array(collect_list) +
+  // concat_ws — the deterministic form (bare collect_list order is
+  // partition-dependent, the classic silent nondeterminism); DuckDB uses
+  // string_agg(... ORDER BY ...). Lengths ride along so a divergence
+  // localizes instantly.
+  private def qStringAgg(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_acctbal") > 9900)
+    c.groupBy("c_nationkey")
+      .agg(concat_ws(",", sort_array(collect_list(col("c_name")))).as("names"),
+        count(lit(1)).as("n"))
+      .withColumn("names_len", length(col("names")).cast("long"))
+      .orderBy("c_nationkey")
+  }
+
   // -- q13 shape: outer-join distribution (customers with zero orders) ------
   private def q13OrderDistribution(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
@@ -1041,6 +1074,8 @@ object Relational {
     "q_corr_manual"         -> (qCorrManual _),
     "q_json_props"          -> (qJsonProps _),
     "q_pivot"               -> (qPivot _),
+    "q_multiset_ops"        -> (qMultisetOps _),
+    "q_string_agg"          -> (qStringAgg _),
     "q_unpivot"             -> (qUnpivot _),
     "q_cube"                -> (qCube _),
     "q_window_frames"       -> (qWindowFrames _),
@@ -1320,6 +1355,22 @@ object Relational {
         |SELECT user_id, MIN(us) AS start_us, MAX(us) + 1800000000 AS end_us,
         | COUNT(*) AS n_events, CAST(SUM(v) AS DOUBLE) AS total_value
         |FROM g GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+    "q_multiset_ops" ->
+      """WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_quantity >= 30),
+        |b AS (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
+        |ia AS (SELECT l_suppkey FROM a INTERSECT ALL SELECT l_suppkey FROM b),
+        |ea AS (SELECT l_suppkey FROM a EXCEPT ALL SELECT l_suppkey FROM b)
+        |SELECT 'intersect_all' AS op, l_suppkey, COUNT(*) AS n FROM ia GROUP BY 2
+        |UNION ALL
+        |SELECT 'except_all' AS op, l_suppkey, COUNT(*) AS n FROM ea GROUP BY 2
+        |ORDER BY op, l_suppkey""".stripMargin,
+    "q_string_agg" ->
+      """SELECT c_nationkey,
+        | string_agg(c_name, ',' ORDER BY c_name) AS names,
+        | COUNT(*) AS n,
+        | CAST(len(string_agg(c_name, ',' ORDER BY c_name)) AS BIGINT) AS names_len
+        |FROM customer WHERE c_acctbal > 9900
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_pivot" ->
       """SELECT c_mktsegment,
         | COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS "1-URGENT",

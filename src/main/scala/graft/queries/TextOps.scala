@@ -991,6 +991,32 @@ object TextOps {
       .orderBy("source")
   }
 
+  // -- bigram-coverage quality score -------------------------------------------
+  // The log-free stand-in for LM-based quality scoring: what fraction of a
+  // document's adjacent bigrams are corpus-frequent (count ≥ 5)? Natural
+  // prose scores high; boilerplate, shuffled text, and OCR noise score
+  // low. Two vocabulary-cardinality aggregates + one semi join; the score
+  // is a single exact-integer division.
+  private def bigramCoverage(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), tokensExpr.as("toks"))
+      .withColumn("bigrams", expr(
+        "case when size(toks) < 2 then array() else " +
+          "transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) end"))
+    val all = d.select(col("doc_id"), explode(col("bigrams")).as("bigram"))
+    val freq = all.groupBy("bigram").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 5).select("bigram")
+    val tot = all.groupBy("doc_id").agg(count(lit(1)).as("n_bigrams"))
+    val hits = all.join(freq, Seq("bigram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    tot.join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_bigrams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("n_bigrams").cast("double")).as("coverage"))
+      .orderBy("doc_id")
+  }
+
   // -- relative quality gate: per-language median threshold --------------------
   // Absolute quality cutoffs misfire across languages (token counts differ
   // structurally), so production gates threshold RELATIVE to the language's
@@ -1309,6 +1335,7 @@ object TextOps {
     "d_sparse_cosine"     -> (sparseCosine _),
     "d_sparse_cosine_frac" -> (sparseCosineFrac _),
     "d_collocations"      -> (collocations _),
+    "d_bigram_coverage"   -> (bigramCoverage _),
     "d_bm25"              -> (bm25 _),
     "d_vocab"             -> (vocab _),
     "d_source_report"     -> (sourceReport _),
@@ -1798,6 +1825,22 @@ object TextOps {
         |  FROM bi JOIN uni ua ON split_part(bi.bigram, ' ', 1) = ua.tok
         |          JOIN uni ub ON split_part(bi.bigram, ' ', 2) = ub.tok), total
         |ORDER BY lift DESC, bigram LIMIT 100""".stripMargin,
+    "d_bigram_coverage" ->
+      """WITH tk AS (SELECT doc_id,
+        |   regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |bi_all AS (SELECT doc_id,
+        |   unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[]) ELSE
+        |     list_transform(generate_series(1, len(toks) - 1),
+        |       i -> toks[i] || ' ' || toks[i + 1]) END) AS bigram
+        | FROM tk),
+        |freq AS (SELECT bigram FROM bi_all GROUP BY 1 HAVING COUNT(*) >= 5),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_bigrams FROM bi_all GROUP BY 1),
+        |hits AS (SELECT doc_id, COUNT(*) AS n_hits
+        |  FROM bi_all JOIN freq USING (bigram) GROUP BY 1)
+        |SELECT t.doc_id, n_bigrams, COALESCE(n_hits, 0) AS n_hits,
+        | CAST(COALESCE(n_hits, 0) AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS coverage
+        |FROM tot t LEFT JOIN hits USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     "d_quality_gate_rel" ->
       """WITH d AS (SELECT doc_id, lang,
         |   CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS BIGINT) AS n_tokens
