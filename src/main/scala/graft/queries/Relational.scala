@@ -814,6 +814,55 @@ object Relational {
   }
 
   // -- q13 shape: outer-join distribution (customers with zero orders) ------
+  // -- SCD Type-2 dimension build: attribute runs → validity intervals -------
+  // The warehouse staple Spark has no native operator for: collapse each
+  // user's event stream into maximal runs of the same event_type and emit
+  // one row per run with [valid_from, valid_to) — valid_to = the next run's
+  // start, NULL while current. Gaps-and-islands: a lag() change flag, a
+  // running sum for the island id, then one groupBy — all three windows and
+  // the aggregate hash on user_id, so the events table shuffles ONCE and
+  // Catalyst reuses the partitioning; per-key window state is one user's
+  // run, never the table. Time in µs (DuckDB's parquet reader truncates ns).
+  private def qScd2(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").withColumn("ts_us", expr("ts DIV 1000"))
+      .select("user_id", "event_type", "ts_us", "event_id")
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val isl = ev
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("chg",
+        when(col("prev_type").isNull ||
+             col("prev_type") =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = isl.groupBy("user_id", "island")
+      .agg(min(col("event_type")).as("event_type"), // constant within a run
+        min(col("ts_us")).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+    val w2 = Window.partitionBy("user_id").orderBy("island")
+    runs.withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w2))
+      .select("user_id", "island", "event_type", "valid_from_us",
+        "valid_to_us", "n_events")
+      .orderBy("user_id", "island")
+  }
+
+  // -- fixed-width histogram: the data-profiling bucket report ---------------
+  // width_bucket over o_totalprice in exact money arithmetic: the bucket id
+  // is DECIMAL cents DIV width — never double multiplication, whose
+  // rounding (0.1·100 = 10.000000000000002) would put edge values in
+  // different buckets on different engines. One partial-aggregate groupBy;
+  // at 100 TB this is a map-side-combined scan with ~#buckets output rows.
+  private def qHistogram(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.withColumn("bucket",
+        expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) DIV 5000000"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+      .withColumn("bucket_lo", (col("bucket") * 50000L).cast("double"))
+      .select("bucket", "bucket_lo", "n_orders", "sum_price")
+      .orderBy("bucket")
+  }
+
   private def q13OrderDistribution(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
     val o = t(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT")
@@ -1076,6 +1125,8 @@ object Relational {
     "q_pivot"               -> (qPivot _),
     "q_multiset_ops"        -> (qMultisetOps _),
     "q_string_agg"          -> (qStringAgg _),
+    "q_scd2"                -> (qScd2 _),
+    "q_histogram"           -> (qHistogram _),
     "q_unpivot"             -> (qUnpivot _),
     "q_cube"                -> (qCube _),
     "q_window_frames"       -> (qWindowFrames _),
@@ -1332,6 +1383,33 @@ object Relational {
         | MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
         | COUNT(*) AS n_orders
         |FROM p, n GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+        |  FROM events),
+        |flagged AS (SELECT user_id, event_type, ts_us, event_id,
+        |   CASE WHEN lag(event_type) OVER w IS NULL
+        |     OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |isl AS (SELECT user_id, event_type, ts_us,
+        |   CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+        | FROM flagged),
+        |runs AS (SELECT user_id, island, MIN(event_type) AS event_type,
+        |   MIN(ts_us) AS valid_from_us, COUNT(*) AS n_events
+        | FROM isl GROUP BY 1, 2)
+        |SELECT user_id, island, event_type, valid_from_us,
+        | lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY island)
+        |   AS valid_to_us,
+        | n_events
+        |FROM runs ORDER BY user_id, island""".stripMargin,
+    "q_histogram" ->
+      """SELECT (CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000000)
+        |   AS bucket,
+        | CAST((CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000000)
+        |   * 50000 AS DOUBLE) AS bucket_lo,
+        | COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "q_rank_stats" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
         | CAST(RANK() OVER w AS BIGINT) AS rk,

@@ -360,6 +360,45 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  // -- two-stage retrieval: Hamming shortlist → exact cosine rerank -----------
+  // The serving composition the binary codes exist FOR: stage 1 ranks the
+  // whole corpus by 64-bit sign-code Hamming distance (integer xor +
+  // bit_count over an n×8-byte table — the only full scan) and keeps a
+  // 20-deep shortlist per query through the bounded-heap TopK exec; stage 2
+  // fetches ONLY the shortlist's float vectors (a 20·|queries|-row semi
+  // join, not a corpus scan) and re-ranks by exact cosine. At fleet scale
+  // the float fetch is the expensive I/O, and this plan touches
+  // 20 vectors per query instead of n — the 32× memory cut of
+  // s_hamming_topk turned into an end-to-end latency shape. Both stages'
+  // ties break to the lowest vec_id, so the shortlist set is deterministic
+  // and the oracle reproduces it with two ROW_NUMBER windows.
+  private def annRerank(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+    val codes = v.select(col("vec_id"), expr(
+      "aggregate(sequence(0, 63), 0L, (acc, i) -> " +
+        "acc + if(element_at(e, i + 1) > 0, shiftleft(1L, i), 0L))")
+      .as("code"))
+    val q = codes.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("code").as("q_code"))
+    val ham = codes.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("hamming", expr("bit_count(code ^ q_code)").cast("long"))
+    val shortlist = graft.operators.TopK.perKey(ham, Seq(col("q_id")),
+        Seq(col("hamming").asc, col("vec_id").asc), 20)
+      .select(col("q_id"), col("vec_id"), col("hamming"))
+    val qv = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val rer = shortlist.join(v, Seq("vec_id"))
+      .join(broadcast(qv), Seq("q_id"))
+      .withColumn("sim_r", round(dotQE / (col("qn") * col("nrm")), 6))
+    graft.operators.TopK.perKey(rer, Seq(col("q_id")),
+        Seq(col("sim_r").desc, col("vec_id").asc), 5)
+      .withColumnRenamed("rk", "rnk")
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        col("hamming"), col("sim_r"))
+      .orderBy("q_id", "rnk")
+  }
+
   // -- product quantization (PQ) encode + ADC ranking --------------------------
   // The vector-store compression workhorse: 8 subspaces × 8 dims, 16
   // codewords each — 64 float dims become 8 nibbles. Codebooks here are the
@@ -510,6 +549,7 @@ object Similarity {
   val queries: Map[String, QueryFn] = Map(
     "s_contrastive_pairs" -> (contrastivePairs _),
     "s_hamming_topk"    -> (hammingTopK _),
+    "s_ann_rerank"      -> (annRerank _),
     "s_ann_pq"          -> (annPq _),
     "s_ann_ivfpq"       -> (annIvfPq _),
     "s_quantize_int8"   -> (quantizeInt8 _),
@@ -663,6 +703,31 @@ object Similarity {
         | FROM scored)
         |SELECT q_id, rnk, vec_id AS neighbor_id, hamming
         |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "s_ann_rerank" ->
+      s"""WITH $vSql,
+         |codes AS (SELECT vec_id,
+         |   CAST(list_sum(list_transform(generate_series(0, 63), i ->
+         |     CASE WHEN embedding[i + 1] > 0 THEN
+         |       CASE WHEN i = 63 THEN -9223372036854775808 ELSE (1::BIGINT << i) END
+         |     ELSE 0 END)) AS BIGINT) AS code
+         | FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, code AS q_code FROM codes WHERE vec_id < 10),
+         |ham AS (SELECT q_id, c.vec_id,
+         |   CAST(bit_count(xor(code, q_code)) AS BIGINT) AS hamming
+         | FROM codes c, q WHERE q_id <> c.vec_id),
+         |sl AS (SELECT q_id, vec_id, hamming,
+         |   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS hrk
+         | FROM ham),
+         |qv AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM v WHERE vec_id < 10),
+         |rer AS (SELECT sl.q_id, sl.vec_id, sl.hamming,
+         |   round(list_dot_product(qv.qe, v.e) / (qv.qn * v.nrm), 6) AS sim_r
+         | FROM sl JOIN v ON sl.vec_id = v.vec_id JOIN qv ON sl.q_id = qv.q_id
+         | WHERE hrk <= 20),
+         |r AS (SELECT q_id, vec_id, hamming, sim_r,
+         |   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim_r DESC, vec_id) AS rnk
+         | FROM rer)
+         |SELECT q_id, rnk::BIGINT AS rnk, vec_id AS neighbor_id, hamming, sim_r
+         |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "s_quantize_int8" ->
       """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |sc AS (SELECT vec_id, e,

@@ -1039,6 +1039,59 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // -- PPS (probability-proportional-to-size) Bernoulli sampling --------------
+  // The other half of the sampling toolkit beside the equal-rate stratified
+  // sample: each doc is kept with probability ∝ its size, so the expected
+  // sample is `target` docs but long documents are over-represented — the
+  // draw a token-budgeted pipeline wants when one 100k-token doc matters
+  // more than fifty 2k ones. Deterministic: u = the first 52 bits of
+  // md5(doc_id) / 2^52 (exact in a double — the divisor is a power of two),
+  // p = n_chars·target / Σn_chars (one exact BIGINT product, one correctly-
+  // rounded division — bit-identical cross-engine). At 100 TB the total is
+  // one map-side-combined aggregate broadcast back over a per-row filter:
+  // no shuffle of the corpus, no RNG state, re-runs reproduce the sample.
+  // Docs with p ≥ 1 (larger than total/target) are simply always kept.
+  private def samplePps(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("n_chars"))
+    val tot = d.agg(sum(col("n_chars")).as("total_chars"))
+    d.crossJoin(broadcast(tot))
+      .withColumn("u", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 13), 16, 10) as double)" +
+          " / 4503599627370496.0"))
+      .withColumn("p", expr("cast(n_chars * 100 as double) / cast(total_chars as double)"))
+      .filter(col("u") < col("p"))
+      .select(col("doc_id"), col("n_chars"), col("p"))
+      .orderBy("doc_id")
+  }
+
+  // -- per-language winsorization (outlier clipping at exact p10/p90) --------
+  // The robust-statistics preprocessing step: clip each language's n_chars
+  // distribution at its own 10th/90th percentile before computing means a
+  // single 10 MB outlier would dominate. The bounds are EXACT nearest-rank
+  // order statistics spelled as integer rank arithmetic — row_number per
+  // language and lo = value at rank (n−1)·10 DIV 100 + 1 — so both engines
+  // pick the identical element (no interpolation semantics to disagree on).
+  // Per-language windows partition-scale (state = one language's run); the
+  // bounds collapse to #languages rows and broadcast back over the corpus.
+  // At fleet scale you would swap the rank pass for approx_percentile and
+  // keep the same clip join.
+  private def winsorize(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+    val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+    val ranked = d.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")).cast("long"))
+    val loRank = expr("(n - 1) * 10 DIV 100 + 1")
+    val hiRank = expr("(n - 1) * 90 DIV 100 + 1")
+    val bounds = ranked.filter(col("rn") === loRank || col("rn") === hiRank)
+      .groupBy("lang")
+      .agg(min(when(col("rn") === loRank, col("n_chars"))).as("lo"),
+           min(when(col("rn") === hiRank, col("n_chars"))).as("hi"))
+    d.join(broadcast(bounds), Seq("lang"))
+      .withColumn("clipped", greatest(col("lo"), least(col("hi"), col("n_chars"))))
+      .select("doc_id", "lang", "n_chars", "lo", "hi", "clipped")
+      .orderBy("doc_id")
+  }
+
   // -- corpus vocabulary / document-frequency table ---------------------------
   // The corpus-wide (token, tf, df) inventory with the same log-free
   // rational idf as d_bm25 — the precomputed statistics a serving-time BM25
@@ -1331,6 +1384,8 @@ object TextOps {
     "d_distinct_kmv"      -> (distinctKmv _),
     "d_distinct_kmv_agg"  -> (distinctKmvAgg _),
     "d_quality_gate_rel"  -> (qualityGateRel _),
+    "d_sample_pps"        -> (samplePps _),
+    "d_winsorize"         -> (winsorize _),
     "d_minhash_audit"     -> (minhashAudit _),
     "d_sparse_cosine"     -> (sparseCosine _),
     "d_sparse_cosine_frac" -> (sparseCosineFrac _),
@@ -1849,6 +1904,30 @@ object TextOps {
         |SELECT doc_id, d.lang AS lang, n_tokens, p50
         |FROM d JOIN th ON d.lang = th.lang
         |WHERE CAST(n_tokens AS DOUBLE) >= p50
+        |ORDER BY doc_id""".stripMargin,
+    "d_sample_pps" ->
+      """WITH tot AS (SELECT SUM(n_chars) AS total_chars FROM documents)
+        |SELECT doc_id, n_chars,
+        | CAST(n_chars * 100 AS DOUBLE) / CAST(total_chars AS DOUBLE) AS p
+        |FROM documents, tot
+        |WHERE CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT AS DOUBLE)
+        |    / 4503599627370496.0
+        |  < CAST(n_chars * 100 AS DOUBLE) / CAST(total_chars AS DOUBLE)
+        |ORDER BY doc_id""".stripMargin,
+    "d_winsorize" ->
+      """WITH ranked AS (SELECT doc_id, lang, n_chars,
+        |   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+        |   COUNT(*) OVER (PARTITION BY lang) AS n
+        | FROM documents),
+        |bounds AS (SELECT lang,
+        |   MIN(CASE WHEN rn = (n - 1) * 10 // 100 + 1 THEN n_chars END) AS lo,
+        |   MIN(CASE WHEN rn = (n - 1) * 90 // 100 + 1 THEN n_chars END) AS hi
+        | FROM ranked
+        | WHERE rn = (n - 1) * 10 // 100 + 1 OR rn = (n - 1) * 90 // 100 + 1
+        | GROUP BY 1)
+        |SELECT doc_id, d.lang AS lang, n_chars, lo, hi,
+        | GREATEST(lo, LEAST(hi, n_chars)) AS clipped
+        |FROM documents d JOIN bounds b ON d.lang = b.lang
         |ORDER BY doc_id""".stripMargin,
     "d_bm25" -> {
       // identical expression tree to the Spark side: every op is IEEE
