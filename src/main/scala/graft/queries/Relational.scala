@@ -863,6 +863,53 @@ object Relational {
       .orderBy("bucket")
   }
 
+  // -- triangle counting with degree-ordered orientation ---------------------
+  // The graph primitive behind clustering coefficients and community
+  // pre-filters, spelled the way it survives a power-law graph: project the
+  // part–supplier bipartite relation into a supplier co-supply graph (edge
+  // when two suppliers share ≥150 parts — the HAVING threshold is the
+  // projection's density guard, same role as the shingle df cap), then
+  // orient every edge from its lower-(degree, id) endpoint to the higher
+  // one. Any total order makes the orientation acyclic so the wedge join
+  // x→y, y→z closed by x→z finds each triangle EXACTLY once; ordering by
+  // degree specifically bounds every out-adjacency list by O(√m), which
+  // caps the wedge join's fan-out — the difference between a hub node
+  // generating deg² wedges and √m·deg. All equi joins, no cross join; the
+  // per-node credit explodes each triangle to its 3 corners and rides one
+  // hash aggregate. The oracle counts the same triangles with the simpler
+  // id-ordering — triangle identity is orientation-invariant, so the
+  // per-node counts agree while the plans differ.
+  private def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    val ps = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+    val edges = ps.as("a")
+      .join(ps.as("b"), col("a.p") === col("b.p") && col("a.sk") < col("b.sk"))
+      .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 150)
+      .select("u", "v")
+    val deg = edges.select(col("u").as("n"))
+      .unionAll(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val lowFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = edges
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+      .select(when(lowFirst, col("u")).otherwise(col("v")).as("s"),
+              when(lowFirst, col("v")).otherwise(col("u")).as("t"))
+    val tris = oriented.select(col("s").as("x"), col("t").as("y"))
+      .join(oriented.select(col("s").as("y"), col("t").as("z")), Seq("y"))
+      .join(oriented.select(col("s").as("x"), col("t").as("z")), Seq("x", "z"))
+    val perNode = tris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("n"), "left")
+      .select(col("n").as("s_suppkey"), col("d").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .orderBy("s_suppkey")
+  }
+
   private def q13OrderDistribution(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
     val o = t(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT")
@@ -1127,6 +1174,7 @@ object Relational {
     "q_string_agg"          -> (qStringAgg _),
     "q_scd2"                -> (qScd2 _),
     "q_histogram"           -> (qHistogram _),
+    "q_triangles"           -> (qTriangles _),
     "q_unpivot"             -> (qUnpivot _),
     "q_cube"                -> (qCube _),
     "q_window_frames"       -> (qWindowFrames _),
@@ -1410,6 +1458,22 @@ object Relational {
         | COUNT(*) AS n_orders,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q_triangles" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
+        |e AS (SELECT a.sk AS u, b.sk AS v
+        |  FROM ps a JOIN ps b ON a.p = b.p AND a.sk < b.sk
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 150),
+        |deg AS (SELECT n, COUNT(*) AS degree FROM (
+        |    SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |pn AS (SELECT n, COUNT(*) AS n_triangles FROM (
+        |    SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri) GROUP BY 1)
+        |SELECT deg.n AS s_suppkey, degree,
+        | COALESCE(n_triangles, 0) AS n_triangles
+        |FROM deg LEFT JOIN pn ON deg.n = pn.n ORDER BY 1""".stripMargin,
     "q_rank_stats" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
         | CAST(RANK() OVER w AS BIGINT) AS rk,

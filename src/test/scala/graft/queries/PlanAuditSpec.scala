@@ -144,4 +144,47 @@ class PlanAuditSpec extends SparkSpecBase {
     // corpus side: one scan of embeddings, no self-shuffle before scoring
     assert(plan.split("embeddings.parquet").length - 1 >= 1, plan)
   }
+
+  test("q_triangles: every graph join is an equi join, never a cartesian") {
+    val p = graft.SparkEntry.queries("q_triangles")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    // the co-supply projection and both wedge joins must stay equi joins —
+    // a triangle count that degrades to a cross join is O(n³) at scale
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("runtime bloom filter: selective dim side reduces the fact scan") {
+    // Spark's InjectRuntimeFilter is the engine-native semi-join reduction:
+    // when a shuffle join's small side carries a selective predicate, the
+    // optimizer plants a bloom filter of its join keys on the big side's
+    // scan, so at 100 TB the fact table drops non-matching rows BEFORE the
+    // exchange. This gate pins the conditions under which it fires (shuffle
+    // join + selective creation side) so a config or plan refactor that
+    // silently loses the reduction fails here, not in a fleet profile.
+    import org.apache.spark.sql.functions.col
+    val c = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> c.getOption(k))
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // local test files are tiny; the fleet default (10GB) is the real guard
+      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+      val o = spark.read.parquet(s"$sf001/orders.parquet")
+        .filter(col("o_totalprice") > 400000 &&
+                col("o_orderpriority") === "1-URGENT")
+      val j = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.toLowerCase.contains("bloom"),
+        s"no runtime bloom filter injected:\n$opt")
+    } finally saved.foreach { case (k, v) => v.fold(c.unset(k))(c.set(k, _)) }
+  }
 }
