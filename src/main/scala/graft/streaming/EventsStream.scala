@@ -256,6 +256,42 @@ object EventsStream {
     }
   }
 
+  final case class Burst(user_id: Long, burst_n: Long)
+
+  /** TTL'd per-user activity counter — the online-feature-store cache
+    * shape: a ValueState configured with a processing-time TTL so idle
+    * keys EVICT THEMSELVES instead of accumulating forever. While a user
+    * keeps arriving within the TTL the running count grows; once the TTL
+    * elapses with no update the slot expires on the store side and the
+    * next event restarts the count at its batch size. This exercises the
+    * remaining transformWithState state feature beside Value/Map/List
+    * state and event-time timers: TTLConfig-driven eviction, which is
+    * what bounds state by (keys active within TTL) rather than stream
+    * lifetime when there is no watermark to do it.
+    */
+  def burstCountPerUser(events: Dataset[Event],
+      ttl: java.time.Duration = java.time.Duration.ofHours(1)): Dataset[Burst] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new BurstProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Update())
+  }
+
+  private class BurstProcessor(ttl: java.time.Duration)
+      extends StatefulProcessor[Long, Event, Burst] {
+    @transient private var n: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      n = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig(ttl))
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[Burst] = {
+      val cur = (if (n.exists()) n.get() else 0L) + rows.size
+      n.update(cur)
+      Iterator.single(Burst(userId, cur))
+    }
+  }
+
   /** Per-user session state machine for [[sessionizeTws]]. One ValueState
     * slot + one armed timer per open session; the timer fires when the
     * watermark passes last event + gap, emitting and freeing the session.

@@ -278,6 +278,64 @@ class EventsStreamSpec extends SparkSpecBase {
     }
   }
 
+  test("transformWithState TTL state survives within TTL, expires past it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // ProcessingTime mode re-triggers batches continuously (TTL/timer
+    // evaluation makes the engine always want another batch), so neither
+    // processAllAvailable nor AvailableNow ever settles. Empty batches emit
+    // no rows, though — so poll the memory sink until the expected number
+    // of OUTPUT rows has landed instead of waiting for stream quiescence.
+    def awaitRows(name: String, n: Int): List[Long] = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      var rows = List.empty[Long]
+      while (rows.length < n && System.nanoTime() < deadline) {
+        rows = spark.table(name).as[EventsStream.Burst]
+          .collect().map(_.burst_n).toList
+        if (rows.length < n) Thread.sleep(50)
+      }
+      rows
+    }
+    try {
+      // long TTL: the count accumulates across batches
+      val in1 = MemoryStream[Event]
+      val q1 = EventsStream.burstCountPerUser(in1.toDS(),
+          java.time.Duration.ofHours(1))
+        .writeStream.format("memory").queryName("burst_long")
+        .outputMode(OutputMode.Update()).start()
+      in1.addData(Event(1, ts(0), 1, "view", 1.0),
+        Event(2, ts(1), 1, "view", 1.0))
+      assert(awaitRows("burst_long", 1) == List(2L))
+      in1.addData(Event(3, ts(2), 1, "view", 1.0))
+      assert(awaitRows("burst_long", 2) == List(2L, 3L))
+      q1.stop()
+
+      // 1 ms TTL + a real pause: the slot expires on the store side and
+      // the count restarts instead of accumulating
+      val in2 = MemoryStream[Event]
+      val q2 = EventsStream.burstCountPerUser(in2.toDS(),
+          java.time.Duration.ofMillis(1))
+        .writeStream.format("memory").queryName("burst_short")
+        .outputMode(OutputMode.Update()).start()
+      in2.addData(Event(1, ts(0), 1, "view", 1.0),
+        Event(2, ts(1), 1, "view", 1.0))
+      assert(awaitRows("burst_short", 1) == List(2L))
+      Thread.sleep(200)
+      in2.addData(Event(3, ts(2), 1, "view", 1.0))
+      assert(awaitRows("burst_short", 2) == List(2L, 1L))
+      q2.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("randomized stream: fMGWS and transformWithState sessions agree") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
