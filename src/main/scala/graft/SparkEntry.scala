@@ -39,6 +39,7 @@ object SparkEntry {
     "d_sparse_cosine", "d_mix_temperature",
     "s_cosine_topk", "s_ann_lsh", "s_ann_lsh_probe", "s_ann_ivf_kmeans",
     "s_quantize_int8", "s_dedup_semantic", "s_ann_ivf_kmeans_fast",
-    "s_hybrid_rrf", "s_hamming_topk", "s_ann_ivfpq"
+    "s_hybrid_rrf", "s_hamming_topk", "s_ann_ivfpq", "s_ann_rerank",
+    "q_scd2", "q_triangles"
   )
 }
