@@ -1113,6 +1113,84 @@ object TextOps {
       .orderBy("tok")
   }
 
+  // -- deterministic train/val/test split -------------------------------------
+  // The split every training run starts from, spelled so it is a PROPERTY
+  // OF THE ROW, not of the run: bucket = md5(doc_id) % 100, train < 90,
+  // val < 95, test otherwise. Re-running, re-partitioning, or appending new
+  // data never moves an existing doc across splits — the invariant that
+  // keeps eval sets honest — and the assignment is a zero-shuffle narrow
+  // scan any engine reproduces bit-for-bit.
+  private def splitDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("bucket", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val").otherwise("test"))
+      .select(col("doc_id"), col("bucket"), col("split"))
+      .orderBy("doc_id")
+
+  // -- tf-idf top terms per source --------------------------------------------
+  // The corpus-exploration staple ("what is each source about"): global
+  // document frequencies give the rational idf (same log-free spelling as
+  // d_vocab/d_bm25), per-(source, token) counts give tf, and the top-5
+  // terms per source rank by tf·idf through the bounded-heap TopK exec —
+  // never a full partition sort. Both aggregates shuffle on the token
+  // (vocabulary cardinality); the idf side joins in at vocabulary size,
+  // not corpus size. tf·idf is one exact-long→double widening times an
+  // already-rounded double — deterministic cross-engine.
+  private def topTerms(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), col("source"), explode(tokensExpr).as("tok"))
+    val nDocs = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    val idf = toks.groupBy("tok")
+      .agg(countDistinct(col("doc_id")).as("df_docs"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf_r", round(
+        ((col("n_docs").cast("double") - col("df_docs").cast("double")) + lit(0.5))
+          / (col("df_docs").cast("double") + lit(0.5)), 6))
+      .select("tok", "idf_r")
+    val scored = toks.groupBy("source", "tok")
+      .agg(count(lit(1)).as("tf"))
+      .join(idf, Seq("tok"))
+      .withColumn("score", col("tf").cast("double") * col("idf_r"))
+    graft.operators.TopK.perKey(scored, Seq(col("source")),
+        Seq(col("score").desc, col("tok").asc), 5)
+      .select(col("source"), col("rk"), col("tok"), col("tf"), col("score"))
+      .orderBy("source", "rk")
+  }
+
+  // -- column-level profiling: null / distinct / extent per column ------------
+  // The data-quality report a dataset owner reads before trusting a new
+  // drop: one row per column with its null count, distinct count, and
+  // value-length extents. Spelled as ONE aggregate over one scan (the
+  // multi-distinct expands to a couple of internal passes Catalyst plans
+  // itself) and unpivoted to rows with stack() — at fleet scale the exact
+  // countDistincts swap to approx_count_distinct and the shape is
+  // unchanged. The profile's cardinality is #columns, never the corpus.
+  private def profileDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val wide = d.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("lang").isNull, 1L).otherwise(0L)).as("lang_nulls"),
+      countDistinct(col("lang")).as("lang_distinct"),
+      sum(when(col("source").isNull, 1L).otherwise(0L)).as("source_nulls"),
+      countDistinct(col("source")).as("source_distinct"),
+      sum(when(col("text").isNull, 1L).otherwise(0L)).as("text_nulls"),
+      countDistinct(col("text")).as("text_distinct"),
+      min(length(col("text")).cast("long")).as("text_min_len"),
+      max(length(col("text")).cast("long")).as("text_max_len"))
+    wide.select(col("n_rows"), expr(
+      """stack(3,
+        | 'lang',   lang_nulls,   lang_distinct,   null,         null,
+        | 'source', source_nulls, source_distinct, null,         null,
+        | 'text',   text_nulls,   text_distinct,   text_min_len, text_max_len)
+        | AS (column_name, n_nulls, n_distinct, min_len, max_len)""".stripMargin))
+      .select("column_name", "n_rows", "n_nulls", "n_distinct",
+        "min_len", "max_len")
+      .orderBy("column_name")
+  }
+
   // -- token-budget corpus selection -------------------------------------------
   // "Fill a training budget with the best documents": rank docs by merit
   // (non-stopword token fraction — deterministic, identical IEEE division
@@ -1386,6 +1464,9 @@ object TextOps {
     "d_quality_gate_rel"  -> (qualityGateRel _),
     "d_sample_pps"        -> (samplePps _),
     "d_winsorize"         -> (winsorize _),
+    "d_split"             -> (splitDocs _),
+    "d_top_terms"         -> (topTerms _),
+    "d_profile"           -> (profileDocs _),
     "d_minhash_audit"     -> (minhashAudit _),
     "d_sparse_cosine"     -> (sparseCosine _),
     "d_sparse_cosine_frac" -> (sparseCosineFrac _),
@@ -1979,6 +2060,51 @@ object TextOps {
          |  round(sum(ns)::DOUBLE / count(*)::DOUBLE, 6) AS fertility
          |FROM wordsyms GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+    "d_split" ->
+      """SELECT doc_id,
+        | ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket,
+        | CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90
+        |   THEN 'train'
+        |  WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 95
+        |   THEN 'val' ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_top_terms" ->
+      s"""WITH tok AS (SELECT doc_id, source, unnest($tokensSql) AS tok
+         |  FROM documents),
+         |n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+         |idf AS (SELECT tok,
+         |    round(((CAST(n_docs AS DOUBLE) - CAST(count(DISTINCT doc_id) AS DOUBLE)) + 0.5)
+         |      / (CAST(count(DISTINCT doc_id) AS DOUBLE) + 0.5), 6) AS idf_r
+         |  FROM tok, n GROUP BY tok, n_docs),
+         |scored AS (SELECT source, t.tok, count(*)::BIGINT AS tf,
+         |    CAST(count(*) AS DOUBLE) * any_value(idf_r) AS score
+         |  FROM tok t JOIN idf ON t.tok = idf.tok GROUP BY 1, 2),
+         |r AS (SELECT source, tok, tf, score,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, tok) AS rk
+         |  FROM scored)
+         |SELECT source, rk::BIGINT AS rk, tok, tf, score
+         |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+    "d_profile" ->
+      """WITH w AS (SELECT count(*)::BIGINT AS n_rows,
+        |   sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT AS lang_nulls,
+        |   count(DISTINCT lang)::BIGINT AS lang_distinct,
+        |   sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)::BIGINT AS source_nulls,
+        |   count(DISTINCT source)::BIGINT AS source_distinct,
+        |   sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT AS text_nulls,
+        |   count(DISTINCT text)::BIGINT AS text_distinct,
+        |   min(len(text))::BIGINT AS text_min_len,
+        |   max(len(text))::BIGINT AS text_max_len
+        | FROM documents)
+        |SELECT 'lang' AS column_name, n_rows, lang_nulls AS n_nulls,
+        |  lang_distinct AS n_distinct, NULL::BIGINT AS min_len,
+        |  NULL::BIGINT AS max_len FROM w
+        |UNION ALL
+        |SELECT 'source', n_rows, source_nulls, source_distinct,
+        |  NULL::BIGINT, NULL::BIGINT FROM w
+        |UNION ALL
+        |SELECT 'text', n_rows, text_nulls, text_distinct,
+        |  text_min_len, text_max_len FROM w
+        |ORDER BY column_name""".stripMargin,
     "d_vocab" ->
       s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
          |v AS (SELECT tok, count(*)::BIGINT AS tf,
