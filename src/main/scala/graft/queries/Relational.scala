@@ -863,6 +863,31 @@ object Relational {
       .orderBy("bucket")
   }
 
+  // -- year-over-year growth: lag over an aggregated grain -------------------
+  // The reporting staple: revenue per (segment, year) with the delta vs the
+  // previous year. The window runs AFTER aggregation, over segments×years
+  // rows — per-key state is a handful of rows regardless of corpus size, so
+  // the lag is free; the join+agg below it is q3's one-shuffle shape. The
+  // delta is computed in DECIMAL and cast to double at the end (double
+  // subtraction of two rounded sums would drift cross-engine).
+  private def qYoy(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o  = t(s, dir, "orders")
+    val c  = t(s, dir, "customer")
+    val rev = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"),
+        year(col("o_orderdate")).cast("long").as("order_year"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .as("rev_d"))
+    val w = Window.partitionBy("c_mktsegment").orderBy("order_year")
+    rev.withColumn("prev_d", lag(col("rev_d"), 1).over(w))
+      .select(col("c_mktsegment"), col("order_year"),
+        col("rev_d").cast("double").as("revenue"),
+        (col("rev_d") - col("prev_d")).cast("double").as("yoy_delta"))
+      .orderBy("c_mktsegment", "order_year")
+  }
+
   // -- triangle counting with degree-ordered orientation ---------------------
   // The graph primitive behind clustering coefficients and community
   // pre-filters, spelled the way it survives a power-law graph: project the
@@ -1175,6 +1200,7 @@ object Relational {
     "q_scd2"                -> (qScd2 _),
     "q_histogram"           -> (qHistogram _),
     "q_triangles"           -> (qTriangles _),
+    "q_yoy"                 -> (qYoy _),
     "q_unpivot"             -> (qUnpivot _),
     "q_cube"                -> (qCube _),
     "q_window_frames"       -> (qWindowFrames _),
@@ -1458,6 +1484,20 @@ object Relational {
         | COUNT(*) AS n_orders,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q_yoy" ->
+      """WITH rev AS (SELECT c_mktsegment,
+        |   CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |   SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |     * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev_d
+        | FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        | GROUP BY 1, 2)
+        |SELECT c_mktsegment, order_year,
+        | CAST(rev_d AS DOUBLE) AS revenue,
+        | CAST(rev_d - lag(rev_d) OVER (PARTITION BY c_mktsegment
+        |   ORDER BY order_year) AS DOUBLE) AS yoy_delta
+        |FROM rev ORDER BY c_mktsegment, order_year""".stripMargin,
     "q_triangles" ->
       """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
         |e AS (SELECT a.sk AS u, b.sk AS v

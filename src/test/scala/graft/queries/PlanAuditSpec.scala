@@ -187,4 +187,36 @@ class PlanAuditSpec extends SparkSpecBase {
         s"no runtime bloom filter injected:\n$opt")
     } finally saved.foreach { case (k, v) => v.fold(c.unset(k))(c.set(k, _)) }
   }
+
+  test("dynamic partition pruning: dim filter prunes the fact's partitions") {
+    // The partition-table sibling of the bloom gate: when the fact table is
+    // partitioned on the join key and the dim side carries a selective
+    // filter, Spark plants a dynamicpruning subquery in the fact scan's
+    // PartitionFilters — at 100 TB the scan reads only the partitions the
+    // filtered dim can match instead of every file. Gate the mechanism on
+    // a partitioned copy of orders so a conf/plan regression fails here.
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = java.nio.file.Files.createTempDirectory("dpp-orders-").toString
+    spark.read.parquet(s"$sf001/orders.parquet")
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // the dim must be a file scan with a surviving Filter node — a local
+    // relation constant-folds the predicate away and DPP sees nothing
+    // selective to prune with
+    // NOTE: a boolean `keep = true` filter gets simplified to a bare
+    // attribute, which isLikelySelective() does not count — the predicate
+    // must survive as a real comparison for DPP to consider the dim side
+    val dimDir = java.nio.file.Files.createTempDirectory("dpp-dim-").toString
+    spark.createDataFrame(Seq(
+        ("1-URGENT", "keep"), ("2-HIGH", "keep"), ("3-MEDIUM", "drop"),
+        ("4-NOT SPECIFIED", "drop"), ("5-LOW", "drop")))
+      .toDF("pr", "action").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("action") === lit("keep"))
+    val j = fact.join(dim, fact("o_orderpriority") === dim("pr"))
+      .groupBy("pr").count()
+    val opt = j.queryExecution.optimizedPlan.toString
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning\noptimized:\n$opt\nphysical:\n$plan")
+  }
 }
