@@ -863,6 +863,51 @@ object Relational {
       .orderBy("bucket")
   }
 
+  // -- z-score outlier detection from exact moment sums ----------------------
+  // The data-quality anomaly sweep: flag events more than 3σ from their
+  // type's mean. Moments ride ONE map-side-combined aggregate in exact
+  // DECIMAL (order-independent — the same trick as q_corr_manual), and
+  // mean/std/z are a fixed double formula over those exact sums, so the
+  // z-scores are bit-identical cross-engine where native stddev's partial
+  // merges would drift with partition order. The per-type stats broadcast
+  // back over the corpus — no second shuffle.
+  private def qOutliers(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val mean = col("s1").cast("double") / col("n").cast("double")
+    val stats = ev.groupBy(col("event_type").as("t"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).as("s1"),
+        sum(dec(col("value")) * dec(col("value"))).as("s2"))
+      .select(col("t"), mean.as("mean"),
+        sqrt((col("s2").cast("double") / col("n").cast("double")) -
+          mean * mean).as("std"))
+    ev.join(broadcast(stats), col("event_type") === col("t"))
+      .withColumn("z", (col("value") - col("mean")) / col("std"))
+      .filter(abs(col("z")) > lit(3.0))
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+      .orderBy("event_id")
+  }
+
+  // -- per-user exponential moving average (inherently sequential) -----------
+  // EMA is a left fold — no windowed/associative spelling exists — so it
+  // gets the per-group ordered fold, the same shape as ring assembly (A1):
+  // state is ONE user's purchase history, never the table, and the groups
+  // parallelize. α = 0.5 on purpose: halving is exact in binary, so every
+  // fold step is one correctly-rounded multiply-add and the result is
+  // bit-identical to the oracle's recursive CTE walking the same order.
+  private def qEma(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").withColumn("ts_us", expr("ts DIV 1000"))
+      .filter(col("event_type") === "purchase")
+    ev.groupBy("user_id")
+      .agg(expr(
+        "aggregate(array_sort(collect_list(struct(ts_us, event_id, value))), " +
+          "cast(null as double), " +
+          "(acc, x) -> if(acc is null, x.value, x.value * 0.5d + acc * 0.5d))")
+        .as("ema"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
   // -- year-over-year growth: lag over an aggregated grain -------------------
   // The reporting staple: revenue per (segment, year) with the delta vs the
   // previous year. The window runs AFTER aggregation, over segments×years
@@ -1201,6 +1246,8 @@ object Relational {
     "q_histogram"           -> (qHistogram _),
     "q_triangles"           -> (qTriangles _),
     "q_yoy"                 -> (qYoy _),
+    "q_outliers"            -> (qOutliers _),
+    "q_ema"                 -> (qEma _),
     "q_unpivot"             -> (qUnpivot _),
     "q_cube"                -> (qCube _),
     "q_window_frames"       -> (qWindowFrames _),
@@ -1484,6 +1531,34 @@ object Relational {
         | COUNT(*) AS n_orders,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q_outliers" ->
+      """WITH m AS (SELECT event_type AS t, COUNT(*) AS n,
+        |   SUM(CAST(value AS DECIMAL(18,2))) AS s1,
+        |   SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS s2
+        | FROM events GROUP BY 1),
+        |st AS (SELECT t,
+        |   CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |   sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |     - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |       * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) AS std
+        | FROM m)
+        |SELECT event_id, event_type, value, (value - mean) / std AS z
+        |FROM events JOIN st ON event_type = st.t
+        |WHERE abs((value - mean) / std) > 3.0e0
+        |ORDER BY event_id""".stripMargin,
+    "q_ema" ->
+      """WITH RECURSIVE e AS (SELECT user_id, value,
+        |   ROW_NUMBER() OVER (PARTITION BY user_id
+        |     ORDER BY epoch_us(ts), event_id) AS rn
+        | FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, rn, value AS ema FROM e WHERE rn = 1
+        | UNION ALL
+        | SELECT e.user_id, e.rn, e.value * 0.5e0 + r.ema * 0.5e0
+        | FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1),
+        |fin AS (SELECT user_id, MAX(rn) AS n_events FROM e GROUP BY 1)
+        |SELECT fin.user_id, r.ema, fin.n_events
+        |FROM fin JOIN r ON r.user_id = fin.user_id AND r.rn = fin.n_events
+        |ORDER BY fin.user_id""".stripMargin,
     "q_yoy" ->
       """WITH rev AS (SELECT c_mktsegment,
         |   CAST(year(o_orderdate) AS BIGINT) AS order_year,

@@ -1092,6 +1092,32 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // -- release manifest: the end-to-end corpus-publication rollup ------------
+  // The composition a dataset release actually ships with: quality gate →
+  // exact dedup (keep the lowest doc_id per text hash) → deterministic
+  // split assignment → per-(split, lang) doc and token counts. One
+  // dataflow: the dedup aggregate is the only corpus-sized shuffle (the
+  // split is a per-row hash, the manifest rollup has split×lang
+  // cardinality); at 100 TB this is the same single-exchange shape as
+  // d_corpus_pipeline with the split/manifest stages riding on top.
+  private def releaseManifest(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .withColumn("n_tokens", size(tokensExpr).cast("long"))
+      .filter(col("n_tokens") >= 50)
+    val survivors = base.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    base.join(survivors, Seq("doc_id"))
+      .withColumn("bucket", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val").otherwise("test"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy("split", "lang")
+  }
+
   // -- corpus vocabulary / document-frequency table ---------------------------
   // The corpus-wide (token, tf, df) inventory with the same log-free
   // rational idf as d_bm25 — the precomputed statistics a serving-time BM25
@@ -1467,6 +1493,7 @@ object TextOps {
     "d_split"             -> (splitDocs _),
     "d_top_terms"         -> (topTerms _),
     "d_profile"           -> (profileDocs _),
+    "d_release_manifest"  -> (releaseManifest _),
     "d_minhash_audit"     -> (minhashAudit _),
     "d_sparse_cosine"     -> (sparseCosine _),
     "d_sparse_cosine_frac" -> (sparseCosineFrac _),
@@ -2105,6 +2132,20 @@ object TextOps {
         |SELECT 'text', n_rows, text_nulls, text_distinct,
         |  text_min_len, text_max_len FROM w
         |ORDER BY column_name""".stripMargin,
+    "d_release_manifest" ->
+      s"""WITH base AS (SELECT doc_id, lang, text,
+         |   CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS BIGINT)
+         |     AS n_tokens
+         | FROM documents),
+         |gated AS (SELECT * FROM base WHERE n_tokens >= 50),
+         |surv AS (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+         |kept AS (SELECT g.doc_id, g.lang, g.n_tokens,
+         |   ('0x' || substr(md5(g.doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+         | FROM gated g JOIN surv USING (doc_id))
+         |SELECT CASE WHEN bucket < 90 THEN 'train'
+         |   WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+         | lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "d_vocab" ->
       s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
          |v AS (SELECT tok, count(*)::BIGINT AS tf,

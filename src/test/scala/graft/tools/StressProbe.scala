@@ -60,7 +60,9 @@ object StressProbe {
         "d_sparse_cosine", "d_sparse_cosine_frac", "d_pack_sequences",
         "d_shuffle",
         "s_cosine_topk", "s_hamming_topk", "s_ann_pq", "s_ann_ivfpq",
-        "s_dedup_semantic", "s_quantize_int8")) {
+        "s_dedup_semantic", "s_quantize_int8",
+        "s_ann_rerank", "d_sample_pps", "d_winsorize", "d_top_terms",
+        "d_profile", "d_split", "q_triangles", "q_scd2")) {
       val t0 = System.nanoTime()
       try {
         val n = graft.SparkEntry.queries(name)(spark, dir).count()
