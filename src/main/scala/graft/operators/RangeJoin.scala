@@ -40,4 +40,30 @@ object RangeJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bucket")
   }
+
+  /** Inner join of two interval sets on overlap (inclusive bounds:
+    * `lStart <= rEnd && rStart <= lEnd`). Both sides replicate to every
+    * bucket they span, which would meet a qualifying pair once per SHARED
+    * bucket — so the residual keeps a pair only in its canonical bucket,
+    * the one containing `greatest(lStart, rStart)` (the overlap's start,
+    * which lies inside both intervals whenever they overlap). Exactly-once
+    * semantics without a distinct pass; the join stays a plain equi join
+    * on the bucket id, so AQE's skew split still applies to hot buckets.
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val l = left.withColumn("__bucket",
+      explode(sequence(expr(s"$lStart DIV $bucketWidth"),
+        expr(s"$lEnd DIV $bucketWidth"))))
+    val r = right.withColumn("__bucket",
+      explode(sequence(expr(s"$rStart DIV $bucketWidth"),
+        expr(s"$rEnd DIV $bucketWidth"))))
+    l.join(r, Seq("__bucket"))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(expr(s"greatest($lStart, $rStart) DIV $bucketWidth") ===
+        col("__bucket"))
+      .drop("__bucket")
+  }
 }

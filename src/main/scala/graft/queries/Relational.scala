@@ -1080,6 +1080,30 @@ object Relational {
       .orderBy("err_id")
   }
 
+  // -- interval-overlap join: error windows × signup windows -----------------
+  // The two-sided sibling of q_range_windows: both inputs are interval
+  // sets (2-hour windows around high-value error and signup events) and
+  // the join asks which pairs OVERLAP. RangeJoin.intervalOverlap
+  // bucketizes both sides and keeps each pair only in the bucket holding
+  // the overlap's start — exactly-once with no distinct pass, and the
+  // plan stays an equi join on the bucket id (a raw inequality join
+  // would plan as the O(n·m) BroadcastNestedLoopJoin).
+  private def qOverlapWindows(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").withColumn("ts_us", expr("ts DIV 1000"))
+    def windows(tpe: String, idCol: String) =
+      ev.filter(col("event_type") === tpe && col("value") > 90)
+        .select(col("event_id").as(idCol),
+          col("ts_us").as(s"${idCol}_s"),
+          (col("ts_us") + lit(7200000000L)).as(s"${idCol}_e"))
+    val joined = graft.operators.RangeJoin.intervalOverlap(
+      windows("error", "err_id"), windows("signup", "sg_id"),
+      "err_id_s", "err_id_e", "sg_id_s", "sg_id_e",
+      bucketWidth = 7200000000L)
+    joined.groupBy("err_id")
+      .agg(count(lit(1)).as("n_overlaps"), min(col("sg_id")).as("first_sg"))
+      .orderBy("err_id")
+  }
+
   // -- stratified sampling: deterministic per-class keep rates ---------------
   // The training-mix balancer: rare classes kept whole, abundant ones
   // hash-downsampled. The keep decision is a pure function of the row id
@@ -1248,6 +1272,7 @@ object Relational {
     "q_yoy"                 -> (qYoy _),
     "q_outliers"            -> (qOutliers _),
     "q_ema"                 -> (qEma _),
+    "q_overlap_windows"     -> (qOverlapWindows _),
     "q_unpivot"             -> (qUnpivot _),
     "q_cube"                -> (qCube _),
     "q_window_frames"       -> (qWindowFrames _),
@@ -1531,6 +1556,16 @@ object Relational {
         | COUNT(*) AS n_orders,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q_overlap_windows" ->
+      """WITH err AS (SELECT event_id AS err_id, epoch_us(ts) AS s,
+        |   epoch_us(ts) + 7200000000 AS e
+        | FROM events WHERE event_type = 'error' AND value > 90),
+        |sg AS (SELECT event_id AS sg_id, epoch_us(ts) AS s2,
+        |   epoch_us(ts) + 7200000000 AS e2
+        | FROM events WHERE event_type = 'signup' AND value > 90)
+        |SELECT err_id, COUNT(*) AS n_overlaps, MIN(sg_id) AS first_sg
+        |FROM err JOIN sg ON s <= e2 AND s2 <= e
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_outliers" ->
       """WITH m AS (SELECT event_type AS t, COUNT(*) AS n,
         |   SUM(CAST(value AS DECIMAL(18,2))) AS s1,

@@ -39,6 +39,33 @@ class RangeJoinSpec extends SparkSpecBase {
       !plan.contains("CartesianProduct"), plan)
   }
 
+  test("intervalOverlap: exactly-once pairs, randomized brute-force parity") {
+    // seeded random interval sets whose spans straddle many buckets —
+    // the canonical-bucket residual must keep each overlapping pair once
+    val rnd = new scala.util.Random(7)
+    val ls = (1 to 120).map { i =>
+      val s = rnd.nextInt(1000).toLong; (i.toLong, s, s + rnd.nextInt(60))
+    }
+    val rs = (1 to 120).map { i =>
+      val s = rnd.nextInt(1000).toLong; (i.toLong, s, s + rnd.nextInt(60))
+    }
+    val l = ls.toDF("l_id", "ls", "le")
+    val r = rs.toDF("r_id", "rs", "re")
+    val fast = RangeJoin.intervalOverlap(l, r, "ls", "le", "rs", "re", 25L)
+      .select("l_id", "r_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(fast.length == fast.distinct.length, "duplicate pairs")
+    val slow = (for {
+      (li, s1, e1) <- ls; (ri, s2, e2) <- rs
+      if s1 <= e2 && s2 <= e1
+    } yield (li, ri)).toSet
+    assert(fast.toSet == slow && slow.nonEmpty)
+    val plan = RangeJoin.intervalOverlap(l, r, "ls", "le", "rs", "re", 25L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
   test("agrees with a brute-force theta join on sf0.001 events") {
     val ev = graft.queries.t(spark, sf001, "events")
       .withColumn("ts_us", expr("ts DIV 1000"))
