@@ -1092,6 +1092,38 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // -- Count-Min Sketch heavy hitters -----------------------------------------
+  // The third sketch class beside KMV (distinct count) and MinHash
+  // (similarity): a 4×256 Count-Min Sketch of the token stream. The sketch
+  // build is ONE hash aggregate whose output is ≤1024 cells no matter the
+  // corpus size — the partial aggregates ARE the sketch merge, so at
+  // 100 TB every task combines to 1024 counters map-side and the exchange
+  // carries a fixed-size summary. The gate queries the sketch for the
+  // exact top-20 tokens and emits (exact, estimate) side by side: the
+  // estimate is min over the 4 rows' cells, and CMS's one-sided error
+  // (est ≥ exact, overshoot = collisions) is visible in the output rather
+  // than asserted away. Hashes are salted md5 — identical hex cross-engine.
+  private def cmsHeavy(s: SparkSession, dir: String): DataFrame = {
+    def cellExpr(i: Int, tok: String): String =
+      s"cast(conv(substring(md5(concat('cms-$i-', $tok)), 1, 8), 16, 10) as bigint) % 256"
+    val toks = docs(s, dir).select(explode(tokensExpr).as("tok"))
+    val sketch = toks
+      .select(posexplode(array((0 until 4).map(i =>
+        expr(cellExpr(i, "tok"))): _*)).as(Seq("row_idx", "cell")))
+      .groupBy("row_idx", "cell").agg(count(lit(1)).as("c"))
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+    val top = graft.operators.TopK.global(exact,
+        Seq(col("exact_cnt").desc, col("tok").asc), 20)
+      .drop("rk")
+    val probes = top.select(col("tok"), col("exact_cnt"),
+      posexplode(array((0 until 4).map(i =>
+        expr(cellExpr(i, "tok"))): _*)).as(Seq("row_idx", "cell")))
+    probes.join(sketch, Seq("row_idx", "cell"))
+      .groupBy("tok", "exact_cnt")
+      .agg(min(col("c")).as("est_cnt"))
+      .orderBy("tok")
+  }
+
   // -- release manifest: the end-to-end corpus-publication rollup ------------
   // The composition a dataset release actually ships with: quality gate →
   // exact dedup (keep the lowest doc_id per text hash) → deterministic
@@ -1494,6 +1526,7 @@ object TextOps {
     "d_top_terms"         -> (topTerms _),
     "d_profile"           -> (profileDocs _),
     "d_release_manifest"  -> (releaseManifest _),
+    "d_cms_heavy"         -> (cmsHeavy _),
     "d_minhash_audit"     -> (minhashAudit _),
     "d_sparse_cosine"     -> (sparseCosine _),
     "d_sparse_cosine_frac" -> (sparseCosineFrac _),
@@ -2132,6 +2165,22 @@ object TextOps {
         |SELECT 'text', n_rows, text_nulls, text_distinct,
         |  text_min_len, text_max_len FROM w
         |ORDER BY column_name""".stripMargin,
+    "d_cms_heavy" ->
+      s"""WITH tok AS (SELECT unnest($tokensSql) AS tok FROM documents),
+         |ids AS (SELECT i FROM range(0, 4) r(i)),
+         |cells AS (SELECT i,
+         |   ('0x' || substr(md5('cms-' || i::VARCHAR || '-' || tok), 1, 8))::BIGINT % 256 AS cell
+         | FROM tok, ids),
+         |sk AS (SELECT i, cell, COUNT(*) AS c FROM cells GROUP BY 1, 2),
+         |exact AS (SELECT tok, COUNT(*) AS exact_cnt FROM tok GROUP BY 1),
+         |top AS (SELECT tok, exact_cnt FROM exact
+         |  ORDER BY exact_cnt DESC, tok LIMIT 20),
+         |pr AS (SELECT tok, exact_cnt, i,
+         |   ('0x' || substr(md5('cms-' || i::VARCHAR || '-' || tok), 1, 8))::BIGINT % 256 AS cell
+         | FROM top, ids)
+         |SELECT pr.tok AS tok, pr.exact_cnt AS exact_cnt, MIN(c) AS est_cnt
+         |FROM pr JOIN sk ON pr.i = sk.i AND pr.cell = sk.cell
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "d_release_manifest" ->
       s"""WITH base AS (SELECT doc_id, lang, text,
          |   CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS BIGINT)
