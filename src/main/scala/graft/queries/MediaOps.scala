@@ -81,14 +81,41 @@ object MediaOps {
           length(col("p.patch")).cast("double")).as("mean_level"))
       .orderBy("doc_id", "patch_row", "patch_col")
 
+  // Multimodal record assembly: the join that builds a training record
+  // from two modality tables sharing an id — text metadata from
+  // `documents`, vector stats from `embeddings`. One hash join on the id;
+  // at fleet scale both modality tables are bucketed by that id
+  // (operators/Bucketing) and the assembly plans with zero exchanges. The
+  // vector side carries size + rounded L2 norm through the codegen'd
+  // VecNorm expression, so the gate also value-checks the native
+  // expression on the full embeddings table.
+  private def recordAssembly(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.queries.t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val e = graft.queries.t(s, dir, "embeddings")
+      .select(col("vec_id").as("doc_id"),
+        size(col("embedding")).cast("long").as("n_dims"),
+        round(graft.functions.VectorFunctions.vecNorm(col("embedding")), 6)
+          .as("nrm_r"))
+    d.join(e, Seq("doc_id")).orderBy("doc_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "m_media_features" -> (mediaFeatures _),
     "m_frame_sample"   -> (frameSample _),
     "m_audio_windows"  -> (audioWindows _),
-    "m_image_patches"  -> (imagePatches _)
+    "m_image_patches"  -> (imagePatches _),
+    "m_record_assembly" -> (recordAssembly _)
   )
 
   val oracles: Map[String, String] = Map(
+    "m_record_assembly" ->
+      """SELECT doc_id, lang, n_chars,
+        | len(embedding)::BIGINT AS n_dims,
+        | round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
+        |   AS nrm_r
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |ORDER BY doc_id""".stripMargin,
     "m_image_patches" ->
       s"""WITH g AS (SELECT doc_id, text, len(text) // $GridW // $PatchH AS pr
          |  FROM documents WHERE doc_id % 3 = 0),

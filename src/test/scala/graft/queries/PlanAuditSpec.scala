@@ -219,4 +219,17 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(plan.toLowerCase.contains("dynamicpruning"),
       s"no dynamic partition pruning\noptimized:\n$opt\nphysical:\n$plan")
   }
+
+  test("AQE coalesces an over-partitioned tiny shuffle") {
+    // the runtime half of the shuffle-partitions story: the static setting
+    // only has to be roughly right because AQE folds near-empty reducer
+    // partitions together after seeing map output sizes — the mechanism
+    // that keeps shuffle.partitions=<cluster-sized> sane on small stages
+    val df = spark.read.parquet(s"$sf001/orders.parquet")
+      .groupBy("o_orderpriority").count()
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AQEShuffleRead coalesced") ||
+      plan.contains("CoalescedShuffleRead"), s"no AQE coalescing in:\n$plan")
+  }
 }
