@@ -110,6 +110,32 @@ object Relational {
       .orderBy("o_custkey", "rk")
   }
 
+  // -- same result via the OPTIMIZER REWRITE of the window spelling ----------
+  // The user writes the standard row_number window pattern; TopKRewriteRule
+  // (registered for just this query's planning) replaces Filter+Window with
+  // the bounded-heap TopKPerKeyNode. The require() makes the gate fail
+  // loudly if the rewrite ever stops firing — otherwise the query would
+  // silently fall back to the (equally correct) window plan and the rule
+  // would rot ungated. Planning is forced inside the registration window;
+  // Verify's later write reuses the cached QueryExecution.
+  private def qWindowTop3Rewrite(s: SparkSession, dir: String): DataFrame = {
+    org.apache.spark.sql.graft.TopKPerKey.registerRewrite(s)
+    try {
+      val o = t(s, dir, "orders")
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val df = o.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn").cast("long").as("rk"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_custkey", "rk")
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("TopKPerKey"),
+        s"window rewrite did not fire:\n$plan")
+      df
+    } finally org.apache.spark.sql.graft.TopKPerKey.unregisterRewrite(s)
+  }
+
   // -- same result via the custom TopKPerKeyExec (bounded per-key heap) -----
   // Identical semantics and oracle as q_window_top3, but planned through the
   // custom strategy: one hash shuffle, then an O(n log k) heap pass instead
@@ -1249,6 +1275,7 @@ object Relational {
     "q_anti_orders"         -> (qAntiOrders _),
     "q_window_top3"         -> (qWindowTop3 _),
     "q_window_top3_topk"    -> (qWindowTop3TopK _),
+    "q_window_top3_rewrite" -> (qWindowTop3Rewrite _),
     "q_sessionize"          -> (qSessionize _),
     "q_funnel"              -> (qFunnel _),
     "q_cohort"              -> (qCohort _),
@@ -1480,6 +1507,14 @@ object Relational {
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_window_top3" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        | FROM orders)
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    // same oracle again — gates the OPTIMIZER-REWRITE path (window spelling
+    // auto-rewritten to TopKPerKeyNode; the query require()s the rewrite)
+    "q_window_top3_rewrite" ->
       """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
         | SELECT o_custkey, o_orderkey, o_totalprice,
         |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk

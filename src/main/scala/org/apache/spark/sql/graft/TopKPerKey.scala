@@ -297,6 +297,22 @@ object TopKPerKey {
       exp.extraStrategies = TopKStrategy +: exp.extraStrategies
   }
 
+  /** Opt-in: also rewrite the declarative `row_number() <= k` window
+    * spelling into the bounded-heap node (see [[TopKRewriteRule]]).
+    */
+  def registerRewrite(session: org.apache.spark.sql.SparkSession): Unit = {
+    registerStrategy(session)
+    val exp = session.experimental
+    if (!exp.extraOptimizations.contains(TopKRewriteRule))
+      exp.extraOptimizations = TopKRewriteRule +: exp.extraOptimizations
+  }
+
+  /** Remove the rewrite (the strategy stays; it is inert without nodes). */
+  def unregisterRewrite(session: org.apache.spark.sql.SparkSession): Unit = {
+    val exp = session.experimental
+    exp.extraOptimizations = exp.extraOptimizations.filterNot(_ == TopKRewriteRule)
+  }
+
   /** Hook for `spark.sql.extensions` wiring (see graft.functions.GraftExtensions). */
   def inject(ext: SparkSessionExtensions): Unit =
     ext.injectPlannerStrategy(_ => TopKStrategy)

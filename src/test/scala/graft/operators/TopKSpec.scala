@@ -54,6 +54,36 @@ class TopKSpec extends SparkSpecBase {
     assert(!plan.contains("Sort "), plan)
   }
 
+  test("optimizer rule rewrites the window spelling into TopKPerKeyExec") {
+    val o = spark.read.parquet(s"$sf001/orders.parquet")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    def windowed = o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3 && col("o_totalprice") > 1000.0)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+    // baseline: without the rule the plan is Window + Filter
+    val baseline = windowed
+    assert(baseline.queryExecution.executedPlan.toString.contains("Window"))
+    val expected = baseline.collect().map(_.toSeq).toSet
+
+    org.apache.spark.sql.graft.TopKPerKey.registerRewrite(spark)
+    try {
+      val rewritten = windowed
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKey"), plan)
+      assert(!plan.contains("Window"), plan)
+      // the residual (non-rank) conjunct must survive as a Filter
+      assert(plan.contains("o_totalprice"), plan)
+      assert(rewritten.collect().map(_.toSeq).toSet == expected)
+      // rn keeps its integer type for downstream consumers
+      assert(rewritten.schema("rn").dataType ==
+        org.apache.spark.sql.types.IntegerType)
+    } finally org.apache.spark.sql.graft.TopKPerKey.unregisterRewrite(spark)
+    // and the un-registration restores the window plan
+    assert(windowed.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   test("global mode matches orderBy+limit; merge exchange carries k×P rows") {
     val o = spark.read.parquet(s"$sf001/orders.parquet")
       .select("o_custkey", "o_orderkey", "o_totalprice")
