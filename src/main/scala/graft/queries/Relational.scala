@@ -889,6 +889,49 @@ object Relational {
       .orderBy("bucket")
   }
 
+  // -- first/last-touch attribution via min_by / max_by ----------------------
+  // The marketing-attribution primitive and the one aggregate class not
+  // otherwise gated: argmin/argmax. Per user, the event type of the
+  // earliest and latest event — min_by/max_by over the unique
+  // (ts_us, event_id) struct ordering, so ties cannot exist and both
+  // engines agree exactly (DuckDB: arg_min/arg_max over the same struct).
+  // One shuffle on user_id; at 100 TB this replaces the common
+  // row_number-twice-then-join anti-pattern with a single aggregate.
+  private def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    // ordering key as a zero-padded string: DuckDB's arg_min/arg_max do
+    // not take struct orderings, and a padded concat is the one spelling
+    // whose comparison semantics are trivially identical on both engines
+    val ev = t(s, dir, "events")
+      .withColumn("ord", expr(
+        "concat(lpad(cast(ts DIV 1000 as string), 20, '0'), '|', " +
+          "lpad(cast(event_id as string), 12, '0'))"))
+    ev.groupBy("user_id")
+      .agg(
+        min_by(col("event_type"), col("ord")).as("first_touch"),
+        max_by(col("event_type"), col("ord")).as("last_touch"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  // -- deterministic mode: most frequent event type per user -----------------
+  // mode() with PINNED tie semantics: native mode() picks an arbitrary
+  // value on ties (and engines disagree), so the gateable spelling is a
+  // two-level aggregate — count per (user, type), then max_by(type,
+  // (cnt, type)): ties go to the lexicographically largest type on BOTH
+  // engines. Both aggregates hash on user_id, so the second one reuses
+  // the first's partitioning — one shuffle total.
+  private def qMode(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    ev.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("user_id")
+      .agg(max_by(col("event_type"), expr(
+          "concat(lpad(cast(cnt as string), 12, '0'), '|', event_type)"))
+          .as("mode_type"),
+        max(col("cnt")).as("mode_cnt"))
+      .orderBy("user_id")
+  }
+
   // -- z-score outlier detection from exact moment sums ----------------------
   // The data-quality anomaly sweep: flag events more than 3σ from their
   // type's mean. Moments ride ONE map-side-combined aggregate in exact
@@ -1300,6 +1343,8 @@ object Relational {
     "q_outliers"            -> (qOutliers _),
     "q_ema"                 -> (qEma _),
     "q_overlap_windows"     -> (qOverlapWindows _),
+    "q_attribution"         -> (qAttribution _),
+    "q_mode"                -> (qMode _),
     "q_unpivot"             -> (qUnpivot _),
     "q_cube"                -> (qCube _),
     "q_window_frames"       -> (qWindowFrames _),
@@ -1601,6 +1646,24 @@ object Relational {
         |SELECT err_id, COUNT(*) AS n_overlaps, MIN(sg_id) AS first_sg
         |FROM err JOIN sg ON s <= e2 AND s2 <= e
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_attribution" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |   lpad(epoch_us(ts)::VARCHAR, 20, '0') || '|' ||
+        |     lpad(event_id::VARCHAR, 12, '0') AS ord
+        | FROM events)
+        |SELECT user_id,
+        | arg_min(event_type, ord) AS first_touch,
+        | arg_max(event_type, ord) AS last_touch,
+        | COUNT(*) AS n_events
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_mode" ->
+      """WITH c AS (SELECT user_id, event_type, COUNT(*) AS cnt
+        | FROM events GROUP BY 1, 2)
+        |SELECT user_id,
+        | arg_max(event_type,
+        |   lpad(cnt::VARCHAR, 12, '0') || '|' || event_type) AS mode_type,
+        | MAX(cnt) AS mode_cnt
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_outliers" ->
       """WITH m AS (SELECT event_type AS t, COUNT(*) AS n,
         |   SUM(CAST(value AS DECIMAL(18,2))) AS s1,

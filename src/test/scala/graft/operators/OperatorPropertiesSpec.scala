@@ -46,6 +46,36 @@ class OperatorPropertiesSpec extends SparkSpecBase {
     }
   }
 
+  test("window rewrite equals the window plan on random shapes") {
+    // random keys/values/k, including k larger than every group and tied
+    // values under a unique tiebreaker — the rewrite must stay row-for-row
+    // identical to the Window spelling it replaces
+    val gen = for {
+      rows <- Gen.listOfN(60,
+        Gen.zip(Gen.chooseNum(0L, 7L), Gen.chooseNum(0L, 15L)))
+      k <- Gen.chooseNum(1, 6)
+    } yield (rows, k)
+
+    forAllSeeded(gen) { case (rows, k) =>
+      val df = rows.zipWithIndex
+        .map { case ((key, v), i) => (key, v, i.toLong) }
+        .toDF("key", "v", "id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("key").orderBy(col("v").desc, col("id"))
+      def spelled = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select("key", "rn", "id")
+      val expected = spelled.collect().map(_.toSeq).toSet
+      org.apache.spark.sql.graft.TopKPerKey.registerRewrite(spark)
+      try {
+        val rewritten = spelled
+        assert(rewritten.queryExecution.executedPlan.toString
+          .contains("TopKPerKey"))
+        assert(rewritten.collect().map(_.toSeq).toSet == expected)
+      } finally org.apache.spark.sql.graft.TopKPerKey.unregisterRewrite(spark)
+    }
+  }
+
   test("as-of join equals per-row scan on random series") {
     val gen = for {
       left <- Gen.listOfN(25, Gen.zip(Gen.chooseNum(1L, 4L), smallLong))
