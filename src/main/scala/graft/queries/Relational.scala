@@ -889,6 +889,29 @@ object Relational {
       .orderBy("bucket")
   }
 
+  // -- ratio-to-report: each nation's share of global revenue ----------------
+  // The percent-of-total report WITHOUT the `sum() OVER ()` window — an
+  // empty-frame window collapses to a single partition at scale. The
+  // global total is a 1-row aggregate broadcast back over the per-nation
+  // rollup; the share is one division of two exact-DECIMAL-derived
+  // doubles, bit-identical cross-engine.
+  private def qShare(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val su = t(s, dir, "supplier")
+    val n  = t(s, dir, "nation")
+    val rev = li.join(su, li("l_suppkey") === su("s_suppkey"))
+      .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .as("rev_d"))
+    val tot = rev.agg(sum(col("rev_d")).as("tot_d"))
+    rev.crossJoin(broadcast(tot))
+      .select(col("n_name"),
+        col("rev_d").cast("double").as("revenue"),
+        (col("rev_d").cast("double") / col("tot_d").cast("double")).as("share"))
+      .orderBy("n_name")
+  }
+
   // -- first/last-touch attribution via min_by / max_by ----------------------
   // The marketing-attribution primitive and the one aggregate class not
   // otherwise gated: argmin/argmax. Per user, the event type of the
@@ -1345,6 +1368,7 @@ object Relational {
     "q_overlap_windows"     -> (qOverlapWindows _),
     "q_attribution"         -> (qAttribution _),
     "q_mode"                -> (qMode _),
+    "q_share"               -> (qShare _),
     "q_unpivot"             -> (qUnpivot _),
     "q_cube"                -> (qCube _),
     "q_window_frames"       -> (qWindowFrames _),
@@ -1646,6 +1670,18 @@ object Relational {
         |SELECT err_id, COUNT(*) AS n_overlaps, MIN(sg_id) AS first_sg
         |FROM err JOIN sg ON s <= e2 AND s2 <= e
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_share" ->
+      """WITH rev AS (SELECT n_name,
+        |   SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |     * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev_d
+        | FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        | GROUP BY 1),
+        |tot AS (SELECT SUM(rev_d) AS tot_d FROM rev)
+        |SELECT n_name, CAST(rev_d AS DOUBLE) AS revenue,
+        | CAST(rev_d AS DOUBLE) / CAST(tot_d AS DOUBLE) AS share
+        |FROM rev, tot ORDER BY n_name""".stripMargin,
     "q_attribution" ->
       """WITH e AS (SELECT user_id, event_type,
         |   lpad(epoch_us(ts)::VARCHAR, 20, '0') || '|' ||
