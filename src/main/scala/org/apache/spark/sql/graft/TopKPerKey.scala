@@ -313,9 +313,22 @@ object TopKPerKey {
     exp.extraOptimizations = exp.extraOptimizations.filterNot(_ == TopKRewriteRule)
   }
 
-  /** Hook for `spark.sql.extensions` wiring (see graft.functions.GraftExtensions). */
-  def inject(ext: SparkSessionExtensions): Unit =
+  /** Hook for `spark.sql.extensions` wiring (see graft.functions.GraftExtensions):
+    * the planner strategy plus the window-spelling rewrite rule — sessions
+    * built with the extension get the bounded-heap plan for the standard
+    * `row_number() <= k` pattern automatically.
+    */
+  def inject(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => TopKStrategy)
+    ext.injectOptimizerRule(_ => TopKRewriteRule)
+  }
+
+  /** Test hook: the optimizer rules an extensions object would install
+    * (buildOptimizerRules is private[sql], reachable from this package).
+    */
+  def injectedOptimizerRules(ext: SparkSessionExtensions,
+      session: org.apache.spark.sql.SparkSession): Seq[Any] =
+    ext.buildOptimizerRules(session.asInstanceOf[ClassicSession])
 
   def apply(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int,
       localOnly: Boolean = false): DataFrame = {

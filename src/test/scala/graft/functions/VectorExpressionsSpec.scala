@@ -89,7 +89,11 @@ class VectorExpressionsSpec extends SparkSpecBase {
         "vec_norm(array(3.0D, 4.0D)) AS n").head()
     assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 5.0)
     // extension class wires the same descriptions (smoke: it applies cleanly)
+    // and installs the window-rewrite optimizer rule
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
+    assert(org.apache.spark.sql.graft.TopKPerKey
+      .injectedOptimizerRules(ext, spark)
+      .contains(org.apache.spark.sql.graft.TopKRewriteRule))
   }
 }
