@@ -81,6 +81,32 @@ object MediaOps {
           length(col("p.patch")).cast("double")).as("mean_level"))
       .orderBy("doc_id", "patch_row", "patch_col")
 
+  // 2× box-filter downsample of the "image" payloads — the resize step of
+  // a vision preprocessing pipeline, on the same stubbed byte-grid as the
+  // patcher: each output pixel is the integer mean of its 2×2 source
+  // block ((a+b+c+d) DIV 4 — exact integer math, so the resized bytes and
+  // their md5 are bit-identical cross-engine). Zero shuffles: the whole
+  // kernel is one nested transform() riding the scan; at fleet scale this
+  // is the shape of any per-record media transform — narrow, codegen'd,
+  // no data movement until the (much smaller) output is written.
+  private def resizeImages(s: SparkSession, dir: String): DataFrame = {
+    val px = (dr: Int, dc: Int) =>
+      s"ascii(substring(text, (rr * 2 + $dr) * $GridW + cc * 2 + ${dc + 1}, 1))"
+    graft.queries.t(s, dir, "documents")
+      .filter(expr("doc_id % 3 = 0"))
+      .withColumn("rows_in", expr(s"length(text) DIV $GridW"))
+      .filter(col("rows_in") >= 2)
+      .withColumn("out_h", expr("rows_in DIV 2").cast("long"))
+      .withColumn("resized", expr(
+        s"""concat_ws('', transform(sequence(0, cast(out_h as int) - 1),
+           |  rr -> concat_ws('', transform(sequence(0, ${GridW / 2 - 1}),
+           |    cc -> char((${px(0, 0)} + ${px(0, 1)} +
+           |                ${px(1, 0)} + ${px(1, 1)}) DIV 4)))))""".stripMargin))
+      .select(col("doc_id"), lit(GridW / 2).cast("long").as("out_w"),
+        col("out_h"), md5(col("resized")).as("resized_md5"))
+      .orderBy("doc_id")
+  }
+
   // Multimodal record assembly: the join that builds a training record
   // from two modality tables sharing an id — text metadata from
   // `documents`, vector stats from `embeddings`. One hash join on the id;
@@ -105,10 +131,26 @@ object MediaOps {
     "m_frame_sample"   -> (frameSample _),
     "m_audio_windows"  -> (audioWindows _),
     "m_image_patches"  -> (imagePatches _),
-    "m_record_assembly" -> (recordAssembly _)
+    "m_record_assembly" -> (recordAssembly _),
+    "m_resize"         -> (resizeImages _)
   )
 
   val oracles: Map[String, String] = Map(
+    "m_resize" ->
+      s"""WITH g AS (SELECT doc_id, text, len(text) // $GridW AS rows_in
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |r AS (SELECT doc_id, (rows_in // 2)::BIGINT AS out_h,
+         |   array_to_string(list_transform(generate_series(0, rows_in // 2 - 1), rr ->
+         |     array_to_string(list_transform(generate_series(0, ${GridW / 2 - 1}), cc ->
+         |       chr((ascii(substr(text, ((rr * 2) * $GridW + cc * 2 + 1)::INT, 1))
+         |          + ascii(substr(text, ((rr * 2) * $GridW + cc * 2 + 2)::INT, 1))
+         |          + ascii(substr(text, ((rr * 2 + 1) * $GridW + cc * 2 + 1)::INT, 1))
+         |          + ascii(substr(text, ((rr * 2 + 1) * $GridW + cc * 2 + 2)::INT, 1))) // 4)), '')), '')
+         |     AS resized
+         | FROM g WHERE rows_in >= 2)
+         |SELECT doc_id, ${GridW / 2}::BIGINT AS out_w, out_h,
+         | md5(resized) AS resized_md5
+         |FROM r ORDER BY doc_id""".stripMargin,
     "m_record_assembly" ->
       """SELECT doc_id, lang, n_chars,
         | len(embedding)::BIGINT AS n_dims,
