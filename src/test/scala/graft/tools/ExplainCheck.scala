@@ -1,10 +1,29 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-/** Diagnostic: exchange/window census of the newest query plans — run
-  * with `Test/runMain graft.tools.ExplainCheck`. Not part of `sbt test`.
+/** Diagnostic: exchange/join census of EVERY SparkEntry query plan — run
+  * with `Test/runMain graft.tools.ExplainCheck [name...]`. Not part of
+  * `sbt test`. Prints one line per query (hash/range/single exchanges,
+  * broadcasts, windows) and a FLAG line for any plan containing a
+  * CartesianProduct or a BroadcastNestedLoopJoin, so a new query that
+  * accidentally degrades to the O(n·m) plan shows up in one scan of the
+  * output. Known-legit BNLJs (broadcast query-vector × corpus scans in
+  * the ANN family) are listed in `legitBnlj`.
   */
 object ExplainCheck {
+  private val legitBnlj = Set(
+    "s_cosine_topk", "s_cosine_mrl", "s_ann_pq", "s_ann_ivfpq", "s_ann_ivf",
+    "s_ann_ivf_indexed", "s_ann_ivf_kmeans", "s_ann_ivf_kmeans_fast",
+    "s_contrastive_pairs", "s_hybrid_rrf", "s_ann_lsh", "s_ann_lsh_probe",
+    "s_ann_rerank", "s_hamming_topk", "s_dedup_embedding", "s_dedup_semantic",
+    "s_quantize_int8", "d_decontaminate",
+    // crossJoin(broadcast(<=#groups-row aggregate>)) — the scalar-attach
+    // pattern (grand totals, corpus counts, temperature rates); a BNLJ
+    // against a broadcast 1-row side IS the right plan
+    "d_bm25", "d_collocations", "d_mix_temperature", "d_sample_pps",
+    "d_sparse_cosine_frac", "d_top_terms", "d_vocab", "q11_important_stock",
+    "q22_idle_balance", "q_ntile_global", "q_share")
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -13,20 +32,31 @@ object ExplainCheck {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
-    for (name <- Seq("q2_min_cost_supplier", "q7_volume_shipping",
-        "q8_market_share", "q9_product_profit", "q10_returned_items",
-        "q11_important_stock", "q12_late_priority", "q14_promo_revenue",
-        "q16_supplier_cnt", "q20_part_promotion", "q_funnel",
-        "d_mix_temperature", "d_sample_per_class", "d_distinct_kmv")) {
-      val plan = graft.SparkEntry.queries(name)(spark, dir)
-        .queryExecution.executedPlan.toString
-      val nHash = "Exchange hashpartitioning".r.findAllIn(plan).length
-      val nRange = "Exchange rangepartitioning".r.findAllIn(plan).length
-      val nSingle = "Exchange SinglePartition".r.findAllIn(plan).length
-      val nBcast = "BroadcastExchange".r.findAllIn(plan).length
-      val win = plan.contains("Window")
-      println(s"$name: hash=$nHash range=$nRange single=$nSingle bcast=$nBcast window=$win")
+    val names =
+      if (args.nonEmpty) args.toSeq else graft.SparkEntry.queries.keys.toSeq.sorted
+    var flagged = 0
+    for (name <- names) {
+      try {
+        val plan = graft.SparkEntry.queries(name)(spark, dir)
+          .queryExecution.executedPlan.toString
+        val nHash = "Exchange hashpartitioning".r.findAllIn(plan).length
+        val nRange = "Exchange rangepartitioning".r.findAllIn(plan).length
+        val nSingle = "Exchange SinglePartition".r.findAllIn(plan).length
+        val nBcast = "BroadcastExchange".r.findAllIn(plan).length
+        val win = plan.contains("Window")
+        val cart = plan.contains("CartesianProduct")
+        val bnlj = plan.contains("BroadcastNestedLoopJoin")
+        println(s"$name: hash=$nHash range=$nRange single=$nSingle " +
+          s"bcast=$nBcast window=$win")
+        if (cart || (bnlj && !legitBnlj.contains(name))) {
+          flagged += 1
+          println(s"  FLAG $name: cartesian=$cart bnlj=$bnlj")
+        }
+      } catch { case e: Throwable =>
+        println(s"$name: ERROR ${e.getMessage}")
+      }
     }
+    println(s"[census] ${names.size} plans, $flagged flagged")
     spark.stop()
   }
 }
