@@ -1092,6 +1092,42 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // -- T5-style span corruption (training-task construction) ------------------
+  // The augmentation step that turns a clean corpus into (input, target)
+  // pairs for denoising pretraining: every 10th token starts a 3-token
+  // masked span; the input keeps unmasked tokens with one <extra_id_k>
+  // sentinel per span, the target lists each sentinel followed by the
+  // tokens it hides. Fully deterministic (the mask schedule is positional,
+  // not sampled) so both engines produce byte-identical pairs — the
+  // reproducibility a data-lineage audit needs. Zero shuffles: the whole
+  // construction is transform/filter over the token array riding the scan.
+  private val CorruptPeriod = 10
+  private val CorruptLen = 3
+
+  private def spanCorrupt(s: SparkSession, dir: String): DataFrame = {
+    val P = CorruptPeriod
+    val L = CorruptLen
+    docs(s, dir)
+      .withColumn("toks", tokensExpr)
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .withColumn("input_text", expr(
+        s"""concat_ws(' ', filter(transform(sequence(0, n - 1), i ->
+           |  if(i % $P < $L and (i DIV $P) * $P + $L <= n,
+           |     if(i % $P = 0, concat('<extra_id_', i DIV $P, '>'),
+           |        cast(null as string)),
+           |     element_at(toks, i + 1))), x -> x is not null))""".stripMargin))
+      .withColumn("target_text", expr(
+        s"""concat_ws(' ', flatten(transform(sequence(0, (n - 1) DIV $P), sp ->
+           |  if(sp * $P + $L <= n,
+           |     concat(array(concat('<extra_id_', sp, '>')),
+           |       slice(toks, sp * $P + 1, $L)),
+           |     array()))))""".stripMargin))
+      .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+        col("input_text"), col("target_text"))
+      .orderBy("doc_id")
+  }
+
   // -- Count-Min Sketch heavy hitters -----------------------------------------
   // The third sketch class beside KMV (distinct count) and MinHash
   // (similarity): a 4×256 Count-Min Sketch of the token stream. The sketch
@@ -1527,6 +1563,7 @@ object TextOps {
     "d_profile"           -> (profileDocs _),
     "d_release_manifest"  -> (releaseManifest _),
     "d_cms_heavy"         -> (cmsHeavy _),
+    "d_span_corrupt"      -> (spanCorrupt _),
     "d_minhash_audit"     -> (minhashAudit _),
     "d_sparse_cosine"     -> (sparseCosine _),
     "d_sparse_cosine_frac" -> (sparseCosineFrac _),
@@ -2165,6 +2202,21 @@ object TextOps {
         |SELECT 'text', n_rows, text_nulls, text_distinct,
         |  text_min_len, text_max_len FROM w
         |ORDER BY column_name""".stripMargin,
+    "d_span_corrupt" ->
+      s"""WITH d AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |b AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0)
+         |SELECT doc_id, n::BIGINT AS n_tokens,
+         | array_to_string(list_filter(list_transform(generate_series(0, n - 1), i ->
+         |   CASE WHEN i % 10 < 3 AND (i // 10) * 10 + 3 <= n
+         |        THEN CASE WHEN i % 10 = 0
+         |             THEN '<extra_id_' || (i // 10)::VARCHAR || '>' END
+         |        ELSE toks[i + 1] END), x -> x IS NOT NULL), ' ') AS input_text,
+         | array_to_string(flatten(list_transform(generate_series(0, (n - 1) // 10), sp ->
+         |   CASE WHEN sp * 10 + 3 <= n
+         |        THEN list_prepend('<extra_id_' || sp::VARCHAR || '>',
+         |          toks[sp * 10 + 1 : sp * 10 + 3])
+         |        ELSE []::VARCHAR[] END)), ' ') AS target_text
+         |FROM b ORDER BY doc_id""".stripMargin,
     "d_cms_heavy" ->
       s"""WITH tok AS (SELECT unnest($tokensSql) AS tok FROM documents),
          |ids AS (SELECT i FROM range(0, 4) r(i)),
