@@ -299,6 +299,30 @@ object TextOps {
       .select(col("id").as("doc_id"), col("cluster_id"))
       .orderBy("doc_id")
 
+  // -- combined-signal dedup clustering ----------------------------------------
+  // The production dedup decision is rarely one signal: canonical
+  // fingerprint duplicates (same sorted distinct token SET — catches
+  // token-permuted/repeated rewrites whose trigram shingles differ, as
+  // star edges member→group-min; a clique has the same components) and
+  // verified MinHash near-dup pairs union into ONE edge set, and
+  // connected components give the final clusters. A doc caught by either
+  // signal lands in the same cluster as its duplicates — the merge step a
+  // multi-signal dedup pipeline needs, instead of running the signals
+  // independently and double-dropping.
+  private def dedupCombined(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+      md5(concat_ws(" ", array_sort(array_distinct(tokensExpr)))).as("h"))
+    val reps = d.groupBy("h").agg(min(col("doc_id")).as("rep"))
+    val fpEdges = d.join(reps, Seq("h"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("a_id"), col("doc_id").as("b_id"))
+    val mh = dedupMinHash(s, dir).select("a_id", "b_id")
+    graft.operators.ConnectedComponents
+      .clusters(mh.unionByName(fpEdges), "a_id", "b_id")
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   // -- per-doc token statistics ------------------------------------------------
   private def tokenStats(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
@@ -1535,6 +1559,7 @@ object TextOps {
     "d_dedup_minhash"     -> (dedupMinHash _),
     "d_dedup_simhash"     -> (dedupSimHash _),
     "d_dedup_clusters"    -> (dedupClusters _),
+    "d_dedup_combined"    -> (dedupCombined _),
     "d_dedup_keep_best"   -> (dedupKeepBest _),
     "d_dedup_spans"       -> (dedupSpans _),
     "d_dup_ratio"         -> (dupRatio _),
@@ -1716,6 +1741,31 @@ object TextOps {
          |  WHERE n_common::DOUBLE / n_union::DOUBLE >= 0.7),
          |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
          |  UNION SELECT b_id, a_id FROM pairs),
+         |reach AS (
+         |  SELECT s AS id, d AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s),
+         |clusters AS (SELECT id, least(id, min(r)) AS cluster_id
+         |  FROM reach GROUP BY id)
+         |SELECT id AS doc_id, cluster_id FROM clusters ORDER BY doc_id""".stripMargin,
+    // combined-signal clusters: exact-dup star edges UNION minhash pairs,
+    // then the same recursive closure (star vs clique edges give identical
+    // components, so the engines may differ in edge spelling)
+    "d_dedup_combined" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |pairs AS (SELECT a_id, b_id FROM scored
+         |  WHERE n_common::DOUBLE / n_union::DOUBLE >= 0.7),
+         |fp AS (SELECT doc_id,
+         |   md5(array_to_string(list_sort(list_distinct($tokensSql)), ' ')) AS h
+         | FROM documents),
+         |reps AS (SELECT h, MIN(doc_id) AS rep FROM fp GROUP BY 1),
+         |exactp AS (SELECT r.rep AS a_id, f.doc_id AS b_id
+         |  FROM fp f JOIN reps r ON f.h = r.h
+         |  WHERE f.doc_id <> r.rep),
+         |allp AS (SELECT a_id, b_id FROM pairs
+         |  UNION SELECT a_id, b_id FROM exactp),
+         |edges AS (SELECT a_id AS s, b_id AS d FROM allp
+         |  UNION SELECT b_id, a_id FROM allp),
          |reach AS (
          |  SELECT s AS id, d AS r FROM edges
          |  UNION
