@@ -1116,6 +1116,38 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // -- quantile normalization across sources ----------------------------------
+  // Make per-source score distributions comparable by mapping each doc's
+  // WITHIN-SOURCE rank onto the GLOBAL value at the same relative rank —
+  // the rank-based normalization that survives arbitrary monotone
+  // differences between sources (one source's length inflation, another's
+  // truncation). Global positions come from the PrefixSum two-phase scan
+  // (a global ROW_NUMBER window would collapse to one partition); the
+  // per-source ranks are partitioned windows; the mapping
+  // g_idx = (rn−1)·(N−1) DIV (n_s−1) is pure integer math, identical on
+  // both engines, and the value lookup is one equi join against the
+  // N-row (pos, value) table. Singleton sources map to the global median.
+  private def quantileNorm(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+    val g = graft.operators.PrefixSum.exclusive(
+        d.withColumn("one", lit(1L)),
+        Seq(col("n_chars"), col("doc_id")), "one", "pos", 0)
+      .select(col("pos"), col("n_chars").as("g_v"))
+    val nTot = d.agg(count(lit(1)).as("n_tot"))
+    val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+    val ranked = d.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n_s",
+        count(lit(1)).over(Window.partitionBy("source")).cast("long"))
+    ranked.crossJoin(broadcast(nTot))
+      .withColumn("g_idx", when(col("n_s") > 1,
+          expr("(rn - 1) * (n_tot - 1) DIV (n_s - 1)"))
+        .otherwise(expr("(n_tot - 1) DIV 2")))
+      .join(g, col("g_idx") === col("pos"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("g_v").as("norm_chars"))
+      .orderBy("doc_id")
+  }
+
   // -- T5-style span corruption (training-task construction) ------------------
   // The augmentation step that turns a clean corpus into (input, target)
   // pairs for denoising pretraining: every 10th token starts a 3-token
@@ -1589,6 +1621,7 @@ object TextOps {
     "d_release_manifest"  -> (releaseManifest _),
     "d_cms_heavy"         -> (cmsHeavy _),
     "d_span_corrupt"      -> (spanCorrupt _),
+    "d_quantile_norm"     -> (quantileNorm _),
     "d_minhash_audit"     -> (minhashAudit _),
     "d_sparse_cosine"     -> (sparseCosine _),
     "d_sparse_cosine_frac" -> (sparseCosineFrac _),
@@ -2252,6 +2285,20 @@ object TextOps {
         |SELECT 'text', n_rows, text_nulls, text_distinct,
         |  text_min_len, text_max_len FROM w
         |ORDER BY column_name""".stripMargin,
+    "d_quantile_norm" ->
+      """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        |g AS (SELECT n_chars AS g_v,
+        |   ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS pos FROM d),
+        |nt AS (SELECT COUNT(*) AS n_tot FROM d),
+        |r AS (SELECT doc_id, source, n_chars,
+        |   ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        |   COUNT(*) OVER (PARTITION BY source) AS n_s
+        | FROM d)
+        |SELECT r.doc_id, r.source, r.n_chars, g.g_v AS norm_chars
+        |FROM r CROSS JOIN nt JOIN g
+        | ON (CASE WHEN n_s > 1 THEN (rn - 1) * (n_tot - 1) // (n_s - 1)
+        |      ELSE (n_tot - 1) // 2 END) = g.pos
+        |ORDER BY r.doc_id""".stripMargin,
     "d_span_corrupt" ->
       s"""WITH d AS (SELECT doc_id, $tokensSql AS toks FROM documents),
          |b AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0)
