@@ -680,6 +680,44 @@ object Relational {
       .orderBy("start_us", "event_type")
   }
 
+  // -- native SLIDING window() aggregate -------------------------------------
+  // The overlapping-window sibling of q_tumbling_hour: 1-hour windows
+  // every 30 minutes, so each event lands in exactly two windows. Gated
+  // against an oracle that derives both covering windows with integer µs
+  // arithmetic — an independent spelling of the window-assignment rule,
+  // so a slide/width semantics drift fails values, not just types.
+  private def qSlidingWindows(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("tsts", expr("timestamp_micros(ts DIV 1000)"))
+    ev.groupBy(window(col("tsts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(expr("unix_micros(w.start)").as("start_us"), col("event_type"),
+        col("n_events"))
+      .orderBy("start_us", "event_type")
+  }
+
+  // -- schema-evolution union: unionByName over drifted schemas --------------
+  // The ingestion semantic every long-lived corpus hits: a new drop adds
+  // a column the old data lacks. unionByName(allowMissingColumns) aligns
+  // by NAME and null-fills — positional UNION would silently misalign.
+  // Two projections of orders stand in for the two schema generations;
+  // DuckDB mirrors with UNION ALL BY NAME.
+  private def qUnionEvolve(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val gen1 = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val gen2 = o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"))
+    gen1.unionByName(gen2, allowMissingColumns = true)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("o_totalprice")).as("n_with_price"),
+        sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   // -- FULL OUTER join: reconciling two per-user aggregates ------------------
   // The remaining outer-join class (q13 gates left outer): purchase and
   // error totals per user, full-outer merged so users present on either
@@ -1353,6 +1391,8 @@ object Relational {
     "q_lateral_top2"        -> (qLateralTop2 _),
     "q_session_window"      -> (qSessionWindow _),
     "q_tumbling_hour"       -> (qTumblingHour _),
+    "q_sliding_windows"     -> (qSlidingWindows _),
+    "q_union_evolve"        -> (qUnionEvolve _),
     "q_full_outer"          -> (qFullOuter _),
     "q_corr_manual"         -> (qCorrManual _),
     "q_json_props"          -> (qJsonProps _),
@@ -1872,6 +1912,25 @@ object Relational {
         | event_type, COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_sliding_windows" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        |w AS (SELECT event_type,
+        |   (us // 1800000000) * 1800000000 - k * 1800000000 AS start_us
+        | FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k)
+        | WHERE us - ((us // 1800000000) * 1800000000 - k * 1800000000)
+        |   < 3600000000)
+        |SELECT start_us, event_type, COUNT(*) AS n_events
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_union_evolve" ->
+      """WITH u AS (
+        | SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey % 2 = 0
+        | UNION ALL BY NAME
+        | SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        |  WHERE o_orderkey % 2 = 1)
+        |SELECT o_orderpriority, COUNT(*) AS n_rows,
+        | COUNT(o_totalprice) AS n_with_price,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_lateral_top2" ->
       """SELECT n_name, c_custkey, c_acctbal
         |FROM nation,
