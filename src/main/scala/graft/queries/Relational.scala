@@ -1082,11 +1082,16 @@ object Relational {
   private def qTriangles(s: SparkSession, dir: String): DataFrame = {
     val ps = t(s, dir, "lineitem")
       .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
-    val edges = ps.as("a")
+    val weighted = ps.as("a")
       .join(ps.as("b"), col("a.p") === col("b.p") && col("a.sk") < col("b.sk"))
       .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
       .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= 150)
+    // data-derived density guard: keep pairs sharing ≥ 3/4 of the max
+    // observed co-supply count, so the graph stays non-trivial at every
+    // scale factor instead of going empty/complete under a fixed cutoff
+    val mx = weighted.agg(max(col("shared")).as("mx"))
+    val edges = weighted.crossJoin(broadcast(mx))
+      .filter(col("shared") >= expr("(mx * 3) DIV 4"))
       .select("u", "v")
     val deg = edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))
@@ -1784,9 +1789,11 @@ object Relational {
         |FROM rev ORDER BY c_mktsegment, order_year""".stripMargin,
     "q_triangles" ->
       """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
-        |e AS (SELECT a.sk AS u, b.sk AS v
+        |w AS (SELECT a.sk AS u, b.sk AS v, COUNT(*) AS c
         |  FROM ps a JOIN ps b ON a.p = b.p AND a.sk < b.sk
-        |  GROUP BY 1, 2 HAVING COUNT(*) >= 150),
+        |  GROUP BY 1, 2),
+        |mx AS (SELECT MAX(c) AS m FROM w),
+        |e AS (SELECT u, v FROM w, mx WHERE c >= (m * 3) // 4),
         |deg AS (SELECT n, COUNT(*) AS degree FROM (
         |    SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
         |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
