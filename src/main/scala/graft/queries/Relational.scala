@@ -1088,10 +1088,14 @@ object Relational {
       .agg(count(lit(1)).as("shared"))
     // data-derived density guard: keep pairs sharing ≥ 3/4 of the max
     // observed co-supply count, so the graph stays non-trivial at every
-    // scale factor instead of going empty/complete under a fixed cutoff
-    val mx = weighted.agg(max(col("shared")).as("mx"))
-    val edges = weighted.crossJoin(broadcast(mx))
-      .filter(col("shared") >= expr("(mx * 3) DIV 4"))
+    // scale factor instead of going empty/complete under a fixed cutoff.
+    // The max is fetched as a driver-side scalar (control-plane, 1 row) —
+    // attaching it as a broadcast join would re-evaluate the whole
+    // co-supply subtree under every one of the wedge joins' self-join
+    // branches, where a literal threshold keeps the plan shared.
+    val mxShared = weighted.agg(max(col("shared"))).head().getLong(0)
+    val edges = weighted
+      .filter(col("shared") >= lit(mxShared * 3 / 4))
       .select("u", "v")
     val deg = edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))
