@@ -11,7 +11,8 @@ import org.apache.spark.sql.SparkSession
   * the ANN family) are listed in `legitBnlj`.
   */
 object ExplainCheck {
-  private val legitBnlj = Set(
+  /** Shared with PlanCensusSpec (the always-on regression gate). */
+  private[graft] val legitBnlj = Set(
     "s_cosine_topk", "s_cosine_mrl", "s_ann_pq", "s_ann_ivfpq", "s_ann_ivf",
     "s_ann_ivf_indexed", "s_ann_ivf_kmeans", "s_ann_ivf_kmeans_fast",
     "s_contrastive_pairs", "s_hybrid_rrf", "s_ann_lsh", "s_ann_lsh_probe",
@@ -21,8 +22,8 @@ object ExplainCheck {
     // pattern (grand totals, corpus counts, temperature rates); a BNLJ
     // against a broadcast 1-row side IS the right plan
     "d_bm25", "d_collocations", "d_mix_temperature", "d_sample_pps",
-    "d_sparse_cosine_frac", "d_top_terms", "d_vocab", "q11_important_stock",
-    "q22_idle_balance", "q_ntile_global", "q_share")
+    "d_sparse_cosine_frac", "d_top_terms", "d_vocab", "d_quantile_norm",
+    "q11_important_stock", "q22_idle_balance", "q_ntile_global", "q_share")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
