@@ -950,6 +950,27 @@ object Relational {
       .orderBy("n_name")
   }
 
+  // -- the spark.sql entry path, gated by the IDENTICAL SQL string -----------
+  // Every other gate pairs a DataFrame plan with a DuckDB SQL oracle; this
+  // one runs ONE portable ANSI string through BOTH engines — Spark parses
+  // it via spark.sql over temp views, DuckDB runs the same text — so the
+  // SQL front door (parser → analyzer → same Catalyst plan space) is
+  // exercised end-to-end and the dialect subset the engine promises
+  // ("your SQL runs unchanged") is pinned by a test.
+  private val SqlEntryText =
+    """SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n_orders,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_totalprice > 50000
+      |GROUP BY c_mktsegment, o_orderstatus
+      |ORDER BY c_mktsegment, o_orderstatus""".stripMargin
+
+  private def qSqlEntry(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    s.sql(SqlEntryText)
+  }
+
   // -- first/last-touch attribution via min_by / max_by ----------------------
   // The marketing-attribution primitive and the one aggregate class not
   // otherwise gated: argmin/argmax. Per user, the event type of the
@@ -1418,6 +1439,7 @@ object Relational {
     "q_attribution"         -> (qAttribution _),
     "q_mode"                -> (qMode _),
     "q_share"               -> (qShare _),
+    "q_sql_entry"           -> (qSqlEntry _),
     "q_unpivot"             -> (qUnpivot _),
     "q_cube"                -> (qCube _),
     "q_window_frames"       -> (qWindowFrames _),
@@ -1719,6 +1741,8 @@ object Relational {
         |SELECT err_id, COUNT(*) AS n_overlaps, MIN(sg_id) AS first_sg
         |FROM err JOIN sg ON s <= e2 AND s2 <= e
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the SAME string the Spark side executes — see qSqlEntry
+    "q_sql_entry" -> SqlEntryText,
     "q_share" ->
       """WITH rev AS (SELECT n_name,
         |   SUM(CAST(l_extendedprice AS DECIMAL(18,2))
