@@ -966,9 +966,18 @@ object Relational {
       |ORDER BY c_mktsegment, o_orderstatus""".stripMargin
 
   private def qSqlEntry(s: SparkSession, dir: String): DataFrame = {
+    // the oracle runs the IDENTICAL string, so the view names must be the
+    // DuckDB table names; spark.sql analyzes eagerly (the plan binds to
+    // the views at sql() time), so dropping them right after leaves no
+    // residue in the shared session — unlike every other query fn, this
+    // one must touch the catalog at all to exercise the SQL front door
     t(s, dir, "orders").createOrReplaceTempView("orders")
     t(s, dir, "customer").createOrReplaceTempView("customer")
-    s.sql(SqlEntryText)
+    try s.sql(SqlEntryText)
+    finally {
+      s.catalog.dropTempView("orders")
+      s.catalog.dropTempView("customer")
+    }
   }
 
   // -- first/last-touch attribution via min_by / max_by ----------------------
@@ -1113,10 +1122,13 @@ object Relational {
     // The max is fetched as a driver-side scalar (control-plane, 1 row) —
     // attaching it as a broadcast join would re-evaluate the whole
     // co-supply subtree under every one of the wedge joins' self-join
-    // branches, where a literal threshold keeps the plan shared.
-    val mxShared = weighted.agg(max(col("shared"))).head().getLong(0)
+    // branches, where a literal threshold keeps the plan shared. NULL max
+    // (no co-supplying pair at all) degrades to an empty graph; the floor
+    // of 2 keeps the guard meaningful when the max itself is 1.
+    val mxShared = Option(weighted.agg(max(col("shared"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     val edges = weighted
-      .filter(col("shared") >= lit(mxShared * 3 / 4))
+      .filter(col("shared") >= lit(math.max(2L, mxShared * 3 / 4)))
       .select("u", "v")
     val deg = edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))
@@ -1821,7 +1833,7 @@ object Relational {
         |  FROM ps a JOIN ps b ON a.p = b.p AND a.sk < b.sk
         |  GROUP BY 1, 2),
         |mx AS (SELECT MAX(c) AS m FROM w),
-        |e AS (SELECT u, v FROM w, mx WHERE c >= (m * 3) // 4),
+        |e AS (SELECT u, v FROM w, mx WHERE c >= greatest(2, (m * 3) // 4)),
         |deg AS (SELECT n, COUNT(*) AS degree FROM (
         |    SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
         |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z

@@ -43,11 +43,15 @@ object TextOps {
       .orderBy("text_hash")
 
   // -- canonical fingerprint dedup: md5 of sorted distinct token set ----------
+  /** Shared by d_dedup_fingerprint and the fingerprint branch of
+    * d_dedup_combined — one spelling, so the two cannot drift apart.
+    */
+  private val fingerprintExpr: Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokensExpr))))
+
   private def dedupFingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .withColumn("toks", tokensExpr)
-      .withColumn("fingerprint",
-        md5(concat_ws(" ", array_sort(array_distinct(col("toks"))))))
+      .withColumn("fingerprint", fingerprintExpr)
       .groupBy("fingerprint")
       .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_docs"))
       .orderBy("fingerprint")
@@ -310,8 +314,7 @@ object TextOps {
   // multi-signal dedup pipeline needs, instead of running the signals
   // independently and double-dropping.
   private def dedupCombined(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select(col("doc_id"),
-      md5(concat_ws(" ", array_sort(array_distinct(tokensExpr)))).as("h"))
+    val d = docs(s, dir).select(col("doc_id"), fingerprintExpr.as("h"))
     val reps = d.groupBy("h").agg(min(col("doc_id")).as("rep"))
     val fpEdges = d.join(reps, Seq("h"))
       .filter(col("doc_id") =!= col("rep"))
@@ -1231,12 +1234,7 @@ object TextOps {
     val survivors = base.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    base.join(survivors, Seq("doc_id"))
-      .withColumn("bucket", expr(
-        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100"))
-      .withColumn("split",
-        when(col("bucket") < 90, "train")
-          .when(col("bucket") < 95, "val").otherwise("test"))
+    withSplit(base.join(survivors, Seq("doc_id")))
       .groupBy("split", "lang")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
       .orderBy("split", "lang")
@@ -1270,13 +1268,21 @@ object TextOps {
   // data never moves an existing doc across splits — the invariant that
   // keeps eval sets honest — and the assignment is a zero-shuffle narrow
   // scan any engine reproduces bit-for-bit.
-  private def splitDocs(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .withColumn("bucket", expr(
-        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100"))
+  /** Shared split assignment (d_split + d_release_manifest): one spelling
+    * of the bucket hash and the 90/95 thresholds, so the two queries
+    * cannot assign a doc to different splits.
+    */
+  private val splitBucketExpr: Column = expr(
+    "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100")
+
+  private def withSplit(df: DataFrame): DataFrame =
+    df.withColumn("bucket", splitBucketExpr)
       .withColumn("split",
         when(col("bucket") < 90, "train")
           .when(col("bucket") < 95, "val").otherwise("test"))
+
+  private def splitDocs(s: SparkSession, dir: String): DataFrame =
+    withSplit(docs(s, dir))
       .select(col("doc_id"), col("bucket"), col("split"))
       .orderBy("doc_id")
 
