@@ -84,6 +84,27 @@ class TopKSpec extends SparkSpecBase {
     assert(windowed.queryExecution.executedPlan.toString.contains("Window"))
   }
 
+  test("optimizer rule also fires through a cast rank filter") {
+    // the other common spelling: rank cast to long BEFORE the filter —
+    // UnwrapCastInBinaryComparison must reduce cast(rn as bigint) <= 3L
+    // back to rn <= 3 before the rewrite matches
+    val o = spark.read.parquet(s"$sf001/orders.parquet")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    def spelled = o.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3L)
+      .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
+    val expected = spelled.collect().map(_.toSeq).toSet
+    org.apache.spark.sql.graft.TopKPerKey.registerRewrite(spark)
+    try {
+      val rewritten = spelled
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKey"), plan)
+      assert(rewritten.collect().map(_.toSeq).toSet == expected)
+    } finally org.apache.spark.sql.graft.TopKPerKey.unregisterRewrite(spark)
+  }
+
   test("global mode matches orderBy+limit; merge exchange carries k×P rows") {
     val o = spark.read.parquet(s"$sf001/orders.parquet")
       .select("o_custkey", "o_orderkey", "o_totalprice")
