@@ -40,4 +40,28 @@ class BucketingSpec extends SparkSpecBase {
     assert(Bucketing.shuffleFree(agg),
       agg.queryExecution.executedPlan.toString)
   }
+
+  test("the OSM way-assembly lookup join runs exchange-free when bucketed") {
+    // THE pipeline shuffle (SURVEY §2 J1) on the layout the 100 TB design
+    // prescribes: coords and exploded way refs bucketed by the node id
+    // co-locate, so the ref→coordinate lookup joins with zero exchanges —
+    // only the (much smaller) way-sized regroup still shuffles. Monaco is
+    // the real-fixture stand-in for the planet-scale element store.
+    val monaco = "/root/reference/vendor/github.com/omniscale/go-osm/" +
+      "parser/pbf/monaco-20150428.osm.pbf"
+    val b = graft.sources.OsmPbf.read(spark, monaco)
+    // coords carries EVERY node's coordinates (tagged nodes appear in
+    // `nodes` additionally, imposm semantics) — no union needed
+    val coordsAll = b.coords.select("id", "lat", "lon")
+    val refs = b.ways.select(col("id").as("way_id"),
+        posexplode(col("refs")).as(Seq("pos", "id")))
+    Bucketing.writeBucketed(coordsAll, "coords_bkt", "id")
+    Bucketing.writeBucketed(refs, "wayrefs_bkt", "id")
+    val joined = Bucketing.bucketedJoin(spark, "wayrefs_bkt", "coords_bkt", "id")
+    assert(Bucketing.shuffleFree(joined),
+      joined.queryExecution.executedPlan.toString)
+    // all-or-nothing invariant: every ref resolves against the co-located
+    // coordinate store (the J1 completeness rule)
+    assert(joined.count() == refs.count() && refs.count() > 0)
+  }
 }
