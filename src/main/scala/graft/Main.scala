@@ -30,6 +30,7 @@ import graft.streaming.{DiffPipeline, Replication, StateStore}
   *               [-expiretiles-zoom Z] [-once]
   *   query-cache [-cachedir DIR] [-node IDS] [-way IDS] [-rel IDS]
   *               [-full] [-deps]
+  *   corpus      -in DIR -out DIR [-min-tokens N]
   *   version
   *
   * Base flags shared by all commands (config/config.go:180-194):
@@ -65,6 +66,7 @@ object Main {
       |  diff
       |  run
       |  query-cache
+      |  corpus
       |  version""".stripMargin)
 
   /** Minimal `-flag value` / `-flag` parser; anything not starting with
@@ -394,6 +396,20 @@ object Main {
 
   // -- query-cache -----------------------------------------------------------
 
+  /** `corpus -in DIR -out DIR [-min-tokens N]` — the training-data
+    * release pipeline (operators/CorpusRelease): gate → exact dedup →
+    * deterministic split → split-partitioned parquet + manifest. The
+    * manifest rows print to stdout (control-plane: splits×languages).
+    */
+  private def runCorpus(spark: SparkSession, a: Args): Unit = {
+    val manifest = graft.operators.CorpusRelease.run(spark,
+      a.required("in"), a.required("out"), a.long("min-tokens", 50L))
+    manifest.collect().foreach { r =>
+      println(s"[corpus] ${r.getString(0)} ${r.getString(1)}: " +
+        s"${r.getLong(2)} docs, ${r.getLong(3)} tokens")
+    }
+  }
+
   private def runQueryCache(spark: SparkSession, a: Args): Unit = {
     val store = new StateStore(spark, a.required("cachedir"))
     val seq = store.currentSeq
@@ -431,6 +447,7 @@ object Main {
       case "diff"        => runDiff(session(a), a)
       case "run"         => runReplication(session(a), a)
       case "query-cache" => runQueryCache(session(a), a)
+      case "corpus"      => runCorpus(session(a), a)
       case "version"     => println("graft 0.5.0 (imposm3-compatible surface)")
       case other =>
         System.err.println(s"invalid command: '$other'"); usage()

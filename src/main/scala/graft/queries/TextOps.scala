@@ -32,7 +32,7 @@ object TextOps {
       "i -> substring(text, i, 5)))")
 
   /** Lower-cased alnum word tokens. */
-  private val tokensExpr: Column =
+  private[graft] val tokensExpr: Column =
     expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
 
   // -- exact dedup: hash-groupBy, survivor = min id ---------------------------
@@ -1275,7 +1275,7 @@ object TextOps {
   private val splitBucketExpr: Column = expr(
     "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100")
 
-  private def withSplit(df: DataFrame): DataFrame =
+  private[graft] def withSplit(df: DataFrame): DataFrame =
     df.withColumn("bucket", splitBucketExpr)
       .withColumn("split",
         when(col("bucket") < 90, "train")

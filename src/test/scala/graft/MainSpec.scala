@@ -126,6 +126,35 @@ class MainSpec extends SparkSpecBase {
       .filter("osm_id = 1").head().getAs[String]("name") == "R")
   }
 
+  test("corpus command releases a gated, deduped, split dataset") {
+    import org.apache.spark.sql.functions._
+    val out = Files.createTempDirectory("graft-corpus-out").toString
+    Main.run(Array("corpus", "-in", sf001, "-out", out, "-min-tokens", "20"))
+    val corpus = spark.read.parquet(s"$out/corpus")
+    val splits = corpus.select("split").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")) &&
+      splits.contains("train"), splits.toString)
+    // independent recount of the gate + exact-dedup survivors
+    val gated = spark.read.parquet(s"$sf001/documents.parquet")
+      .withColumn("n_tokens", size(expr(
+        "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).cast("long"))
+      .filter(col("n_tokens") >= 20)
+    val nSurvivors = gated.groupBy(md5(col("text")))
+      .agg(min(col("doc_id"))).count()
+    assert(corpus.count() == nSurvivors && nSurvivors > 0)
+    // the manifest agrees with the written corpus
+    val manifest = spark.read.json(s"$out/manifest")
+    assert(manifest.agg(sum("n_docs")).head().getLong(0) == nSurvivors)
+    // split is the documented pure function of doc_id (d_split's rule)
+    val misassigned = corpus.withColumn("b", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100"))
+      .filter((col("b") < 90 && col("split") =!= "train") ||
+        (col("b") >= 90 && col("b") < 95 && col("split") =!= "val") ||
+        (col("b") >= 95 && col("split") =!= "test"))
+    assert(misassigned.count() == 0)
+  }
+
   test("import command handles the Monaco PBF with the reference mapping") {
     val monaco = "/root/reference/vendor/github.com/omniscale/go-osm/parser/pbf/monaco-20150428.osm.pbf"
     assume(new java.io.File(monaco).exists())
