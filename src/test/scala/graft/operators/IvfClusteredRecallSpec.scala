@@ -68,11 +68,12 @@ class IvfClusteredRecallSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
   }
 
-  private def recallAt5(centroids: Option[DataFrame]): Double = {
+  private def recallAt5(centroids: Option[DataFrame],
+      nProbe: Int = 2): Double = {
     val d = Files.createTempDirectory("ivf-recall").toString + "/idx"
     IvfIndex.build(spark, corpus, d, nCells = nClusters, centroids = centroids)
     val got = IvfIndex.search(spark, d,
-        corpus.filter(col("vec_id") < nQueries), nProbe = 2, k = 5)
+        corpus.filter(col("vec_id") < nQueries), nProbe = nProbe, k = 5)
       .select("q_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     (truth & got).size.toDouble / truth.size
@@ -95,5 +96,26 @@ class IvfClusteredRecallSpec extends SparkSpecBase {
     assert(km >= 0.95, f"kmeans recall $km%.3f below floor")
     assert(kmFast == km,
       f"fast-path recall $kmFast%.3f diverges from exact $km%.3f")
+  }
+
+  test("recall-vs-probes curve: monotone, and full probing is exact") {
+    // the operational knob a serving deployment actually tunes: each
+    // extra probed cell buys recall at linear scan cost. Measured under
+    // the DEGENERATE lowest-id seeding — with good (k-means) cells this
+    // fixture saturates at probe=1, so bad cells are where the knob is
+    // visible. The curve must be non-decreasing (a probe can only ADD
+    // candidates) and reach 1.0 when every cell is probed — at
+    // nProbe = nCells the index degenerates to the brute-force scan by
+    // construction, so anything under 1.0 there is an indexing bug, not
+    // an approximation.
+    val curve = Seq(1, 2, 4, 8).map(p => p -> recallAt5(None, nProbe = p))
+    info(curve.map { case (p, r) => f"probe=$p:$r%.3f" }.mkString(" "))
+    curve.sliding(2).foreach { case Seq((pa, ra), (pb, rb)) =>
+      assert(rb >= ra, f"recall dropped from $ra%.3f (probe=$pa) to $rb%.3f (probe=$pb)")
+    }
+    assert(curve.head._2 < 1.0,
+      "probe=1 under degenerate seeding should lose neighbors — curve is vacuous")
+    assert(curve.last._2 == 1.0,
+      f"full probing must be exact, got ${curve.last._2}%.3f")
   }
 }
