@@ -878,6 +878,23 @@ object Relational {
   }
 
   // -- q13 shape: outer-join distribution (customers with zero orders) ------
+  // -- rank() <= k with ties via the composed group-rank plan ----------------
+  // The tie-keeping sibling of q_window_top3_topk: all orders in a
+  // priority's top-3 PRICE BUCKETS (coarse buckets force heavy ties, so
+  // competition-rank gaps and >k kept rows actually occur). Planned by
+  // TopK.perKeyRank — group counts + a partitioned cumulative count over
+  // value GROUPS + a join back — because a bounded per-key heap cannot
+  // express rank(): ties make the kept set unbounded by design.
+  private def qRankTopK(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").withColumn("bucket",
+      expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) DIV 5000000"))
+    graft.operators.TopK.perKeyRank(o, Seq("o_orderpriority"),
+        Seq((col("bucket"), false)), 3)
+      .select(col("o_orderpriority"), col("rk"), col("bucket"),
+        col("o_orderkey"))
+      .orderBy("o_orderpriority", "rk", "o_orderkey")
+  }
+
   // -- SCD Type-2 dimension build: attribute runs → validity intervals -------
   // The warehouse staple Spark has no native operator for: collapse each
   // user's event stream into maximal runs of the same event_type and emit
@@ -1447,6 +1464,7 @@ object Relational {
     "q_multiset_ops"        -> (qMultisetOps _),
     "q_string_agg"          -> (qStringAgg _),
     "q_scd2"                -> (qScd2 _),
+    "q_rank_topk"           -> (qRankTopK _),
     "q_histogram"           -> (qHistogram _),
     "q_triangles"           -> (qTriangles _),
     "q_yoy"                 -> (qYoy _),
@@ -1721,6 +1739,15 @@ object Relational {
         | MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
         | COUNT(*) AS n_orders
         |FROM p, n GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_rank_topk" ->
+      """SELECT o_orderpriority, rk, bucket, o_orderkey FROM (
+        | SELECT o_orderpriority, o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000000 AS bucket,
+        |  CAST(RANK() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000000 DESC)
+        |   AS BIGINT) AS rk
+        | FROM orders)
+        |WHERE rk <= 3 ORDER BY o_orderpriority, rk, o_orderkey""".stripMargin,
     "q_scd2" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
         |  FROM events),
