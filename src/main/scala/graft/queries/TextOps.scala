@@ -1227,18 +1227,29 @@ object TextOps {
   // split is a per-row hash, the manifest rollup has split×lang
   // cardinality); at 100 TB this is the same single-exchange shape as
   // d_corpus_pipeline with the split/manifest stages riding on top.
-  private def releaseManifest(s: SparkSession, dir: String): DataFrame = {
-    val base = docs(s, dir)
-      .withColumn("n_tokens", size(tokensExpr).cast("long"))
-      .filter(col("n_tokens") >= 50)
+  /** The release pipeline's row set: quality gate → exact dedup (keep
+    * lowest doc_id per text hash) → split assignment. ONE spelling shared
+    * by the d_release_manifest oracle query and the `corpus` CLI
+    * (operators/CorpusRelease), so the shipped tool cannot drift from the
+    * oracle-gated semantics.
+    */
+  private[graft] def releaseKept(d: DataFrame, minTokens: Long): DataFrame = {
+    val base = d.withColumn("n_tokens", size(tokensExpr).cast("long"))
+      .filter(col("n_tokens") >= minTokens)
     val survivors = base.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
     withSplit(base.join(survivors, Seq("doc_id")))
-      .groupBy("split", "lang")
+  }
+
+  /** (split, lang) rollup of a releaseKept frame — shared with the CLI. */
+  private[graft] def releaseManifestOf(kept: DataFrame): DataFrame =
+    kept.groupBy("split", "lang")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
       .orderBy("split", "lang")
-  }
+
+  private def releaseManifest(s: SparkSession, dir: String): DataFrame =
+    releaseManifestOf(releaseKept(docs(s, dir), 50L))
 
   // -- corpus vocabulary / document-frequency table ---------------------------
   // The corpus-wide (token, tf, df) inventory with the same log-free

@@ -49,6 +49,7 @@ class BucketingSpec extends SparkSpecBase {
     // the real-fixture stand-in for the planet-scale element store.
     val monaco = "/root/reference/vendor/github.com/omniscale/go-osm/" +
       "parser/pbf/monaco-20150428.osm.pbf"
+    assume(new java.io.File(monaco).exists(), "Monaco fixture not present")
     val b = graft.sources.OsmPbf.read(spark, monaco)
     // coords carries EVERY node's coordinates (tagged nodes appear in
     // `nodes` additionally, imposm semantics) — no union needed

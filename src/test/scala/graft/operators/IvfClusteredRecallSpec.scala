@@ -108,7 +108,17 @@ class IvfClusteredRecallSpec extends SparkSpecBase {
     // nProbe = nCells the index degenerates to the brute-force scan by
     // construction, so anything under 1.0 there is an indexing bug, not
     // an approximation.
-    val curve = Seq(1, 2, 4, 8).map(p => p -> recallAt5(None, nProbe = p))
+    // nProbe is a search-time knob: build the index ONCE, search 4×
+    val d = Files.createTempDirectory("ivf-curve").toString + "/idx"
+    IvfIndex.build(spark, corpus, d, nCells = nClusters, centroids = None)
+    def recallP(p: Int): Double = {
+      val got = IvfIndex.search(spark, d,
+          corpus.filter(col("vec_id") < nQueries), nProbe = p, k = 5)
+        .select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    val curve = Seq(1, 2, 4, 8).map(p => p -> recallP(p))
     info(curve.map { case (p, r) => f"probe=$p:$r%.3f" }.mkString(" "))
     curve.sliding(2).foreach { case Seq((pa, ra), (pb, rb)) =>
       assert(rb >= ra, f"recall dropped from $ra%.3f (probe=$pa) to $rb%.3f (probe=$pb)")
