@@ -160,17 +160,24 @@ object Similarity {
   // key — never the O(n²) pair space), then exact cosine decides. On this
   // synthetic corpus no pair crosses the dup threshold, so the output keeps
   // every verified candidate with its score + decision flag.
-  private def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
-    val v = vecs(s, dir)
+  /** 8-bit sign-code per vector (hyperplanes = the 8 lowest-id corpus
+    * vectors) — ONE spelling shared by s_dedup_embedding and s_knn_graph so
+    * the two blockings cannot drift apart.
+    */
+  private def signCodes(v: DataFrame): DataFrame = {
     val anchors = v.filter(col("vec_id") < 8)
       .select(col("vec_id").as("a_id"), col("e").as("ae"))
-    val codes = v.select(col("vec_id"), col("e").as("qe"))
+    v.select(col("vec_id"), col("e").as("qe"))
       .crossJoin(broadcast(anchors))
       .withColumn("dot", vecDot(col("qe"), col("ae")))
       .groupBy("vec_id")
       .agg(sum(when(col("dot") > 0,
         expr("shiftleft(1L, cast(a_id as int))")).otherwise(0L)).as("code"))
-    val coded = v.join(codes, Seq("vec_id"))
+  }
+
+  private def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+    val coded = v.join(signCodes(v), Seq("vec_id"))
     val a = coded.select(col("code"), col("vec_id").as("a_id"),
       col("e").as("qe"), col("nrm").as("qn"))
     val b = coded.select(col("code"), col("vec_id").as("b_id"),
@@ -180,6 +187,37 @@ object Similarity {
       .withColumn("is_dup", col("sim_r") >= 0.45)
       .select(col("a_id"), col("b_id"), col("sim_r"), col("is_dup"))
       .orderBy("a_id", "b_id")
+  }
+
+  // -- corpus-wide kNN graph (every vector's top-3, Hamming-1 multi-probe) ----
+  // The all-pairs problem behind SemDeDup-style semantic clustering and
+  // graph-based dedup: EVERY corpus vector needs its k nearest neighbors,
+  // not just a query set's. Scale plan: s_dedup_embedding's sign-code
+  // blocking widened by one Hamming probe ring — each vector sits in its
+  // exact 8-bit code bucket and additionally PROBES the 8 one-bit-flip
+  // buckets, so an ordered pair within Hamming distance 1 meets EXACTLY
+  // once (the identity probe when codes are equal, the single matching
+  // flip otherwise) — no distinct pass, and replication is a fixed ×9 of
+  // the n-row probe side, never O(n²). Exact cosine ranks candidates and
+  // the bounded-heap TopK exec keeps 3 per source.
+  private def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+    val coded = v.join(signCodes(v), Seq("vec_id"))
+    val probes = coded.select(col("vec_id").as("a_id"), col("e").as("qe"),
+      col("nrm").as("qn"),
+      explode(expr("transform(sequence(-1, 7), f -> " +
+        "if(f = -1, code, code ^ shiftleft(1L, cast(f as int))))")).as("pcode"))
+    val side = coded.select(col("code").as("pcode"), col("vec_id").as("b_id"),
+      col("e"), col("nrm"))
+    val scored = probes.join(side, Seq("pcode"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("sim_r", round(dotQE / (col("qn") * col("nrm")), 6))
+    graft.operators.TopK.perKey(scored, Seq(col("a_id")),
+        Seq(col("sim_r").desc, col("b_id").asc), 3)
+      .withColumnRenamed("rk", "rnk")
+      .select(col("a_id").as("src_id"), col("rnk"),
+        col("b_id").as("neighbor_id"), col("sim_r"))
+      .orderBy("src_id", "rnk")
   }
 
   // -- IVF over the cell-bucketed index (operators.IvfIndex) -------------------
@@ -563,7 +601,8 @@ object Similarity {
     "s_ann_ivf_kmeans_fast" -> (annIvfKmeansFast _),
     "s_hybrid_rrf"      -> (hybridRrf _),
     "s_dedup_embedding" -> (dedupEmbedding _),
-    "s_dedup_semantic"  -> (dedupSemantic _)
+    "s_dedup_semantic"  -> (dedupSemantic _),
+    "s_knn_graph"       -> (knnGraph _)
   )
 
   private val vSql =
@@ -571,16 +610,21 @@ object Similarity {
       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       |  FROM embeddings)""".stripMargin
 
-  /** Sign-code blocking + blocked cosine pairs (shared by the embedding
-    * near-dup oracle and the semantic-dedup clustering oracle). */
-  private val codedPairsSql =
+  /** Sign-code CTEs (mirror of `signCodes`), shared by the near-dup,
+    * semantic-dedup and kNN-graph oracles. */
+  private val codedSql =
     """a AS (SELECT vec_id AS a_id, e AS ae FROM v WHERE vec_id < 8),
       |codes AS (SELECT v.vec_id,
       |    sum(CASE WHEN list_dot_product(v.e, a.ae) > 0
       |      THEN (1::BIGINT << a.a_id::INT) ELSE 0 END)::BIGINT AS code
       |  FROM v, a GROUP BY 1),
       |coded AS (SELECT v.vec_id, v.e, v.nrm, codes.code
-      |  FROM v JOIN codes ON v.vec_id = codes.vec_id),
+      |  FROM v JOIN codes ON v.vec_id = codes.vec_id)""".stripMargin
+
+  /** Sign-code blocking + blocked cosine pairs (shared by the embedding
+    * near-dup oracle and the semantic-dedup clustering oracle). */
+  private val codedPairsSql =
+    s"""$codedSql,
       |pairs AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id,
       |    round(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 6) AS sim_r
       |  FROM coded x JOIN coded y ON x.code = y.code AND x.vec_id < y.vec_id)""".stripMargin
@@ -821,6 +865,22 @@ object Similarity {
          |$codedPairsSql
          |SELECT a_id, b_id, sim_r, sim_r >= 0.45 AS is_dup
          |FROM pairs ORDER BY a_id, b_id""".stripMargin,
+    "s_knn_graph" ->
+      s"""WITH $vSql,
+         |$codedSql,
+         |probes AS (SELECT vec_id AS a_id, e AS qe, nrm AS qn,
+         |    unnest(list_transform(generate_series(-1, 7), f ->
+         |      CASE WHEN f = -1 THEN code
+         |           ELSE xor(code, (1::BIGINT << f::INT)) END)) AS pcode
+         |  FROM coded),
+         |sc AS (SELECT p.a_id, c.vec_id AS b_id,
+         |    round(list_dot_product(p.qe, c.e) / (p.qn * c.nrm), 6) AS sim_r
+         |  FROM probes p JOIN coded c ON p.pcode = c.code AND p.a_id <> c.vec_id),
+         |r AS (SELECT a_id, b_id, sim_r,
+         |    ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY sim_r DESC, b_id) AS rnk
+         |  FROM sc)
+         |SELECT a_id AS src_id, rnk, b_id AS neighbor_id, sim_r
+         |FROM r WHERE rnk <= 3 ORDER BY src_id, rnk""".stripMargin,
     "s_hybrid_rrf" ->
       s"""WITH lex0 AS (${TextOps.oracles("d_bm25")}),
          |lexr AS (

@@ -1601,6 +1601,91 @@ object TextOps {
       .orderBy("pos")
   }
 
+  /** Paragraph granularity for corpus-wide document rewriting: this corpus
+    * has no newline structure, so "paragraphs" are aligned ParaTokens-token
+    * blocks — on a real web corpus only the splitter changes (split on
+    * "\n\n" instead of re-blocking), the plan is identical.
+    */
+  private[queries] val ParaTokens = 8
+
+  // -- paragraph-level exact dedup (corpus-wide document REWRITING) -----------
+  // The RefinedWeb/Falcon paragraph-dedup step: every occurrence of a
+  // paragraph AFTER its global first (first = min (doc_id, pidx)) is removed
+  // from its document, survivors re-assemble in position order, and docs
+  // left empty are dropped. Distinct from the span INVENTORY ops
+  // (d_dedup_spans reports duplicated windows; this rewrites documents).
+  // Scale shape: one corpus-linear paragraph explode; first-occurrence =
+  // ONE hash-partitioned min(struct) agg on the paragraph hash (never a
+  // window over the corpus); survivors join back on the same hash; the
+  // rebuild groups by doc_id, where the collected list is bounded by a
+  // single document's own paragraph count.
+  private def dedupParagraph(s: SparkSession, dir: String): DataFrame = {
+    val paras = docs(s, dir)
+      .select(col("doc_id"), tokensExpr.as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, cast((size(toks) - 1) div $ParaTokens as int)), " +
+          s"p -> concat_ws(' ', slice(toks, p * $ParaTokens + 1, $ParaTokens)))"))
+        .as(Seq("pidx", "para")))
+    val firsts = paras.groupBy(md5(col("para")).as("ph"))
+      .agg(min(struct(col("doc_id"), col("pidx"))).as("first"))
+    val marked = paras.withColumn("ph", md5(col("para")))
+      .join(firsts, Seq("ph"))
+      .withColumn("keep", col("first.doc_id") === col("doc_id") &&
+        col("first.pidx") === col("pidx"))
+    marked.groupBy("doc_id")
+      .agg(
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dropped"),
+        // collect_list skips the nulls from if(NOT keep): only survivors
+        // ride into the rebuilt text, in pidx order
+        md5(concat_ws(" ", expr(
+          "transform(array_sort(collect_list(if(keep, struct(pidx, para), null))), " +
+            "x -> x.para)"))).as("text_hash"))
+      .filter(col("n_kept") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** Additive-smoothing alphabet size for the char-trigram LM — a fixed
+    * byte-alphabet constant (not a corpus-derived distinct-char count), so
+    * the smoothing term is scale-invariant and needs no extra corpus pass.
+    */
+  private[queries] val CharVocab = 128
+
+  // -- char-trigram LM predictability score (the CCNet/KenLM-filter shape) ----
+  // The classic LM quality filter scores each document by how predictable
+  // its characters are under a model trained on the corpus itself. Counts:
+  // ONE corpus-linear position explode feeds two aggregations whose
+  // cardinality is bounded by alphabet³ regardless of corpus size, so both
+  // count tables broadcast back and SCORING adds no shuffle. Per-position
+  // conditional probability p(c_i | c_{i-2} c_{i-1}) = (C3+1)/(C2+128)
+  // (add-one smoothing over the byte alphabet); the document score is the
+  // MEAN conditional probability via a position-ordered fold — not a
+  // log-perplexity, because ln() is the one operation whose last bit libm
+  // implementations disagree on (see d_bm25); the mean-p spelling keeps
+  // the gate bit-exact and still ranks predictable text above noise.
+  private def charLm(s: SparkSession, dir: String): DataFrame = {
+    val tg = docs(s, dir)
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(1, length(text) - 2)")).as("i"))
+      .select(col("doc_id"), col("i"),
+        expr("substring(text, i, 3)").as("t"),
+        expr("substring(text, i, 2)").as("b"))
+    val c3 = tg.groupBy("t").agg(count(lit(1)).as("c3"))
+    val c2 = tg.groupBy("b").agg(count(lit(1)).as("c2"))
+    tg.join(broadcast(c3), Seq("t"))
+      .join(broadcast(c2), Seq("b"))
+      .withColumn("p", (col("c3") + lit(1)).cast("double") /
+        (col("c2") + lit(CharVocab)).cast("double"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_pos"),
+        expr("aggregate(transform(array_sort(collect_list(struct(i, p))), " +
+          "x -> x.p), cast(0 as double), (a, x) -> a + x)").as("psum"))
+      .select(col("doc_id"), col("n_pos"),
+        (col("psum") / col("n_pos").cast("double")).as("avg_p"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "d_dedup_exact"       -> (dedupExact _),
     "d_dedup_fingerprint" -> (dedupFingerprint _),
@@ -1652,6 +1737,8 @@ object TextOps {
     "d_budget_select"     -> (budgetSelect _),
     "d_pack_sequences"    -> (packSequences _),
     "d_shuffle"           -> (shuffleDocs _),
+    "d_dedup_paragraph"   -> (dedupParagraph _),
+    "d_char_lm"           -> (charLm _),
     "m_binary_meta"       -> (binaryMeta _)
   )
 
@@ -2066,6 +2153,38 @@ object TextOps {
         |FROM (SELECT doc_id, md5('epoch1:' || doc_id::VARCHAR) AS shuffle_key
         |  FROM documents)
         |ORDER BY pos""".stripMargin,
+    "d_dedup_paragraph" ->
+      s"""WITH d AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |p AS (SELECT doc_id, toks,
+         |    unnest(generate_series(0, (len(toks) - 1) // $ParaTokens)) AS g FROM d),
+         |paras AS (SELECT doc_id, g AS pidx,
+         |    array_to_string(list_slice(toks, g * $ParaTokens + 1,
+         |      g * $ParaTokens + $ParaTokens), ' ') AS para
+         |  FROM p),
+         |m AS (SELECT doc_id, pidx, para,
+         |    ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, pidx) = 1 AS keep
+         |  FROM paras)
+         |SELECT doc_id,
+         |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         |  sum(CASE WHEN NOT keep THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+         |  md5(string_agg(CASE WHEN keep THEN para END, ' ' ORDER BY pidx)) AS text_hash
+         |FROM m GROUP BY doc_id
+         |HAVING sum(CASE WHEN keep THEN 1 ELSE 0 END) > 0
+         |ORDER BY doc_id""".stripMargin,
+    "d_char_lm" ->
+      s"""WITH pos AS (SELECT doc_id, text,
+         |    unnest(generate_series(1, len(text) - 2)) AS i FROM documents),
+         |tg AS (SELECT doc_id, i, substr(text, i::INT, 3) AS t,
+         |    substr(text, i::INT, 2) AS b FROM pos),
+         |c3 AS (SELECT t, count(*)::BIGINT AS c3 FROM tg GROUP BY t),
+         |c2 AS (SELECT b, count(*)::BIGINT AS c2 FROM tg GROUP BY b),
+         |p AS (SELECT tg.doc_id, tg.i,
+         |    (c3.c3 + 1)::DOUBLE / (c2.c2 + $CharVocab)::DOUBLE AS p
+         |  FROM tg JOIN c3 USING (t) JOIN c2 USING (b))
+         |SELECT doc_id, count(*)::BIGINT AS n_pos,
+         |  list_reduce(list_prepend(0.0::DOUBLE, list(p ORDER BY i)),
+         |    (a, b) -> a + b) / count(*)::DOUBLE AS avg_p
+         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d_mix_weighted" ->
       """SELECT doc_id, lang, source, bucket FROM (
         | SELECT doc_id, lang, source,

@@ -271,4 +271,72 @@ class TextSimSpec extends SparkSpecBase {
       assert(counts(pred) == counts.values.max)
     }
   }
+
+  test("paragraph dedup: block accounting and keep-first survivor counts") {
+    import org.apache.spark.sql.functions._
+    val out = run("d_dedup_paragraph").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_kept"), r.getAs[Long]("n_dropped"))).toMap
+    // per doc: kept + dropped = total aligned blocks = (|toks|-1)/B + 1
+    val blocks = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), TextOps.tokensExpr.as("toks"))
+      .select(col("doc_id"),
+        (floor((size(col("toks")) - 1) / TextOps.ParaTokens) + 1).as("nb"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("nb")).toMap
+    blocks.foreach { case (id, nb) =>
+      // a doc whose every paragraph first occurred elsewhere is dropped
+      // from the output entirely (the "document left empty" case)
+      out.get(id).foreach { case (k, d) =>
+        assert(k + d == nb, s"doc $id: kept $k + dropped $d != $nb blocks")
+      }
+    }
+    // keep-first: survivors across the corpus = distinct paragraph strings
+    val distinctParas = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(TextOps.tokensExpr.as("toks"))
+      .select(explode(expr(
+        "transform(sequence(0, cast((size(toks) - 1) div 8 as int)), " +
+          "p -> concat_ws(' ', slice(toks, p * 8 + 1, 8)))")).as("para"))
+      .collect()
+    assert(out.values.map(_._1).sum ==
+      distinctParas.map(_.getString(0)).distinct.size)
+  }
+
+  test("char-LM score: position accounting and probability bounds") {
+    val n = spark.read.parquet(s"$sf001/documents.parquet")
+      .selectExpr("doc_id", "length(text) - 2 as np").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("np")).toMap
+    val out = run("d_char_lm").collect()
+    assert(out.length == n.size)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_pos") == n(r.getAs[Long]("doc_id")))
+      val p = r.getAs[Double]("avg_p")
+      assert(p > 0.0 && p <= 1.0, s"avg_p out of range: $p")
+    }
+  }
+
+  test("knn graph: ranked, self-free, neighbors within one Hamming probe") {
+    import org.apache.spark.sql.functions._
+    val out = run("s_knn_graph").collect()
+    // recompute the 8-anchor sign codes independently (dot via exact sums)
+    val v = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val anchors = v.filter(_._1 < 8).toSeq.sortBy(_._1).map(_._2)
+    def code(e: Array[Double]): Long =
+      anchors.zipWithIndex.map { case (a, i) =>
+        if (a.zip(e).map { case (x, y) => x * y }.sum > 0) 1L << i else 0L
+      }.sum
+    val codes = v.map { case (id, e) => id -> code(e) }
+    out.groupBy(_.getAs[Long]("src_id")).foreach { case (src, rows) =>
+      assert(rows.map(_.getAs[Long]("rnk")).sorted.sameElements(
+        (1L to rows.length)), s"src $src ranks not dense from 1")
+      rows.foreach { r =>
+        val nb = r.getAs[Long]("neighbor_id")
+        assert(nb != src)
+        assert(java.lang.Long.bitCount(codes(src) ^ codes(nb)) <= 1,
+          s"pair ($src,$nb) outside the Hamming-1 probe ring")
+      }
+    }
+  }
 }
