@@ -1686,6 +1686,79 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // -- CCNet-style LM quality buckets (head/middle/tail per language) ---------
+  // The canonical downstream use of the LM filter: within each language,
+  // rank documents by the char-trigram predictability score and cut the
+  // ranking into thirds — head (most predictable), middle, tail. The
+  // cutoffs are pure integer rank arithmetic (rn·3 vs n), so the split is
+  // reproducible to the row. Ranks come from the two-phase PrefixSum scan
+  // ordered by (lang, score desc, doc_id) — NOT a per-language Window: a
+  // language is a handful of giant partitions at corpus scale, and a
+  // partitioned sort over them is the single-partition trap in disguise.
+  // Per-language offsets/counts are a #languages-row aggregate broadcast
+  // back onto the positioned rows.
+  private def lmBuckets(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("lang"))
+      .join(charLm(s, dir).select(col("doc_id"), col("avg_p")), Seq("doc_id"))
+      .withColumn("one", lit(1L))
+    val pos = graft.operators.PrefixSum.exclusive(d,
+      Seq(col("lang"), col("avg_p").desc, col("doc_id")), "one", "pos", 0)
+    val offsets = pos.groupBy("lang")
+      .agg(min(col("pos")).as("p0"), count(lit(1)).as("n"))
+    pos.join(broadcast(offsets), Seq("lang"))
+      .withColumn("rn", col("pos") - col("p0") + 1)
+      .withColumn("bucket",
+        when(col("rn") * 3 <= col("n"), lit("head"))
+          .when(col("rn") * 3 <= col("n") * 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("doc_id"), col("lang"), col("avg_p"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
+  // -- incremental (cross-snapshot) MinHash dedup -----------------------------
+  // The BATCH spelling of streaming.StreamingDedup.applyBatch, value-gated
+  // where the streaming path can only be suite-gated: an incoming batch
+  // (doc_id % 10 == 9 — an sf-independent split) is deduped against the
+  // accepted corpus AND itself. Same family, same candidate rule (shared
+  // LSH band vs state, id-ordered within the batch), same exact-Jaccard
+  // ≥ 0.7 verify, same keep-best decision (jaccard desc, earliest old id).
+  // Scale shape mirrors stateCandidates: the small batch side BROADCASTS,
+  // so the accepted-corpus band index is scanned in place and never
+  // shuffled — per-batch cost O(batch + matches), not O(|state|).
+  private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val isBatch = col("doc_id") % 10 === 9
+    val prep = minhashPrep(docs(s, dir).select(col("doc_id"), col("text")))
+    val bands = minhashBandsOf(prep)
+    val nb = bands.filter(isBatch)
+      .select(col("band_idx"), col("band_hash"), col("doc_id").as("new_id"))
+    val oldSide = bands.filter(!isBatch)
+      .select(col("band_idx"), col("band_hash"), col("doc_id").as("old_id"))
+    val batchSide = bands.filter(isBatch)
+      .select(col("band_idx"), col("band_hash"), col("doc_id").as("old_id"))
+    val vsState = oldSide.join(broadcast(nb), Seq("band_idx", "band_hash"))
+    val vsBatch = batchSide.join(broadcast(nb), Seq("band_idx", "band_hash"))
+      .filter(col("old_id") < col("new_id"))
+    val cand = vsState.unionByName(vsBatch).select("new_id", "old_id").distinct()
+    val sets = prep.select(col("doc_id"), col("ss"))
+    val verified = cand
+      .join(sets.select(col("doc_id").as("new_id"), col("ss").as("a_ss")), Seq("new_id"))
+      .join(sets.select(col("doc_id").as("old_id"), col("ss").as("b_ss")), Seq("old_id"))
+      .withColumn("n_common", size(array_intersect(col("a_ss"), col("b_ss"))).cast("long"))
+      .withColumn("n_union",
+        (size(col("a_ss")) + size(col("b_ss"))).cast("long") - col("n_common"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / col("n_union").cast("double"))
+      .filter(col("jaccard") >= 0.7)
+    val w = Window.partitionBy("new_id").orderBy(col("jaccard").desc, col("old_id"))
+    val best = verified.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("new_id").as("doc_id"), col("old_id").as("dup_of"), col("jaccard"))
+    docs(s, dir).filter(isBatch).select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .withColumn("is_dup", col("dup_of").isNotNull)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "d_dedup_exact"       -> (dedupExact _),
     "d_dedup_fingerprint" -> (dedupFingerprint _),
@@ -1739,6 +1812,8 @@ object TextOps {
     "d_shuffle"           -> (shuffleDocs _),
     "d_dedup_paragraph"   -> (dedupParagraph _),
     "d_char_lm"           -> (charLm _),
+    "d_lm_buckets"        -> (lmBuckets _),
+    "d_dedup_incremental" -> (dedupIncremental _),
     "m_binary_meta"       -> (binaryMeta _)
   )
 
@@ -1764,7 +1839,9 @@ object TextOps {
       |FROM exact e LEFT JOIN kth ON e.source = kth.source
       |ORDER BY e.source""".stripMargin
 
-  private val minhashCtes =
+  /** MinHash CTE prefix: shingle sets + LSH bands for every document (shared
+    * by the all-pairs chain below and the incremental-dedup oracle). */
+  private val minhashBandCtes =
     """tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |sh AS (SELECT doc_id,
       |  list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
@@ -1781,7 +1858,12 @@ object TextOps {
       |  FROM bm),
       |bands AS (SELECT doc_id, b,
       |  md5(sg[3*b + 1]::VARCHAR || '|' || sg[3*b + 2]::VARCHAR || '|' || sg[3*b + 3]::VARCHAR) AS band_hash
-      |  FROM sig, unnest(generate_series(0, 3)) AS t(b)),
+      |  FROM sig, unnest(generate_series(0, 3)) AS t(b))""".stripMargin
+      .replace("[MINHASH_A]", MinhashA.mkString("[", ", ", "]"))
+      .replace("[MINHASH_B]", MinhashB.mkString("[", ", ", "]"))
+
+  private val minhashCtes =
+    s"""$minhashBandCtes,
       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
       |  FROM bands a JOIN bands b
       |    ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
@@ -1790,13 +1872,27 @@ object TextOps {
       |  (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)))::BIGINT AS n_union
       |  FROM cand JOIN sh sa ON cand.a_id = sa.doc_id
       |            JOIN sh sb ON cand.b_id = sb.doc_id)""".stripMargin
-      .replace("[MINHASH_A]", MinhashA.mkString("[", ", ", "]"))
-      .replace("[MINHASH_B]", MinhashB.mkString("[", ", ", "]"))
 
   private val shingleSql =
     "list_distinct(list_transform(generate_series(1, greatest(len(text) - 4, 1)), " +
       "i -> substr(text, i::INT, 5)))"
   private val tokensSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+  /** d_char_lm oracle (also the CTE base of the d_lm_buckets oracle). */
+  private val charLmSql =
+    s"""WITH pos AS (SELECT doc_id, text,
+       |    unnest(generate_series(1, len(text) - 2)) AS i FROM documents),
+       |tg AS (SELECT doc_id, i, substr(text, i::INT, 3) AS t,
+       |    substr(text, i::INT, 2) AS b FROM pos),
+       |c3 AS (SELECT t, count(*)::BIGINT AS c3 FROM tg GROUP BY t),
+       |c2 AS (SELECT b, count(*)::BIGINT AS c2 FROM tg GROUP BY b),
+       |p AS (SELECT tg.doc_id, tg.i,
+       |    (c3.c3 + 1)::DOUBLE / (c2.c2 + $CharVocab)::DOUBLE AS p
+       |  FROM tg JOIN c3 USING (t) JOIN c2 USING (b))
+       |SELECT doc_id, count(*)::BIGINT AS n_pos,
+       |  list_reduce(list_prepend(0.0::DOUBLE, list(p ORDER BY i)),
+       |    (a, b) -> a + b) / count(*)::DOUBLE AS avg_p
+       |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
   private val stopSql = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   /** Unrolled BPE trainer CTEs shared by the merges and encode oracles:
@@ -2171,20 +2267,48 @@ object TextOps {
          |FROM m GROUP BY doc_id
          |HAVING sum(CASE WHEN keep THEN 1 ELSE 0 END) > 0
          |ORDER BY doc_id""".stripMargin,
-    "d_char_lm" ->
-      s"""WITH pos AS (SELECT doc_id, text,
-         |    unnest(generate_series(1, len(text) - 2)) AS i FROM documents),
-         |tg AS (SELECT doc_id, i, substr(text, i::INT, 3) AS t,
-         |    substr(text, i::INT, 2) AS b FROM pos),
-         |c3 AS (SELECT t, count(*)::BIGINT AS c3 FROM tg GROUP BY t),
-         |c2 AS (SELECT b, count(*)::BIGINT AS c2 FROM tg GROUP BY b),
-         |p AS (SELECT tg.doc_id, tg.i,
-         |    (c3.c3 + 1)::DOUBLE / (c2.c2 + $CharVocab)::DOUBLE AS p
-         |  FROM tg JOIN c3 USING (t) JOIN c2 USING (b))
-         |SELECT doc_id, count(*)::BIGINT AS n_pos,
-         |  list_reduce(list_prepend(0.0::DOUBLE, list(p ORDER BY i)),
-         |    (a, b) -> a + b) / count(*)::DOUBLE AS avg_p
-         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d_char_lm" -> charLmSql,
+    "d_lm_buckets" ->
+      s"""WITH lm AS ($charLmSql),
+         |j AS (SELECT d.doc_id, d.lang, lm.avg_p
+         |  FROM documents d JOIN lm ON d.doc_id = lm.doc_id),
+         |r AS (SELECT doc_id, lang, avg_p,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY avg_p DESC, doc_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY lang) AS n
+         |  FROM j)
+         |SELECT doc_id, lang, avg_p,
+         |  CASE WHEN rn * 3 <= n THEN 'head'
+         |       WHEN rn * 3 <= n * 2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM r ORDER BY doc_id""".stripMargin,
+    "d_dedup_incremental" ->
+      s"""WITH $minhashBandCtes,
+         |nb AS (SELECT doc_id AS new_id, b, band_hash FROM bands WHERE doc_id % 10 = 9),
+         |ob AS (SELECT doc_id AS old_id, b, band_hash FROM bands WHERE doc_id % 10 <> 9),
+         |bb AS (SELECT doc_id AS old_id, b, band_hash FROM bands WHERE doc_id % 10 = 9),
+         |cand AS (SELECT DISTINCT new_id, old_id FROM (
+         |  SELECT n.new_id, o.old_id FROM nb n
+         |    JOIN ob o ON n.b = o.b AND n.band_hash = o.band_hash
+         |  UNION ALL
+         |  SELECT n.new_id, o.old_id FROM nb n
+         |    JOIN bb o ON n.b = o.b AND n.band_hash = o.band_hash
+         |      AND o.old_id < n.new_id)),
+         |ver AS (SELECT new_id, old_id,
+         |    len(list_intersect(sa.ss, sb.ss))::BIGINT AS nc,
+         |    (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)))::BIGINT AS nu
+         |  FROM cand JOIN sh sa ON cand.new_id = sa.doc_id
+         |            JOIN sh sb ON cand.old_id = sb.doc_id),
+         |jc AS (SELECT new_id, old_id, nc::DOUBLE / nu::DOUBLE AS jaccard FROM ver
+         |  WHERE nc::DOUBLE / nu::DOUBLE >= 0.7),
+         |best AS (SELECT new_id, old_id, jaccard,
+         |    ROW_NUMBER() OVER (PARTITION BY new_id ORDER BY jaccard DESC, old_id) AS rk
+         |  FROM jc)
+         |SELECT d.doc_id, b.old_id AS dup_of, b.jaccard,
+         |  b.old_id IS NOT NULL AS is_dup
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 9) d
+         |LEFT JOIN (SELECT new_id, old_id, jaccard FROM best WHERE rk = 1) b
+         |  ON d.doc_id = b.new_id
+         |ORDER BY d.doc_id""".stripMargin,
     "d_mix_weighted" ->
       """SELECT doc_id, lang, source, bucket FROM (
         | SELECT doc_id, lang, source,

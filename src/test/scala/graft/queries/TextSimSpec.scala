@@ -314,6 +314,53 @@ class TextSimSpec extends SparkSpecBase {
     }
   }
 
+  test("lm buckets: exact tercile sizes, head scores dominate middle dominate tail") {
+    val rows = run("d_lm_buckets").collect()
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val n = rs.length.toLong
+      val byBucket = rs.groupBy(_.getAs[String]("bucket"))
+        .view.mapValues(_.map(_.getAs[Double]("avg_p"))).toMap
+      assert(byBucket.getOrElse("head", Array.empty[Double]).length == n / 3,
+        s"$lang head size")
+      assert(byBucket.getOrElse("middle", Array.empty[Double]).length ==
+        2 * n / 3 - n / 3, s"$lang middle size")
+      // ranking is by avg_p desc: every head score >= every middle score, etc.
+      for (Seq(hi, lo) <- Seq("head", "middle", "tail").sliding(2))
+        (byBucket.get(hi), byBucket.get(lo)) match {
+          case (Some(h), Some(l)) => assert(h.min >= l.max, s"$lang $hi < $lo")
+          case _ =>
+        }
+    }
+  }
+
+  test("incremental dedup agrees with the all-pairs minhash ground truth") {
+    val allPairs = run("d_dedup_minhash").collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val rows = run("d_dedup_incremental").collect()
+    val isBatch = (id: Long) => id % 10 == 9
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(isBatch(id))
+      if (r.getAs[Boolean]("is_dup")) {
+        val of = r.getAs[Long]("dup_of")
+        // every dup decision is a true >=0.7 pair in the all-pairs run
+        assert(allPairs.contains((math.min(id, of), math.max(id, of))),
+          s"decision ($id dup_of $of) not in d_dedup_minhash")
+        assert(r.getAs[Double]("jaccard") >= 0.7)
+      } else {
+        // a surviving batch doc has NO qualifying partner: not with any
+        // accepted-corpus doc, not with an earlier batch doc
+        allPairs.foreach { case (a, b) =>
+          val partner = if (a == id) Some(b) else if (b == id) Some(a) else None
+          partner.foreach { p =>
+            assert(isBatch(p) && p > id,
+              s"survivor $id has qualifying pair with $p")
+          }
+        }
+      }
+    }
+  }
+
   test("knn graph: ranked, self-free, neighbors within one Hamming probe") {
     import org.apache.spark.sql.functions._
     val out = run("s_knn_graph").collect()
