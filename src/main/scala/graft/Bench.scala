@@ -106,7 +106,15 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // per-query isolation: several queries persist intermediates
+      // (minhash prep, semantic-dedup pairs) that the lazy result frame
+      // cannot release; left resident they shrink the execution pool for
+      // every later query (measured 10.9s → 2.5s on the tail query of a
+      // 47-query run). Clearing AFTER the timed write charges each query
+      // its own cache use but never a predecessor's.
+      spark.catalog.clearCache()
+      name -> dt
     }
 
     // phase hygiene: queries leave persisted frames (e.g. the minhash

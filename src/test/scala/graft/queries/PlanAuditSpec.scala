@@ -221,6 +221,48 @@ class PlanAuditSpec extends SparkSpecBase {
       s"no dynamic partition pruning\noptimized:\n$opt\nphysical:\n$plan")
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // the fourth AQE gate beside bloom/DPP/coalescing: when one reducer
+    // partition of a shuffle join dwarfs the median, OptimizeSkewedJoin
+    // splits it into advisory-sized chunks and replicates the other side —
+    // the engine-native cure for hot keys that SkewJoin.salted only
+    // hand-rolls for the cases AQE can't see. Thresholds are lowered to
+    // fire on a test-sized build; the gate pins that a 90%-hot key is
+    // detected and split, so a conf regression (or an accidental
+    // skewJoin.enabled=false) fails here instead of in a fleet profile.
+    import org.apache.spark.sql.functions._
+    val c = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> c.getOption(k))
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      c.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // 90% of rows on one key: that reducer partition is ~MBs while the
+      // median is KBs — over both the absolute and the factor threshold
+      val left = spark.range(0, 40000).select(
+        when(col("id") % 10 === 0, col("id")).otherwise(lit(0L)).as("k"),
+        concat(lit("payload-payload-payload-"), col("id")).as("v"))
+      val right = spark.range(0, 200).select(col("id").as("k"), lit("dim").as("d"))
+      val j = left.join(right, "k").groupBy("d").count()
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"no skew-join split in:\n$plan")
+    } finally saved.foreach { case (k, v) => v.fold(c.unset(k))(c.set(k, _)) }
+  }
+
   test("AQE coalesces an over-partitioned tiny shuffle") {
     // the runtime half of the shuffle-partitions story: the static setting
     // only has to be roughly right because AQE folds near-empty reducer
