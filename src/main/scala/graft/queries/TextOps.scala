@@ -1664,15 +1664,34 @@ object TextOps {
   // implementations disagree on (see d_bm25); the mean-p spelling keeps
   // the gate bit-exact and still ranks predictable text above noise.
   private def charLm(s: SparkSession, dir: String): DataFrame = {
+    // trigrams are cut INSIDE the generator (text is a bound attribute
+    // read, free per lambda element) so the exploded rows carry 3 chars,
+    // not the whole document — exploding positions and substring-ing
+    // afterwards dragged the full text onto all ~n_chars rows per doc
+    // (measured 2.9s → 0.4s on the scan at sf0.1)
+    // repartition BEFORE the ~n_chars× expansion: the generator's input is
+    // compact (one row per doc) and may arrive in far fewer partitions
+    // than cores (a single small file ⇒ one task running the whole
+    // explode-and-join pipeline serially — measured 5.4s single-core vs
+    // sub-second wide at sf0.1); the skinny pre-explode shuffle is cheap
+    // at every scale and the broadcast joins after it need no exchange
+    // (the explicit partition count keeps AQE from coalescing the
+    // pre-expansion shuffle back to one partition — the input is tiny by
+    // BYTES, which is exactly why it must be spread by ROWS)
     val tg = docs(s, dir)
-      .select(col("doc_id"), col("text"),
-        explode(expr("sequence(1, length(text) - 2)")).as("i"))
-      .select(col("doc_id"), col("i"),
-        expr("substring(text, i, 3)").as("t"),
-        expr("substring(text, i, 2)").as("b"))
+      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, length(text) - 2), j -> substring(text, j, 3))"))
+        .as(Seq("pos0", "t")))
+      .select(col("doc_id"), (col("pos0") + 1).as("i"), col("t"))
     val c3 = tg.groupBy("t").agg(count(lit(1)).as("c3"))
-    val c2 = tg.groupBy("b").agg(count(lit(1)).as("c2"))
+    // the context (2-char-prefix) counts roll up from the trigram counts —
+    // a vocabulary-sized aggregation instead of a second corpus scan; the
+    // values are exactly the per-prefix trigram-row counts either way
+    val c2 = c3.groupBy(expr("substring(t, 1, 2)").as("b"))
+      .agg(sum(col("c3")).as("c2"))
     tg.join(broadcast(c3), Seq("t"))
+      .withColumn("b", expr("substring(t, 1, 2)"))
       .join(broadcast(c2), Seq("b"))
       .withColumn("p", (col("c3") + lit(1)).cast("double") /
         (col("c2") + lit(CharVocab)).cast("double"))
