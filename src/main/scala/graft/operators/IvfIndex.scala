@@ -101,6 +101,18 @@ object IvfIndex {
       .withColumnRenamed("rk", "crk")
       .drop("ce", "cn", "csim")
 
+  /** Cell assignment for every corpus vector — (vec_id, cell, csim), the
+    * same nearest-centroid rule build() partitions by, exposed for corpus
+    * inspection (per-cell profiles, mixture balancing). csim is the
+    * 6-dp-rounded centroid cosine the assignment was decided on.
+    */
+  def assign(corpus: DataFrame, cents: DataFrame): DataFrame =
+    TopK.perKey(
+        withNorm(corpus, "embedding").select("vec_id", "e", "nrm")
+          .crossJoin(broadcast(cents)).withColumn("csim", centroidSim),
+        Seq(col("vec_id")), Seq(col("csim").desc, col("c_id").asc), 1)
+      .select(col("vec_id"), col("c_id").as("cell"), col("csim"))
+
   /** Assign every corpus vector to its nearest cell and write the index:
     * parquet partitioned by `cell`, vectors stored with their norm so the
     * search path never touches the raw embeddings table.

@@ -1174,6 +1174,46 @@ object Relational {
       .orderBy("s_suppkey")
   }
 
+  // -- deterministic integer-mass PageRank ------------------------------------
+  // The classic iterative graph workload, spelled so both engines agree
+  // BIT-FOR-BIT: ranks are integer mass (start 1,000,000 per node), each
+  // of 3 unrolled iterations routes floor(mass/outdeg) along every edge
+  // and damps as newMass = 150000 + (85·inSum) div 100 — all BIGINT, so
+  // the per-destination sum is order-independent and no float ever
+  // appears. Graph: the supplier↔part bipartite graph from lineitem,
+  // symmetrized (both directions), so every node has out-edges and no
+  // dangling-mass correction is needed. Node ids disambiguate the two key
+  // spaces by parity (supplier → 2k, part → 2k+1).
+  // Scale shape: per iteration, ONE groupBy(dst) shuffle of edge
+  // contributions; out-degrees join on the same src key the contribution
+  // scan already carries. Fixed iteration count keeps the lineage short —
+  // an open-ended loop would localCheckpoint per round like
+  // ConnectedComponents.
+  private def qPagerank(s: SparkSession, dir: String): DataFrame = {
+    val sp = t(s, dir, "lineitem")
+      .select((col("l_suppkey").cast("long") * 2).as("src"),
+        (col("l_partkey").cast("long") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = sp.unionAll(sp.select(col("dst").as("src"), col("src").as("dst")))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    var mass = nodes.withColumn("mass", lit(1000000L))
+    for (_ <- 1 to 3) {
+      val contrib = edges
+        .join(mass.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("node"), expr("mass div outdeg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("in_sum"))
+      mass = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000L) + expr("(85 * coalesce(in_sum, 0L)) div 100")).as("mass"))
+    }
+    mass.select(col("node"),
+        when(col("node") % 2 === 0, lit("supplier")).otherwise(lit("part")).as("kind"),
+        expr("node div 2").as("node_key"), col("mass"))
+      .orderBy(col("mass").desc, col("node"))
+  }
+
   private def q13OrderDistribution(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
     val o = t(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT")
@@ -1467,6 +1507,7 @@ object Relational {
     "q_rank_topk"           -> (qRankTopK _),
     "q_histogram"           -> (qHistogram _),
     "q_triangles"           -> (qTriangles _),
+    "q_pagerank"            -> (qPagerank _),
     "q_yoy"                 -> (qYoy _),
     "q_outliers"            -> (qOutliers _),
     "q_ema"                 -> (qEma _),
@@ -1859,6 +1900,30 @@ object Relational {
         | CAST(rev_d - lag(rev_d) OVER (PARTITION BY c_mktsegment
         |   ORDER BY order_year) AS DOUBLE) AS yoy_delta
         |FROM rev ORDER BY c_mktsegment, order_year""".stripMargin,
+    "q_pagerank" -> {
+      // mirror of qPagerank's loop, one CTE per unrolled round
+      def iter(i: Int): String =
+        s"""m$i AS (SELECT n.node,
+           |    150000 + (85 * coalesce(c.in_sum, 0)) // 100 AS mass
+           |  FROM n LEFT JOIN (
+           |    SELECT e.dst AS node, sum(m.mass // od.outdeg)::BIGINT AS in_sum
+           |    FROM e JOIN m${i - 1} m ON e.src = m.node
+           |    JOIN od ON e.src = od.src
+           |    GROUP BY e.dst) c ON n.node = c.node)""".stripMargin
+      s"""WITH sp AS (SELECT DISTINCT l_suppkey::BIGINT * 2 AS src,
+         |    l_partkey::BIGINT * 2 + 1 AS dst FROM lineitem),
+         |e AS (SELECT src, dst FROM sp
+         |  UNION ALL SELECT dst AS src, src AS dst FROM sp),
+         |n AS (SELECT DISTINCT src AS node FROM e),
+         |od AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY src),
+         |m0 AS (SELECT node, 1000000::BIGINT AS mass FROM n),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT node, CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'part' END AS kind,
+         |  node // 2 AS node_key, mass::BIGINT AS mass
+         |FROM m3 ORDER BY mass DESC, node""".stripMargin
+    },
     "q_triangles" ->
       """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
         |w AS (SELECT a.sk AS u, b.sk AS v, COUNT(*) AS c

@@ -263,6 +263,25 @@ object Similarity {
     graft.operators.IvfIndex.search(s, idx, corpus.filter(col("vec_id") < 10))
   }
 
+  // -- per-cluster corpus profile ---------------------------------------------
+  // The inspection step between clustering and action (SemDeDup pruning,
+  // topic-mixture rebalancing): every vector assigned to its k-means cell
+  // (IvfIndex.assign — the same nearest-centroid rule the written index
+  // partitions by), rolled up per (cell, label) with the cell-cosine
+  // minimum as the cohesion audit. min/max over doubles are
+  // order-independent, so no fold is needed; the rollup's cardinality is
+  // cells × labels, and the only corpus-sized exchange is the assignment's
+  // TopK partial.
+  private def clusterProfile(s: SparkSession, dir: String): DataFrame = {
+    val corpus = t(s, dir, "embeddings")
+    val cents = graft.operators.IvfIndex.kmeansCentroids(corpus, 16, 2)
+    graft.operators.IvfIndex.assign(corpus, cents)
+      .join(corpus.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .groupBy("cell", "label")
+      .agg(count(lit(1)).as("n_vecs"), min(col("csim")).as("min_csim"))
+      .orderBy("cell", "label")
+  }
+
   // -- scalar int8 quantization ------------------------------------------------
   // Per-vector symmetric quantization: scale = 127 / max|x|, q_i = round to
   // nearest int in [-127, 127]. 4× memory cut for ANN corpora (the float32
@@ -602,7 +621,8 @@ object Similarity {
     "s_hybrid_rrf"      -> (hybridRrf _),
     "s_dedup_embedding" -> (dedupEmbedding _),
     "s_dedup_semantic"  -> (dedupSemantic _),
-    "s_knn_graph"       -> (knnGraph _)
+    "s_knn_graph"       -> (knnGraph _),
+    "s_cluster_profile" -> (clusterProfile _)
   )
 
   private val vSql =
@@ -865,6 +885,21 @@ object Similarity {
          |$codedPairsSql
          |SELECT a_id, b_id, sim_r, sim_r >= 0.45 AS is_dup
          |FROM pairs ORDER BY a_id, b_id""".stripMargin,
+    "s_cluster_profile" ->
+      s"""WITH $vSql,
+         |c0 AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM v WHERE vec_id < 16),
+         |${kmeansIterSql(1, "c0")},
+         |${kmeansIterSql(2, "c1")},
+         |sims AS (SELECT v.vec_id, c.c_id,
+         |    round(list_dot_product(v.e, c.ce) / (v.nrm * c.cn), 6) AS csim
+         |  FROM v, c2 c),
+         |ranked AS (SELECT vec_id, c_id AS cell, csim,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS crk
+         |  FROM sims),
+         |cells AS (SELECT vec_id, cell, csim FROM ranked WHERE crk = 1)
+         |SELECT cell, em.label, count(*)::BIGINT AS n_vecs, min(csim) AS min_csim
+         |FROM cells JOIN embeddings em ON cells.vec_id = em.vec_id
+         |GROUP BY cell, em.label ORDER BY cell, em.label""".stripMargin,
     "s_knn_graph" ->
       s"""WITH $vSql,
          |$codedSql,

@@ -28,4 +28,21 @@ class RelationalSpec extends SparkSpecBase {
     val extra = Relational.oracles.keySet -- Relational.queries.keySet
     assert(extra.isEmpty, s"oracles without queries: $extra")
   }
+
+  test("pagerank: node census, mass floor, near-conservation") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.queries("q_pagerank")(spark, sf001).collect()
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+    val nSupp = li.select(col("l_suppkey")).distinct().count()
+    val nPart = li.select(col("l_partkey")).distinct().count()
+    assert(rows.count(_.getAs[String]("kind") == "supplier") == nSupp)
+    assert(rows.count(_.getAs[String]("kind") == "part") == nPart)
+    // every node keeps at least the damping base; integer floors only
+    // LOSE mass, so the total stays within (damped lower bound, N*1e6]
+    val n = rows.length
+    val total = rows.map(_.getAs[Long]("mass")).sum
+    assert(rows.forall(_.getAs[Long]("mass") >= 150000L))
+    assert(total <= n * 1000000L, s"mass created: $total > ${n * 1000000L}")
+    assert(total > n * 900000L, s"too much floor loss: $total")
+  }
 }

@@ -361,6 +361,16 @@ class TextSimSpec extends SparkSpecBase {
     }
   }
 
+  test("cluster profile partitions the corpus; cohesion bounded") {
+    val rows = run("s_cluster_profile").collect()
+    val nVecs = spark.read.parquet(s"$sf001/embeddings.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == nVecs)
+    rows.foreach { r =>
+      val m = r.getAs[Double]("min_csim")
+      assert(m >= -1.0 && m <= 1.0)
+    }
+  }
+
   test("knn graph: ranked, self-free, neighbors within one Hamming probe") {
     import org.apache.spark.sql.functions._
     val out = run("s_knn_graph").collect()

@@ -17,7 +17,7 @@ object ExplainCheck {
     "s_ann_ivf_indexed", "s_ann_ivf_kmeans", "s_ann_ivf_kmeans_fast",
     "s_contrastive_pairs", "s_hybrid_rrf", "s_ann_lsh", "s_ann_lsh_probe",
     "s_ann_rerank", "s_hamming_topk", "s_dedup_embedding", "s_dedup_semantic",
-    "s_knn_graph", "s_quantize_int8", "d_decontaminate",
+    "s_knn_graph", "s_cluster_profile", "s_quantize_int8", "d_decontaminate",
     // crossJoin(broadcast(<=#groups-row aggregate>)) — the scalar-attach
     // pattern (grand totals, corpus counts, temperature rates); a BNLJ
     // against a broadcast 1-row side IS the right plan
