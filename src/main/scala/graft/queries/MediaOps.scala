@@ -49,6 +49,40 @@ object MediaOps {
           length(col("win")).cast("double")).as("mean_level"))
       .orderBy("doc_id", "win_idx")
 
+  // Shot-boundary (scene-cut) detection over the "video" payloads
+  // (doc_id % 3 = 2): the keyframe-extraction step a video training
+  // pipeline runs before sampling frames. Frames are fixed 64-byte windows
+  // (finer than Multimodal.FrameStride so short payloads still carry a
+  // sequence); a frame is a cut when its mean level jumps ≥ ShotCut from
+  // its predecessor (the classic intensity-delta detector, minus the
+  // stubbed codec), and frame 0 always starts a shot. Per-doc LAG is a
+  // high-cardinality partitioned window — scale-safe; the frame math
+  // rides the scan.
+  private val ShotFrame = 64
+  private val ShotCut = 2.0
+
+  private def shotBoundaries(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = graft.queries.t(s, dir, "documents")
+      .filter(expr("doc_id % 3 = 2"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, length(text) DIV $ShotFrame), " +
+          s"f -> substring(text, f * $ShotFrame + 1, $ShotFrame))"))
+        .as(Seq("frame_idx", "fr")))
+      .filter(length(col("fr")) > 0)
+      .withColumn("mean_level",
+        expr("aggregate(sequence(1, length(fr)), 0L, " +
+          "(a, i) -> a + ascii(substring(fr, i, 1)))").cast("double") /
+          length(col("fr")).cast("double"))
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    frames
+      .withColumn("delta", col("mean_level") - lag(col("mean_level"), 1).over(w))
+      .withColumn("is_cut", col("delta").isNull || abs(col("delta")) >= ShotCut)
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("mean_level"), col("delta"), col("is_cut"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   // ViT-style patch extraction over the "image" payloads (doc_id % 3 = 0):
   // the byte stream is a row-major grid 64 bytes wide; each patch gathers
   // a 16×4 tile — four NON-contiguous row segments concatenated, which is
@@ -132,7 +166,8 @@ object MediaOps {
     "m_audio_windows"  -> (audioWindows _),
     "m_image_patches"  -> (imagePatches _),
     "m_record_assembly" -> (recordAssembly _),
-    "m_resize"         -> (resizeImages _)
+    "m_resize"         -> (resizeImages _),
+    "m_shot_boundaries" -> (shotBoundaries _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -173,6 +208,21 @@ object MediaOps {
          | list_sum(list_transform(generate_series(1, len(patch)),
          |   i -> ascii(substr(patch, i::INT, 1))))::DOUBLE / len(patch)::DOUBLE AS mean_level
          |FROM p ORDER BY doc_id, patch_row, patch_col""".stripMargin,
+    "m_shot_boundaries" ->
+      s"""WITH f AS (SELECT doc_id, fi, substr(text, (fi * $ShotFrame + 1)::INT, $ShotFrame) AS fr
+         |  FROM documents,
+         |   unnest(generate_series(0, len(text) // $ShotFrame)) AS t(fi)
+         |  WHERE doc_id % 3 = 2),
+         |lv AS (SELECT doc_id, fi::BIGINT AS frame_idx,
+         |   list_sum(list_transform(generate_series(1, len(fr)),
+         |     i -> ascii(substr(fr, i::INT, 1))))::DOUBLE / len(fr)::DOUBLE AS mean_level
+         |  FROM f WHERE len(fr) > 0),
+         |d AS (SELECT doc_id, frame_idx, mean_level,
+         |   mean_level - lag(mean_level) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS delta
+         |  FROM lv)
+         |SELECT doc_id, frame_idx, mean_level, delta,
+         |  (delta IS NULL OR abs(delta) >= $ShotCut) AS is_cut
+         |FROM d ORDER BY doc_id, frame_idx""".stripMargin,
     "m_audio_windows" ->
       s"""SELECT doc_id, w::BIGINT AS win_idx, len(win)::BIGINT AS n_bytes,
          | md5(win) AS win_md5,

@@ -231,36 +231,37 @@ class PlanAuditSpec extends SparkSpecBase {
     // detected and split, so a conf regression (or an accidental
     // skewJoin.enabled=false) fails here instead of in a fleet profile.
     import org.apache.spark.sql.functions._
-    val c = spark.conf
-    val keys = Seq(
-      "spark.sql.autoBroadcastJoinThreshold",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold",
-      "spark.sql.adaptive.skewJoin.enabled",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-      "spark.sql.adaptive.coalescePartitions.enabled")
-    val saved = keys.map(k => k -> c.getOption(k))
-    try {
-      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      c.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-      c.set("spark.sql.adaptive.skewJoin.enabled", "true")
-      c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
-      c.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
-      c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
-      c.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-      // 90% of rows on one key: that reducer partition is ~MBs while the
-      // median is KBs — over both the absolute and the factor threshold
-      val left = spark.range(0, 40000).select(
-        when(col("id") % 10 === 0, col("id")).otherwise(lit(0L)).as("k"),
-        concat(lit("payload-payload-payload-"), col("id")).as("v"))
-      val right = spark.range(0, 200).select(col("id").as("k"), lit("dim").as("d"))
-      val j = left.join(right, "k").groupBy("d").count()
-      j.collect()
-      val plan = j.queryExecution.executedPlan.toString
-      assert(plan.contains("skew=true") || plan.contains("skewed"),
-        s"no skew-join split in:\n$plan")
-    } finally saved.foreach { case (k, v) => v.fold(c.unset(k))(c.set(k, _)) }
+    // NOTE: isolated session — graft.Main's builder applies its own
+    // shuffle.partitions to the shared session via getOrCreate when
+    // MainSpec runs in the same JVM, and suites execute in parallel, so
+    // conf written on the shared session mid-test is not trustworthy.
+    // newSession() shares the SparkContext but owns its SQLConf.
+    val s2 = spark.newSession()
+    val c = s2.conf
+    c.set("spark.sql.shuffle.partitions", "8")
+    c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    c.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+    c.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    c.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    // 90% of rows on one key, with incompressible md5 payloads (shuffle
+    // sizes are post-compression — a repetitive literal deflates under
+    // the 8KB threshold). The aggregate MUST touch v post-join, otherwise
+    // column pruning drops the payload before the exchange and every
+    // partition lands under the 8KB floor: that reducer partition is ~MBs
+    // while the median is KBs, over both absolute and factor thresholds.
+    val left = s2.range(0, 40000).select(
+      when(col("id") % 10 === 0, col("id")).otherwise(lit(0L)).as("k"),
+      md5(col("id").cast("string")).as("v"))
+    val right = s2.range(0, 200).select(col("id").as("k"), lit("dim").as("d"))
+    val j = left.join(right, "k").groupBy("d")
+      .agg(count(lit(1)).as("count"), max(length(col("v"))).as("vlen"))
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true") || plan.contains("skewed"),
+      s"no skew-join split in:\n$plan")
   }
 
   test("AQE coalesces an over-partitioned tiny shuffle") {
