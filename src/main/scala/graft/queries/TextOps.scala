@@ -1584,6 +1584,118 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // -- bin packing (first-fit-decreasing) --------------------------------------
+  /** SFT-style sequence packing: unlike [[packSequences]] (GPT concat-and-
+    * split, where documents cross sequence boundaries), each document here
+    * stays intact and greedy first-fit-decreasing assigns it to the first
+    * training sequence ("bin") with room — minimal padding without cross-doc
+    * attention contamination. FFD's sequential fold is confined to a bounded
+    * hash-group: docs shuffle ONCE on grp = doc_id % G, each group sorts by
+    * (len desc, id) and folds independently inside a codegen'd `aggregate`
+    * HOF — at 100 TB, G grows with the corpus so a group stays ~10^3-10^4
+    * docs and the only trade vs global FFD is a little packing efficiency.
+    * Docs longer than the capacity are truncated to it (the standard
+    * packing-pipeline convention).
+    */
+  private val PackGroups = 8L
+
+  private def packFfd(s: SparkSession, dir: String): DataFrame = {
+    val L = PackSeqLen
+    val items = docs(s, dir)
+      .select(col("doc_id"), expr(s"doc_id % $PackGroups").as("grp"),
+        least(size(tokensExpr).cast("long"), lit(L)).as("len"))
+      .groupBy("grp")
+      // struct(-len, doc_id): array_sort's lexicographic struct order IS
+      // (len desc, id asc); len rides along for the fold
+      .agg(expr("array_sort(collect_list(struct(-len as nl, doc_id, len)))")
+        .as("items"))
+    // first bin (1-based) the item fits into; 0 = none, open a new bin.
+    // No let-binding in SQL lambdas, so P is recomputed where used — each
+    // use is one O(bins) pass, keeping the fold O(items × bins) per group
+    // (an indexed-transform rewrite of fills would hide an O(bins²) term:
+    // the position recomputed per element). Beyond ~10^4 docs/group, a
+    // custom Aggregator with a fenwick/segment tree over bin headroom is
+    // the next step; at the designed group size the HOF fold is plenty.
+    val P = s"array_position(transform(acc.fills, f -> f + it.len <= ${L}L), true)"
+    val fold =
+      s"""aggregate(
+         |  items,
+         |  named_struct('fills', slice(array(0L), 1, 0),
+         |               'bins',  slice(array(0L), 1, 0)),
+         |  (acc, it) -> named_struct(
+         |    'fills', if($P > 0,
+         |        concat(
+         |          slice(acc.fills, 1, cast($P as int) - 1),
+         |          array(element_at(acc.fills, cast($P as int)) + it.len),
+         |          slice(acc.fills, cast($P as int) + 1,
+         |            size(acc.fills) - cast($P as int))),
+         |        concat(acc.fills, array(it.len))),
+         |    'bins', concat(acc.bins,
+         |        array(if($P > 0, $P, cast(size(acc.fills) as bigint) + 1L)))))""".stripMargin
+    items
+      .withColumn("bins", expr(fold + ".bins"))
+      .select(col("grp"), posexplode(arrays_zip(col("items"), col("bins"))))
+      .select(col("col.items.doc_id").as("doc_id"), col("grp"),
+        col("col.items.len").as("len"), col("col.bins").as("bin"))
+      .orderBy("doc_id")
+  }
+
+  // -- SFT chat-template rendering with loss masks -----------------------------
+  /** Instruction-tuning example assembly: consecutive documents within a
+    * (source, lang) stream become alternating user/assistant turns of a
+    * 4-turn conversation, rendered through a chat template, with the
+    * character spans the loss is computed over (the assistant contents)
+    * emitted as offset arrays — the mask a tokenizer-side consumer shifts
+    * into token space. Everything is one window pass + one grouped
+    * aggregation: per-turn offsets come from a running sum over the turn
+    * order (partitioned by conversation — thousands of independent keys,
+    * never a global Window), the rendered text from an ordered array fold.
+    * A trailing un-answered user turn is dropped (count floored to even);
+    * the rendered transcript is emitted as md5 + length, not the full
+    * string — the gate needs identity, not a second copy of the corpus.
+    */
+  private def sftRender(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wRn = Window.partitionBy("source", "lang").orderBy("doc_id")
+    val base = docs(s, dir)
+      .select(col("source"), col("lang"), col("doc_id"), col("text"))
+      .withColumn("rn", row_number().over(wRn).cast("long") - 1L)
+      .withColumn("conv_no", expr("rn div 4"))
+      .withColumn("turn", expr("rn % 4"))
+    val wCnt = Window.partitionBy("source", "lang", "conv_no")
+    val kept = base
+      .withColumn("cnt", count(lit(1)).over(wCnt))
+      .filter(col("turn") < col("cnt") - (col("cnt") % 2))
+      .withColumn("marker",
+        when(col("turn") % 2 === 0, lit("<|user|>\n"))
+          .otherwise(lit("<|assistant|>\n")))
+      .withColumn("turn_render",
+        concat(col("marker"), col("text"), lit("<|end|>\n")))
+    val wCum = Window.partitionBy("source", "lang", "conv_no").orderBy("turn")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = kept
+      .withColumn("prev_cum",
+        coalesce(sum(length(col("turn_render")).cast("long")).over(wCum),
+          lit(0L)))
+      .withColumn("c_start", col("prev_cum") + length(col("marker")).cast("long"))
+      .withColumn("c_end", col("c_start") + length(col("text")).cast("long"))
+    off.groupBy("source", "lang", "conv_no")
+      .agg(
+        min("doc_id").as("conv_id"),
+        count(lit(1)).as("n_turns"),
+        md5(expr("array_join(transform(array_sort(collect_list(" +
+          "struct(turn, turn_render))), x -> x.turn_render), '')"))
+          .as("rendered_md5"),
+        sum(length(col("turn_render")).cast("long")).as("n_chars"),
+        expr("transform(filter(array_sort(collect_list(struct(turn, c_start," +
+          " c_end))), x -> x.turn % 2 = 1), x -> x.c_start)").as("mask_starts"),
+        expr("transform(filter(array_sort(collect_list(struct(turn, c_start," +
+          " c_end))), x -> x.turn % 2 = 1), x -> x.c_end)").as("mask_ends"),
+        sum(when(col("turn") % 2 === 1, length(col("text")).cast("long"))
+          .otherwise(0L)).as("loss_chars"))
+      .orderBy("source", "lang", "conv_no")
+  }
+
   // -- deterministic global shuffle --------------------------------------------
   // Every training epoch needs a reproducible random permutation of the
   // corpus. Key = md5 of (epoch salt, doc_id) — the permutation is a pure
@@ -1828,6 +1940,8 @@ object TextOps {
     "d_bpe_encode"        -> (bpeEncode _),
     "d_budget_select"     -> (budgetSelect _),
     "d_pack_sequences"    -> (packSequences _),
+    "d_pack_ffd"          -> (packFfd _),
+    "d_sft_render"        -> (sftRender _),
     "d_shuffle"           -> (shuffleDocs _),
     "d_dedup_paragraph"   -> (dedupParagraph _),
     "d_char_lm"           -> (charLm _),
@@ -2262,6 +2376,59 @@ object TextOps {
          |    ("offset" + n_tokens - 1) // $PackSeqLen) AS seq_last,
          |  "offset" % $PackSeqLen AS pos_in_seq
          |FROM o ORDER BY doc_id""".stripMargin,
+    // FFD mirrored as a row-by-row recursion per group: the recursive term
+    // advances each group's rank frontier together, carrying the bin-fill
+    // LIST as state (idx = first fill with room, DuckDB list_position).
+    "d_pack_ffd" ->
+      s"""WITH RECURSIVE nt AS (
+         |  SELECT doc_id, doc_id % $PackGroups AS grp,
+         |         least(len($tokensSql)::BIGINT, $PackSeqLen) AS len
+         |  FROM documents),
+         |ord AS (
+         |  SELECT doc_id, grp, len,
+         |         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY len DESC, doc_id) AS rn
+         |  FROM nt),
+         |pack AS (
+         |  SELECT grp, rn, doc_id, len, [len] AS fills, 1::BIGINT AS bin
+         |  FROM ord WHERE rn = 1
+         |  UNION ALL
+         |  SELECT grp, rn, doc_id, len,
+         |    CASE WHEN idx = 0 THEN list_append(fills, len)
+         |         ELSE list_concat(list_concat(list_slice(fills, 1, idx - 1),
+         |                [fills[idx] + len]), list_slice(fills, idx + 1, len(fills)))
+         |    END AS fills,
+         |    (CASE WHEN idx = 0 THEN len(fills) + 1 ELSE idx END)::BIGINT AS bin
+         |  FROM (
+         |    SELECT o.grp, o.rn, o.doc_id, o.len, p.fills,
+         |           COALESCE(list_position(
+         |             list_transform(p.fills, f -> f + o.len <= $PackSeqLen), true), 0) AS idx
+         |    FROM pack p JOIN ord o ON o.grp = p.grp AND o.rn = p.rn + 1) s)
+         |SELECT doc_id, grp, len, bin FROM pack ORDER BY doc_id""".stripMargin,
+    "d_sft_render" ->
+      """WITH b AS (
+        |  SELECT source, lang, doc_id, text,
+        |         ROW_NUMBER() OVER (PARTITION BY source, lang ORDER BY doc_id) - 1 AS rn
+        |  FROM documents),
+        |t AS (SELECT source, lang, doc_id, text, rn // 4 AS conv_no, rn % 4 AS turn FROM b),
+        |c AS (SELECT *, COUNT(*) OVER (PARTITION BY source, lang, conv_no) AS cnt FROM t),
+        |k AS (SELECT * FROM c WHERE turn < cnt - (cnt % 2)),
+        |r AS (SELECT *,
+        |        CASE WHEN turn % 2 = 0 THEN '<|user|>' || chr(10)
+        |             ELSE '<|assistant|>' || chr(10) END AS marker,
+        |        (CASE WHEN turn % 2 = 0 THEN '<|user|>' || chr(10)
+        |              ELSE '<|assistant|>' || chr(10) END) || text || '<|end|>' || chr(10) AS turn_render
+        |      FROM k),
+        |o AS (SELECT *,
+        |        COALESCE(SUM(length(turn_render)) OVER (PARTITION BY source, lang, conv_no
+        |          ORDER BY turn ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS prev_cum
+        |      FROM r)
+        |SELECT source, lang, conv_no, min(doc_id) AS conv_id, COUNT(*)::BIGINT AS n_turns,
+        |  md5(string_agg(turn_render, '' ORDER BY turn)) AS rendered_md5,
+        |  SUM(length(turn_render))::BIGINT AS n_chars,
+        |  list(prev_cum + length(marker) ORDER BY turn) FILTER (WHERE turn % 2 = 1) AS mask_starts,
+        |  list(prev_cum + length(marker) + length(text) ORDER BY turn) FILTER (WHERE turn % 2 = 1) AS mask_ends,
+        |  SUM(length(text)) FILTER (WHERE turn % 2 = 1)::BIGINT AS loss_chars
+        |FROM o GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
     "d_shuffle" ->
       """SELECT doc_id, shuffle_key,
         |  (row_number() OVER (ORDER BY shuffle_key) - 1)::BIGINT AS pos

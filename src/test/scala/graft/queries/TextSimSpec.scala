@@ -396,4 +396,56 @@ class TextSimSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("ffd packing: every doc placed once, bins within capacity and dense") {
+    val out = run("d_pack_ffd").collect()
+    val docs = spark.read.parquet(s"$sf001/documents.parquet").count()
+    assert(out.length == docs, "every document packed exactly once")
+    val cap = 256L
+    out.foreach(r => assert(r.getAs[Long]("len") <= cap))
+    out.groupBy(r => (r.getAs[Long]("grp"), r.getAs[Long]("bin")))
+      .foreach { case ((g, b), rows) =>
+        assert(rows.map(_.getAs[Long]("len")).sum <= cap,
+          s"grp $g bin $b over capacity")
+      }
+    // bin ids dense 1..max per group (FFD never skips a bin index)
+    out.groupBy(_.getAs[Long]("grp")).foreach { case (g, rows) =>
+      val bins = rows.map(_.getAs[Long]("bin")).distinct.sorted
+      assert(bins.sameElements(1L to bins.length), s"grp $g bins not dense")
+    }
+    // first-fit theorem: for any bins a < b, b's first item didn't fit a
+    // when b opened and a only fills further, so fill_a + fill_b > cap —
+    // checking the two smallest fills covers every pair
+    out.groupBy(_.getAs[Long]("grp")).foreach { case (g, rows) =>
+      val fills = rows.groupBy(_.getAs[Long]("bin"))
+        .map { case (_, rs) => rs.map(_.getAs[Long]("len")).sum }.toSeq.sorted
+      if (fills.length >= 2)
+        assert(fills.head + fills(1) > cap,
+          s"grp $g: two bins could merge — not first-fit")
+    }
+  }
+
+  test("sft render: mask spans ordered, inside the transcript, assistant-sized") {
+    val out = run("d_sft_render").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_chars")
+      val starts = r.getSeq[Long](r.fieldIndex("mask_starts"))
+      val ends = r.getSeq[Long](r.fieldIndex("mask_ends"))
+      assert(starts.length == ends.length)
+      assert(r.getAs[Long]("n_turns") % 2 == 0, "conversations end on assistant")
+      assert(starts.length * 2 == r.getAs[Long]("n_turns"),
+        "one mask span per assistant turn")
+      starts.zip(ends).foreach { case (s0, e0) =>
+        assert(s0 < e0 && s0 >= 0 && e0 <= n, "span inside transcript")
+      }
+      // spans are disjoint and increasing
+      starts.zip(ends).sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) => assert(e1 <= s2)
+        case _ => ()
+      }
+      assert(starts.zip(ends).map { case (s0, e0) => e0 - s0 }.sum ==
+        r.getAs[Long]("loss_chars"))
+    }
+  }
 }
