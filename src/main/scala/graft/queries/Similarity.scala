@@ -603,7 +603,33 @@ object Similarity {
     pos.unionByName(negs).orderBy("q_id", "j")
   }
 
+  // -- hard-negative mining -----------------------------------------------------
+  // The label-aware sibling of s_contrastive_pairs: a retrieval trainer's
+  // gradient-rich negatives are vectors CLOSE to the anchor in embedding
+  // space but from a different class. Same broadcast-anchors × corpus-scan
+  // shape as s_cosine_topk with the label inequality fused into the scan
+  // filter — it prunes BEFORE the bounded-heap top-k, so the heap never
+  // sees same-class rows. At fleet scale the scan side swaps for the ANN
+  // shortlist (s_ann_rerank) with the same label predicate; the per-anchor
+  // output is 5 (negative_id, similarity) rows ready for batch assembly.
+  private def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val v = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("e"), col("label"))
+      .withColumn("nrm", vecNorm(col("e")))
+    val q = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"),
+        col("nrm").as("qn"), col("label").as("q_label"))
+    val scored = v.crossJoin(broadcast(q))
+      .filter(col("label") =!= col("q_label"))
+      .withColumn("sim_r", round(dotQE / (col("qn") * col("nrm")), 6))
+    top5(scored)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("negative_id"),
+        col("label").cast("long").as("neg_label"), col("sim_r"))
+      .orderBy("q_id", "rnk")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "s_hard_negatives"  -> (hardNegatives _),
     "s_contrastive_pairs" -> (contrastivePairs _),
     "s_hamming_topk"    -> (hammingTopK _),
     "s_ann_rerank"      -> (annRerank _),
@@ -824,6 +850,20 @@ object Similarity {
         |  FROM p)
         |SELECT q_id, rnk::BIGINT AS rnk, neighbor_id, sim_r FROM r
         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "s_hard_negatives" ->
+      s"""WITH vl AS (SELECT vec_id, label::BIGINT AS label, embedding::DOUBLE[] AS e,
+         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn, label AS q_label
+         |  FROM vl WHERE vec_id < 10),
+         |p AS (SELECT q_id, vec_id AS negative_id, label AS neg_label,
+         |    round(list_dot_product(qe, e) / (qn * nrm), 6) AS sim_r
+         |  FROM q, vl WHERE label <> q_label),
+         |r AS (SELECT q_id, negative_id, neg_label, sim_r,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sim_r DESC, negative_id) AS rnk
+         |  FROM p)
+         |SELECT q_id, rnk::BIGINT AS rnk, negative_id, neg_label, sim_r FROM r
+         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "s_cosine_topk" ->
       s"""WITH $vSql,
          |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM v WHERE vec_id < 10),

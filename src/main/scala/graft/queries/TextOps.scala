@@ -919,14 +919,17 @@ object TextOps {
   // generation goes dark (0 pairs). Production uses a df FRACTION
   // (df/n_docs ≤ ε) or idf floor; the gate keeps the absolute cap because
   // the oracle mirrors it exactly.
-  private def sparseCosine(s: SparkSession, dir: String): DataFrame = {
-    val tf = docs(s, dir)
-      .select(col("doc_id"), explode(tokensExpr).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+  /** Shared body of the two sparse-cosine variants — only the stop-token
+    * rule differs. `tf` is persisted: it feeds five consumers (norms, the
+    * df filter, the postings, both numerator sides); uncached each would
+    * re-run the explode + aggregation shuffle.
+    */
+  private def sparseCosineWith(tfIn: DataFrame)
+      (rareOf: DataFrame => DataFrame): DataFrame = {
+    val tf = tfIn.persist()
     val norms = tf.groupBy("doc_id")
       .agg(sqrt(sum(col("tf") * col("tf")).cast("double")).as("norm"))
-    val rare = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= NgramDfCap).select("tok")
+    val rare = rareOf(tf.groupBy("tok").agg(count(lit(1)).as("df")))
     val capped = tf.join(rare, Seq("tok"), "left_semi")
     val cand = capped.select(col("tok"), col("doc_id").as("a_id"))
       .join(capped.select(col("tok"), col("doc_id").as("b_id")), Seq("tok"))
@@ -949,6 +952,15 @@ object TextOps {
       .orderBy("a_id", "b_id")
   }
 
+  private def docTf(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(tokensExpr).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+
+  private def sparseCosine(s: SparkSession, dir: String): DataFrame =
+    sparseCosineWith(docTf(s, dir))(
+      _.filter(col("df") <= NgramDfCap).select("tok"))
+
   // -- sparse cosine, fraction-capped (the stress-safe parameterization) ------
   // Same operator as d_sparse_cosine but the posting cap is RELATIVE:
   // tokens in more than 20% of documents are stop-tokens for candidate
@@ -957,35 +969,10 @@ object TextOps {
   // candidate generation keeps working at any scale — this is the fix for
   // the absolute-cap saturation the clone-corpus stress probe surfaced.
   private def sparseCosineFrac(s: SparkSession, dir: String): DataFrame = {
-    val tf = docs(s, dir)
-      .select(col("doc_id"), explode(tokensExpr).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val norms = tf.groupBy("doc_id")
-      .agg(sqrt(sum(col("tf") * col("tf")).cast("double")).as("norm"))
     val nDocs = docs(s, dir).agg(count(lit(1)).as("n_docs"))
-    val rare = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(nDocs))
-      .filter(col("df") * 5 <= col("n_docs")).select("tok")
-    val capped = tf.join(rare, Seq("tok"), "left_semi")
-    val cand = capped.select(col("tok"), col("doc_id").as("a_id"))
-      .join(capped.select(col("tok"), col("doc_id").as("b_id")), Seq("tok"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
-    val num = cand
-      .join(tf.select(col("doc_id").as("a_id"), col("tok"), col("tf").as("tf_a")),
-        Seq("a_id"))
-      .join(tf.select(col("doc_id").as("b_id"), col("tok"), col("tf").as("tf_b")),
-        Seq("b_id", "tok"))
-      .groupBy("a_id", "b_id")
-      .agg(sum(col("tf_a") * col("tf_b")).as("dot"))
-    num
-      .join(norms.select(col("doc_id").as("a_id"), col("norm").as("norm_a")), Seq("a_id"))
-      .join(norms.select(col("doc_id").as("b_id"), col("norm").as("norm_b")), Seq("b_id"))
-      .withColumn("cosine",
-        col("dot").cast("double") / (col("norm_a") * col("norm_b")))
-      .filter(col("cosine") >= 0.8)
-      .select(col("a_id"), col("b_id"), col("dot"), col("cosine"))
-      .orderBy("a_id", "b_id")
+    sparseCosineWith(docTf(s, dir))(
+      _.crossJoin(broadcast(nDocs))
+        .filter(col("df") * 5 <= col("n_docs")).select("tok"))
   }
 
   // -- collocation mining: adjacent-bigram lift --------------------------------
@@ -1731,6 +1718,49 @@ object TextOps {
       .orderBy("source", "lang", "conv_no")
   }
 
+  // -- DSIR-style importance weighting ----------------------------------------
+  /** Data selection via importance resampling (hashed n-gram flavor): score
+    * each document by how target-domain-like its token distribution is.
+    * Tokens hash into 64 buckets; the weight of bucket b is the smoothed
+    * target/corpus frequency RATIO (t_b·R)/(r_b·T) — the rational form, not
+    * the usual log-ratio sum, because ln() is the one op whose last bit
+    * differs across libms while integer products < 2^53 and one division
+    * are IEEE-exact on both engines. A document's score is the
+    * token-weighted mean of its buckets' ratios, folded in bucket order so
+    * the double sum is order-fixed. Shape at scale: one (doc,bucket) count
+    * shuffle; the 64-row weight table and the 1-row totals broadcast back;
+    * the target distribution rides the same counts (no second corpus
+    * pass). Here the target domain is the `src0` slice; production swaps
+    * in any curated target sample.
+    */
+  private def dsirWeight(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), col("source"), explode(tokensExpr).as("tok"))
+      .withColumn("b", expr(
+        "cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint) % 64"))
+    // read three times (corpus counts, target counts, per-doc score)
+    val perDoc = toks.groupBy("doc_id", "source", "b")
+      .agg(count(lit(1)).as("c")).persist()
+    val corpus = perDoc.groupBy("b").agg((sum(col("c")) + lit(1L)).as("r1"))
+    val target = perDoc.filter(col("source") === "src0")
+      .groupBy(col("b").as("tb")).agg(sum(col("c")).as("tc"))
+    val w = corpus.join(target, col("b") === col("tb"), "left_outer")
+      .select(col("b"), col("r1"), (coalesce(col("tc"), lit(0L)) + lit(1L)).as("t1"))
+    val tot = w.agg(sum("r1").as("rr"), sum("t1").as("tt"))
+    val wd = w.crossJoin(broadcast(tot))
+      .select(col("b"), ((col("t1") * col("rr")).cast("double") /
+        (col("r1") * col("tt")).cast("double")).as("wb"))
+    perDoc.join(broadcast(wd), Seq("b"))
+      .withColumn("cw", col("c").cast("double") * col("wb"))
+      .groupBy("doc_id", "source")
+      .agg(sum(col("c")).as("n_toks"),
+        expr("aggregate(array_sort(collect_list(struct(b, cw))), " +
+          "cast(0 as double), (acc, x) -> acc + x.cw)").as("score"))
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        round(col("score") / col("n_toks").cast("double"), 6).as("dsir_r"))
+      .orderBy("doc_id")
+  }
+
   // -- deterministic global shuffle --------------------------------------------
   // Every training epoch needs a reproducible random permutation of the
   // corpus. Key = md5 of (epoch salt, doc_id) — the permutation is a pure
@@ -1977,6 +2007,7 @@ object TextOps {
     "d_pack_sequences"    -> (packSequences _),
     "d_pack_ffd"          -> (packFfd _),
     "d_sft_render"        -> (sftRender _),
+    "d_dsir_weight"       -> (dsirWeight _),
     "d_shuffle"           -> (shuffleDocs _),
     "d_dedup_paragraph"   -> (dedupParagraph _),
     "d_char_lm"           -> (charLm _),
@@ -2464,6 +2495,24 @@ object TextOps {
         |  list(prev_cum + length(marker) + length(text) ORDER BY turn) FILTER (WHERE turn % 2 = 1) AS mask_ends,
         |  SUM(length(text)) FILTER (WHERE turn % 2 = 1)::BIGINT AS loss_chars
         |FROM o GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
+    "d_dsir_weight" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, unnest($tokensSql) AS tok FROM documents),
+         |tb AS (SELECT doc_id, source,
+         |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS b, COUNT(*) AS c
+         |  FROM toks GROUP BY 1, 2, 3),
+         |corpus AS (SELECT b, SUM(c) + 1 AS r1 FROM tb GROUP BY 1),
+         |target AS (SELECT b, SUM(c) AS tc FROM tb WHERE source = 'src0' GROUP BY 1),
+         |w AS (SELECT corpus.b, r1, COALESCE(tc, 0) + 1 AS t1
+         |  FROM corpus LEFT JOIN target USING (b)),
+         |tot AS (SELECT SUM(r1) AS rr, SUM(t1) AS tt FROM w),
+         |wd AS (SELECT b, (t1 * rr)::DOUBLE / (r1 * tt)::DOUBLE AS wb FROM w, tot),
+         |sc AS (SELECT tb.doc_id, tb.source, tb.b, tb.c, tb.c::DOUBLE * wd.wb AS cw
+         |  FROM tb JOIN wd USING (b))
+         |SELECT doc_id, source, SUM(c)::BIGINT AS n_toks,
+         |  round(list_reduce(list_prepend(0.0, list(cw ORDER BY b)),
+         |    (a, b) -> a + b) / SUM(c)::DOUBLE, 6) AS dsir_r
+         |FROM sc GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
     "d_shuffle" ->
       """SELECT doc_id, shuffle_key,
         |  (row_number() OVER (ORDER BY shuffle_key) - 1)::BIGINT AS pos

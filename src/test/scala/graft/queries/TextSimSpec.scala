@@ -425,6 +425,34 @@ class TextSimSpec extends SparkSpecBase {
     }
   }
 
+  test("hard negatives: 5 ranked per anchor, never the anchor's own label") {
+    import org.apache.spark.sql.functions._
+    val labels = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id"), col("label").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = run("s_hard_negatives").collect()
+    out.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Long]("rnk")).sorted.sameElements(1L to 5L))
+      rows.foreach { r =>
+        assert(r.getAs[Long]("neg_label") != labels(q),
+          s"anchor $q mined a same-label 'negative'")
+        assert(r.getAs[Long]("neg_label") ==
+          labels(r.getAs[Long]("negative_id")))
+      }
+    }
+  }
+
+  test("dsir weights: target-domain docs score above the other sources") {
+    val out = run("d_dsir_weight").collect()
+    val (tgt, rest) = out.partition(_.getAs[String]("source") == "src0")
+    assert(tgt.nonEmpty && rest.nonEmpty)
+    def mean(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Double]("dsir_r")).sum / rs.length
+    assert(mean(tgt) > mean(rest),
+      "target slice should be more target-like than the rest on average")
+    out.foreach(r => assert(r.getAs[Double]("dsir_r") > 0.0))
+  }
+
   test("sft render: mask spans ordered, inside the transcript, assistant-sized") {
     val out = run("d_sft_render").collect()
     assert(out.nonEmpty)
