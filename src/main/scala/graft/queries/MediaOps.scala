@@ -83,6 +83,45 @@ object MediaOps {
       .orderBy("doc_id", "frame_idx")
   }
 
+  // Energy-based segmentation (VAD-shaped) over the "audio" payloads: the
+  // speech/music-detection step that decides which clip regions are worth
+  // transcribing. Windows reuse the STFT framing above; a window is
+  // "active" when its energy (Σ byte², exact BIGINT) is strictly above the
+  // clip mean — the comparison stays integer (energy · n_windows >
+  // total_energy), no float threshold to disagree on — and consecutive
+  // active windows merge into maximal segments via gaps-and-islands
+  // (win_idx − row_number). All windows are per-clip: high-cardinality
+  // partitioned windows + one groupBy, scale-safe.
+  private def audioSegments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = graft.queries.t(s, dir, "documents")
+      .filter(expr("doc_id % 3 = 1"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, greatest((length(text) - $AudioWin) DIV $AudioHop, 0)), " +
+          s"w -> substring(text, w * $AudioHop + 1, $AudioWin))"))
+        .as(Seq("win_idx", "win")))
+      .withColumn("energy", expr(
+        "aggregate(sequence(1, length(win)), 0L, (a, i) -> " +
+          "a + cast(ascii(substring(win, i, 1)) * ascii(substring(win, i, 1)) as bigint))"))
+      .drop("win")
+    val clip = Window.partitionBy("doc_id")
+    val active = wins
+      .withColumn("tot_e", sum(col("energy")).over(clip))
+      .withColumn("n_w", count(lit(1)).over(clip))
+      .filter(col("energy") * col("n_w") > col("tot_e"))
+      .withColumn("grp", col("win_idx") -
+        row_number().over(Window.partitionBy("doc_id").orderBy("win_idx")))
+    active.groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("win_idx")).cast("long").as("start_win"),
+        max(col("win_idx")).cast("long").as("end_win"),
+        count(lit(1)).as("n_wins"), sum(col("energy")).as("energy"))
+      .withColumn("seg_idx", row_number()
+        .over(Window.partitionBy("doc_id").orderBy("start_win")).cast("long"))
+      .select(col("doc_id"), col("seg_idx"), col("start_win"), col("end_win"),
+        col("n_wins"), col("energy"))
+      .orderBy("doc_id", "seg_idx")
+  }
+
   // ViT-style patch extraction over the "image" payloads (doc_id % 3 = 0):
   // the byte stream is a row-major grid 64 bytes wide; each patch gathers
   // a 16×4 tile — four NON-contiguous row segments concatenated, which is
@@ -167,10 +206,34 @@ object MediaOps {
     "m_image_patches"  -> (imagePatches _),
     "m_record_assembly" -> (recordAssembly _),
     "m_resize"         -> (resizeImages _),
-    "m_shot_boundaries" -> (shotBoundaries _)
+    "m_shot_boundaries" -> (shotBoundaries _),
+    "m_audio_segments" -> (audioSegments _)
   )
 
   val oracles: Map[String, String] = Map(
+    "m_audio_segments" ->
+      s"""WITH w AS (SELECT doc_id, wi,
+         |   substr(text, (wi * $AudioHop + 1)::INT, $AudioWin) AS win
+         |  FROM documents,
+         |   unnest(generate_series(0, greatest((len(text) - $AudioWin) // $AudioHop, 0))) AS t(wi)
+         |  WHERE doc_id % 3 = 1),
+         |e AS (SELECT doc_id, wi,
+         |   CAST(list_sum(list_transform(generate_series(1, len(win)),
+         |     i -> ascii(substr(win, i::INT, 1)) * ascii(substr(win, i::INT, 1)))) AS BIGINT) AS energy
+         |  FROM w),
+         |act AS (SELECT doc_id, wi, energy,
+         |   wi - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wi) AS grp
+         |  FROM (SELECT doc_id, wi, energy,
+         |     SUM(energy) OVER (PARTITION BY doc_id) AS tot_e,
+         |     COUNT(*) OVER (PARTITION BY doc_id) AS n_w FROM e)
+         |  WHERE energy * n_w > tot_e),
+         |seg AS (SELECT doc_id, MIN(wi) AS start_win, MAX(wi) AS end_win,
+         |   COUNT(*) AS n_wins, CAST(SUM(energy) AS BIGINT) AS energy
+         |  FROM act GROUP BY doc_id, grp)
+         |SELECT doc_id,
+         |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start_win) AS seg_idx,
+         |  start_win, end_win, n_wins, energy
+         |FROM seg ORDER BY doc_id, seg_idx""".stripMargin,
     "m_resize" ->
       s"""WITH g AS (SELECT doc_id, text, len(text) // $GridW AS rows_in
          |  FROM documents WHERE doc_id % 3 = 0),

@@ -1032,6 +1032,70 @@ object TextOps {
       .orderBy("source")
   }
 
+  // -- HyperLogLog distinct sketch (mergeable Aggregator) ----------------------
+  // Third sketch class beside KMV and Count-Min: per-source distinct-token
+  // estimation whose partial state is a FIXED 256-byte register array —
+  // the exchange payload is constant however many distinct tokens a
+  // partition holds, which is why HLL (not KMV's k longs, not exact
+  // distinct's full key set) is what a 1000-executor fleet merges for
+  // corpus cardinality dashboards. The gate runs the custom Aggregator
+  // against a full SQL mirror of the register math (trailing-zero rho =
+  // 1 + bit_count((w & -w) - 1), integer-exact harmonic-sum numerator) —
+  // exact count, numerator, empty-register count, and the one-division
+  // float estimate all value-checked.
+  private def distinctHll(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HllSketchAggregator
+    val hll = udaf(new HllSketchAggregator())
+    val toks = docs(s, dir)
+      .select(col("source"), explode(tokensExpr).as("tok"))
+      .distinct()
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"))
+    toks.groupBy("source").agg(hll(col("h")).as("r"))
+      .select(col("source"), col("r.n_exact").as("n_exact"),
+        col("r.s").as("hll_s"), col("r.zeros").as("hll_zeros"),
+        (lit(HllSketchAggregator.AlphaNum) / col("r.s").cast("double"))
+          .as("hll_est"))
+      .orderBy("source")
+  }
+
+  // -- per-domain frequency cap -------------------------------------------------
+  // The anti-domination step of a crawl pipeline: keep at most CapK
+  // documents per source/domain, chosen by a deterministic salted hash
+  // (a reproducible uniform sample, not "first K in scan order"). Runs
+  // through the bounded-heap TopKPerKey exec: per-(task, source) state is
+  // CapK rows regardless of how many documents a hostile domain contributes
+  // — the exact spelling that survives a crawl where one domain is 10% of
+  // the corpus, where a row_number Window would sort that domain's full
+  // partition (and one task would hold it).
+  private[queries] val CapK = 10
+  private def domainCap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TopK.perKey(
+      docs(s, dir).select(col("source"), col("doc_id"))
+        .withColumn("h", md5(concat(lit("cap:"), col("doc_id").cast("string")))),
+      Seq(col("source")), Seq(col("h").asc, col("doc_id").asc), CapK)
+      .select(col("source"), col("doc_id"), col("rk").cast("long").as("rk"))
+      .orderBy("source", "rk")
+
+  // -- curriculum ordering ------------------------------------------------------
+  // Curriculum learning's data-side half: a global training order that is
+  // easy→hard ACROSS difficulty bands but uniformly shuffled WITHIN each
+  // band (band = n_chars DIV 512 — swap in any difficulty proxy; the plan
+  // is identical). Dense global positions come from the distributed
+  // two-phase prefix scan over (band, salted hash) — one range shuffle,
+  // never a single-partition Window — so the epoch order is reproducible
+  // AND writable as position-ranged shards at fleet scale.
+  private def curriculum(s: SparkSession, dir: String): DataFrame = {
+    val keyed = docs(s, dir)
+      .select(col("doc_id"), expr("n_chars DIV 512").as("band"))
+      .withColumn("h", md5(concat(lit("curr:"), col("doc_id").cast("string"))))
+      .withColumn("one", lit(1L))
+    graft.operators.PrefixSum
+      .exclusive(keyed, Seq(col("band"), col("h"), col("doc_id")), "one", "pos", 0)
+      .select(col("doc_id"), col("band"), col("pos"))
+      .orderBy("pos")
+  }
+
   // -- bigram-coverage quality score -------------------------------------------
   // The log-free stand-in for LM-based quality scoring: what fraction of a
   // document's adjacent bigrams are corpus-frequent (count ≥ 5)? Natural
@@ -1991,6 +2055,9 @@ object TextOps {
     "d_sample_per_class"  -> (samplePerClass _),
     "d_distinct_kmv"      -> (distinctKmv _),
     "d_distinct_kmv_agg"  -> (distinctKmvAgg _),
+    "d_distinct_hll"      -> (distinctHll _),
+    "d_domain_cap"        -> (domainCap _),
+    "d_curriculum"        -> (curriculum _),
     "d_quality_gate_rel"  -> (qualityGateRel _),
     "d_sample_pps"        -> (samplePps _),
     "d_winsorize"         -> (winsorize _),
@@ -2617,6 +2684,41 @@ object TextOps {
     "d_distinct_kmv" -> kmvOracleSql,
     // the Aggregator spelling is semantics-identical — same oracle
     "d_distinct_kmv_agg" -> kmvOracleSql,
+    "d_distinct_hll" ->
+      s"""WITH toks AS (
+         |  SELECT DISTINCT source, tok FROM (
+         |    SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS tok
+         |    FROM documents)),
+         |h AS (SELECT source, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+         |r AS (SELECT source, h % 256 AS bucket,
+         |    CASE WHEN h // 256 = 0 THEN ${graft.functions.HllSketchAggregator.RhoCap}
+         |         ELSE 1 + bit_count(((h // 256) & -(h // 256)) - 1) END AS rho
+         |  FROM h),
+         |reg AS (SELECT source, bucket, MAX(rho) AS rr FROM r GROUP BY 1, 2),
+         |agg AS (SELECT source,
+         |    CAST(SUM(1::BIGINT << (${graft.functions.HllSketchAggregator.RhoCap} - rr)) AS BIGINT) AS s_present,
+         |    COUNT(*) AS nb
+         |  FROM reg GROUP BY 1),
+         |exact AS (SELECT source, COUNT(*) AS n_exact FROM h GROUP BY 1)
+         |SELECT e.source AS source, n_exact,
+         |  s_present + (256 - nb) * (1::BIGINT << ${graft.functions.HllSketchAggregator.RhoCap}) AS hll_s,
+         |  (256 - nb)::BIGINT AS hll_zeros,
+         |  CAST(${graft.functions.HllSketchAggregator.AlphaNum} AS DOUBLE) /
+         |    CAST(s_present + (256 - nb) * (1::BIGINT << ${graft.functions.HllSketchAggregator.RhoCap}) AS DOUBLE) AS hll_est
+         |FROM exact e JOIN agg USING (source)
+         |ORDER BY e.source""".stripMargin,
+    "d_domain_cap" ->
+      s"""SELECT source, doc_id, rk FROM (
+         |  SELECT source, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY md5('cap:' || doc_id::VARCHAR), doc_id) AS rk
+         |  FROM documents)
+         |WHERE rk <= ${CapK} ORDER BY source, rk""".stripMargin,
+    "d_curriculum" ->
+      """SELECT doc_id, n_chars // 512 AS band,
+        |  ROW_NUMBER() OVER (ORDER BY n_chars // 512,
+        |    md5('curr:' || doc_id::VARCHAR), doc_id) - 1 AS pos
+        |FROM documents ORDER BY pos""".stripMargin,
     "d_sparse_cosine" ->
       """WITH tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM (
         |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
