@@ -61,6 +61,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.adaptive.enabled", "true")
+      // 10 MB is a cluster-conservative default; on a single 16g-heap box
+      // a 64 MB build side is cheap, and it lets AQE flip the import's
+      // assembly semi-join (a ~22 MB id set probe side at synth400 scale)
+      // to a broadcast join — no shuffle of the wide ways rows. At planet
+      // scale the id set outgrows any threshold and AQE keeps the shuffle.
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BROADCAST", "64m"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -155,8 +155,13 @@ final class ImportPipeline(
         .filter(col("__geom").isNotNull)
 
     // -- node branch (writer/nodes.go:46-97) ----------------------------------
-    val nodesXY = projectXY(bundle.nodes).select(col("id"), col("x"), col("y"), col("tags"))
-      .filter(pointInCoverage(col("x"), col("y")))
+    // the coverage test is identically-true without a limitto region — skip
+    // the UDF entirely rather than pay a codegen break per node
+    val nodesXYAll = projectXY(bundle.nodes)
+      .select(col("id"), col("x"), col("y"), col("tags"))
+    val nodesXY =
+      if (lim.isEmpty) nodesXYAll
+      else nodesXYAll.filter(pointInCoverage(col("x"), col("y")))
     val nodeRows = tracked(nodesXY
       .withColumn("__nm", nodeFused(col("tags")))
       .withColumn("tags", col("__nm._1"))

@@ -24,7 +24,7 @@ object GeomFunctions {
   def quantizeCoord(c: Column): Column =
     floor((c + lit(180.0)) * lit(CoordFactor)) / lit(CoordFactor) - lit(180.0)
 
-  private def pts(xs: Seq[Double], ys: Seq[Double]): IndexedSeq[Pt] = {
+  private def pts(xs: Array[Double], ys: Array[Double]): IndexedSeq[Pt] = {
     val n = xs.length
     val out = new Array[Pt](n)
     var i = 0
@@ -37,15 +37,18 @@ object GeomFunctions {
     Geom.toWkb(Geom.point(x, y), srid)
   }
 
-  /** linestring(xs, ys) -> WKB or null (<2 distinct). Parallel primitive
-    * arrays (WayAssembly's output shape) keep the UDF boundary unboxed. */
-  def lineWkb(srid: Int) = udf { (xs: Seq[Double], ys: Seq[Double]) =>
+  /** linestring(xs, ys) -> WKB or null (<2 distinct). Array[Double] (not
+    * Seq) at the UDF boundary: the encoder bulk-copies via toDoubleArray,
+    * where Seq[Double] boxes every coordinate of every way — measured on
+    * the 10⁷-ref synth import, the unbox alone was ~10% of the geometry
+    * stage. */
+  def lineWkb(srid: Int) = udf { (xs: Array[Double], ys: Array[Double]) =>
     if (xs == null || ys == null) null
     else Geom.lineString(pts(xs, ys)).map(Geom.toWkb(_, srid)).orNull
   }
 
   /** polygon(xs, ys) + MakeValid -> WKB or null (writer/ways.go:146-150). */
-  def polygonValidWkb(srid: Int) = udf { (xs: Seq[Double], ys: Seq[Double]) =>
+  def polygonValidWkb(srid: Int) = udf { (xs: Array[Double], ys: Array[Double]) =>
     if (xs == null || ys == null) null
     else Geom.polygon(pts(xs, ys)).map(p => Geom.toWkb(Geom.makeValid(p), srid)).orNull
   }
