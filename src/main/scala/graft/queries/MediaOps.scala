@@ -154,6 +154,28 @@ object MediaOps {
           length(col("p.patch")).cast("double")).as("mean_level"))
       .orderBy("doc_id", "patch_row", "patch_col")
 
+  // Cross-video frame-level exact dedup: the multimodal analog of exact
+  // text dedup — hash every (full) 64-byte frame, shuffle on the content
+  // hash, keep frames that appear in ≥ 2 DISTINCT videos. This is how a
+  // video corpus finds shared intros/outros/stock footage before
+  // training. One hash aggregation on a high-cardinality key: the same
+  // plan shape as d_dedup_exact, payloads never leave the executors
+  // (only 16-byte hashes shuffle at fleet scale).
+  private def frameDedup(s: SparkSession, dir: String): DataFrame =
+    graft.queries.t(s, dir, "documents")
+      .filter(expr("doc_id % 3 = 2"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, length(text) DIV $ShotFrame), " +
+          s"f -> substring(text, f * $ShotFrame + 1, $ShotFrame))")).as("fr"))
+      .filter(length(col("fr")) === ShotFrame)
+      .select(md5(col("fr")).as("frame_md5"), col("doc_id"))
+      .groupBy("frame_md5")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("frame_md5")
+
   // 2× box-filter downsample of the "image" payloads — the resize step of
   // a vision preprocessing pipeline, on the same stubbed byte-grid as the
   // patcher: each output pixel is the integer mean of its 2×2 source
@@ -207,10 +229,23 @@ object MediaOps {
     "m_record_assembly" -> (recordAssembly _),
     "m_resize"         -> (resizeImages _),
     "m_shot_boundaries" -> (shotBoundaries _),
-    "m_audio_segments" -> (audioSegments _)
+    "m_audio_segments" -> (audioSegments _),
+    "m_frame_dedup"    -> (frameDedup _)
   )
 
   val oracles: Map[String, String] = Map(
+    "m_frame_dedup" ->
+      s"""WITH f AS (SELECT doc_id, substr(text, (fi * $ShotFrame + 1)::INT, $ShotFrame) AS fr
+         |  FROM documents,
+         |   unnest(generate_series(0, len(text) // $ShotFrame)) AS t(fi)
+         |  WHERE doc_id % 3 = 2)
+         |SELECT md5(fr) AS frame_md5,
+         |  COUNT(DISTINCT doc_id) AS n_docs,
+         |  COUNT(*) AS n_occurrences,
+         |  MIN(doc_id) AS first_doc
+         |FROM f WHERE len(fr) = $ShotFrame
+         |GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+         |ORDER BY frame_md5""".stripMargin,
     "m_audio_segments" ->
       s"""WITH w AS (SELECT doc_id, wi,
          |   substr(text, (wi * $AudioHop + 1)::INT, $AudioWin) AS win

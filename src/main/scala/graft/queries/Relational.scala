@@ -1473,7 +1473,41 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  // -- exact GLOBAL quantiles at scale (value histogram + prefix scan) --------
+  // percentile()/quantile aggregates buffer every value of a group in one
+  // aggregation buffer — fine per-group, fatal for a corpus-wide exact
+  // quantile at 100 TB. The scale-safe spelling: per-VALUE counts
+  // (cardinality = DISTINCT values — tiny for genuinely bounded domains
+  // like cents or token counts, and never more than the input even for a
+  // near-continuous column like this one), a distributed prefix scan for
+  // cumulative counts, then each nearest-rank target ceil(p·N/100) selects the one
+  // value whose cumulative range covers it. Integer arithmetic end to end
+  // ((N·p + 99) DIV 100 — no float rank to disagree on); N attaches as a
+  // broadcast 1-row scalar and the percentile fan-out is an array filter
+  // riding the scan, so the whole query is one domain-sized aggregate +
+  // one range shuffle.
+  private def qQuantilesExact(s: SparkSession, dir: String): DataFrame = {
+    val vals = t(s, dir, "lineitem")
+      .select(expr("CAST(l_extendedprice AS DECIMAL(18,2))").as("v"))
+    val counts = vals.groupBy("v").agg(count(lit(1)).as("c"))
+    val cum = graft.operators.PrefixSum
+      .exclusive(counts, Seq(col("v")), "c", "cum0", 0)
+      .withColumn("cum", col("cum0") + col("c"))
+    val n = vals.agg(count(lit(1)).as("n_total"))
+    cum.crossJoin(broadcast(n))
+      .select(col("v"), col("n_total"),
+        explode(expr(
+          "filter(array(25L, 50L, 75L, 90L, 99L), " +
+            "p -> cum0 < (n_total * p + 99) DIV 100 " +
+            "AND (n_total * p + 99) DIV 100 <= cum)")).as("pct"))
+      .select(col("pct"),
+        expr("(n_total * pct + 99) DIV 100").as("rank"),
+        col("v").cast("double").as("value"))
+      .orderBy("pct")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_quantiles_exact"     -> (qQuantilesExact _),
     "q2_min_cost_supplier"  -> (q2MinCostSupplier _),
     "q7_volume_shipping"    -> (q7VolumeShipping _),
     "q8_market_share"       -> (q8MarketShare _),
@@ -1552,6 +1586,17 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_quantiles_exact" ->
+      """WITH c AS (SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS v, COUNT(*) AS c
+        |  FROM lineitem GROUP BY 1),
+        |cum AS (SELECT v, c, SUM(c) OVER (ORDER BY v) AS cum FROM c),
+        |n AS (SELECT COUNT(*) AS n_total FROM lineitem),
+        |p AS (SELECT unnest(CAST([25, 50, 75, 90, 99] AS BIGINT[])) AS pct)
+        |SELECT pct, (n_total * pct + 99) // 100 AS rank, CAST(v AS DOUBLE) AS value
+        |FROM cum, n, p
+        |WHERE cum - c < (n_total * pct + 99) // 100
+        |  AND (n_total * pct + 99) // 100 <= cum
+        |ORDER BY pct""".stripMargin,
     "q2_min_cost_supplier" ->
       """WITH ps AS (
         |  SELECT l_partkey, l_suppkey, MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost

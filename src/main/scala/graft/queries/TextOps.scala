@@ -1096,6 +1096,31 @@ object TextOps {
       .orderBy("pos")
   }
 
+  // -- corpus snapshot diff -----------------------------------------------------
+  // Dataset-versioning audit: what changed between two corpus releases?
+  // Fingerprint both snapshots (md5 of content), ONE full-outer hash join
+  // on the doc id, classify added / removed / changed / same. The two
+  // snapshots here are deterministic derivations of the one test corpus
+  // (v1 drops doc_id≡6 mod 7, v2 drops ≡4 mod 5 and rewrites ≡0 mod 3) so
+  // every status class is populated. At fleet scale both releases are
+  // bucketed by doc_id (operators/Bucketing) and the join plans with zero
+  // exchanges; only (id, 16-byte fp) pairs move, never the payloads.
+  private def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val v1 = docs(s, dir).filter(expr("doc_id % 7 != 6"))
+      .select(col("doc_id").as("id1"), md5(col("text")).as("fp1"))
+    val v2 = docs(s, dir).filter(expr("doc_id % 5 != 4"))
+      .select(col("doc_id").as("id2"),
+        md5(expr("CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END"))
+          .as("fp2"))
+    v1.join(v2, col("id1") === col("id2"), "full_outer")
+      .select(coalesce(col("id1"), col("id2")).as("doc_id"),
+        when(col("id1").isNull, "added")
+          .when(col("id2").isNull, "removed")
+          .when(col("fp1") =!= col("fp2"), "changed")
+          .otherwise("same").as("status"))
+      .orderBy("doc_id")
+  }
+
   // -- bigram-coverage quality score -------------------------------------------
   // The log-free stand-in for LM-based quality scoring: what fraction of a
   // document's adjacent bigrams are corpus-frequent (count ≥ 5)? Natural
@@ -2058,6 +2083,7 @@ object TextOps {
     "d_distinct_hll"      -> (distinctHll _),
     "d_domain_cap"        -> (domainCap _),
     "d_curriculum"        -> (curriculum _),
+    "d_snapshot_diff"     -> (snapshotDiff _),
     "d_quality_gate_rel"  -> (qualityGateRel _),
     "d_sample_pps"        -> (samplePps _),
     "d_winsorize"         -> (winsorize _),
@@ -2719,6 +2745,17 @@ object TextOps {
         |  ROW_NUMBER() OVER (ORDER BY n_chars // 512,
         |    md5('curr:' || doc_id::VARCHAR), doc_id) - 1 AS pos
         |FROM documents ORDER BY pos""".stripMargin,
+    "d_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 7 != 6),
+        |v2 AS (SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END) AS fp
+        |  FROM documents WHERE doc_id % 5 != 4)
+        |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |       WHEN v2.doc_id IS NULL THEN 'removed'
+        |       WHEN v1.fp != v2.fp THEN 'changed' ELSE 'same' END AS status
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "d_sparse_cosine" ->
       """WITH tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM (
         |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok

@@ -476,4 +476,39 @@ class TextSimSpec extends SparkSpecBase {
         r.getAs[Long]("loss_chars"))
     }
   }
+
+  test("domain cap: bounded-heap plan, at most CapK docs per source") {
+    val df = run("d_domain_cap")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("Window"), plan)
+    val perSource = df.groupBy("source").count().collect()
+    assert(perSource.nonEmpty)
+    perSource.foreach(r => assert(r.getLong(1) <= TextOps.CapK))
+  }
+
+  test("curriculum positions are dense 0..n-1 and bands never decrease") {
+    val rows = run("d_curriculum").collect()
+    val n = spark.read.parquet(s"$sf001/documents.parquet").count()
+    assert(rows.length == n)
+    assert(rows.map(_.getAs[Long]("pos")).toSeq == (0L until n).toSeq)
+    val bands = rows.map(_.getAs[Long]("band")).toSeq
+    assert(bands == bands.sorted, "easy->hard band order is monotone")
+  }
+
+  test("snapshot diff statuses partition the id space consistently") {
+    val rows = run("d_snapshot_diff").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    rows.foreach { case (id, st) =>
+      val inV1 = id % 7 != 6
+      val inV2 = id % 5 != 4
+      val expected =
+        if (!inV1 && inV2) "added"
+        else if (inV1 && !inV2) "removed"
+        else if (id % 3 == 0) "changed"
+        else "same"
+      assert(st == expected, s"doc $id: $st != $expected")
+    }
+    assert(Set("added", "removed", "changed", "same").subsetOf(rows.values.toSet))
+  }
 }

@@ -25,7 +25,8 @@ object ExplainCheck {
     "d_bm25", "d_collocations", "d_mix_temperature", "d_sample_pps",
     "d_sparse_cosine_frac", "d_top_terms", "d_vocab", "d_quantile_norm",
     "d_dsir_weight",
-    "q11_important_stock", "q22_idle_balance", "q_ntile_global", "q_share")
+    "q11_important_stock", "q22_idle_balance", "q_ntile_global", "q_share",
+    "q_quantiles_exact")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
