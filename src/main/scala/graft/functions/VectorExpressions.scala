@@ -176,7 +176,15 @@ object VectorFunctions {
       (args: Seq[Expression]) => VecDot(args(0), args(1))),
     (FunctionIdentifier("vec_norm"),
       new ExpressionInfo(classOf[VecNorm].getName, "vec_norm"),
-      (args: Seq[Expression]) => VecNorm(args.head)))
+      (args: Seq[Expression]) => VecNorm(args.head)),
+    // md5_bits(s, start, n) — start/n must be int literals (folded here so
+    // the expression carries plain ints; usable inside SQL lambdas, where
+    // the Column API can't reach)
+    (FunctionIdentifier("md5_bits"),
+      new ExpressionInfo(classOf[Md5BitsExpr].getName, "md5_bits"),
+      (args: Seq[Expression]) => Md5BitsExpr(args(0),
+        args(1).eval().asInstanceOf[Number].intValue(),
+        args(2).eval().asInstanceOf[Number].intValue())))
 
   /** Register vec_* into an existing session (for `spark.sql` use). */
   def register(spark: SparkSession): Unit =

@@ -156,6 +156,10 @@ object TextOps {
     * reach inside higher-order-function lambdas). Callers unpersist.
     */
   private[graft] def minhashPrep(docs: DataFrame): DataFrame = {
+    // fused md5-prefix hash (functions/Md5BitsExpression) — SQL-registered
+    // so it reaches inside the transform() lambda; value-identical to the
+    // conv(substring(md5)) chain the oracle runs
+    graft.functions.VectorFunctions.register(docs.sparkSession)
     // the intermediate persist is itself a barrier: without it
     // CollapseProject inlines split(text) into the trigram lambda and the
     // text is re-tokenized once per shingle position
@@ -163,7 +167,7 @@ object TextOps {
       .persist()
     val prep = toked.select(col("doc_id"), trigramOfToks.as("ss"))
       .withColumn("bm", expr(
-        "transform(ss, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % 2147483647)"))
+        "transform(ss, s -> md5_bits(s, 1, 15) % 2147483647)"))
       .persist()
     // materialize the outer cache now so the inner one can be dropped here:
     // callers only ever see (and unpersist) `prep`, and a long-running
@@ -283,8 +287,8 @@ object TextOps {
     val tf = docs(s, dir)
       .select(col("doc_id"), explode(tokensExpr).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-      .withColumn("h_hi", expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint)"))
-      .withColumn("h_lo", expr("cast(conv(substring(md5(tok), 9, 8), 16, 10) as bigint)"))
+      .withColumn("h_hi", graft.functions.Md5BitsFunctions.md5Bits(col("tok"), 1, 8))
+      .withColumn("h_lo", graft.functions.Md5BitsFunctions.md5Bits(col("tok"), 9, 8))
     val bitSums = (0 until 64).map { b =>
       val bit =
         if (b < 32) expr(s"shiftright(h_lo, $b) % 2")
@@ -887,8 +891,7 @@ object TextOps {
     val toks = docs(s, dir)
       .select(col("source"), explode(tokensExpr).as("tok"))
       .distinct()
-      .withColumn("h", expr(
-        "cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"))
+      .withColumn("h", graft.functions.Md5BitsFunctions.md5Bits60(col("tok")))
     val exact = toks.groupBy("source").agg(count(lit(1)).as("n_exact"))
     val kth = graft.operators.TopK.perKey(
         toks.select(col("source").as("ksrc"), col("h")),
@@ -1021,8 +1024,7 @@ object TextOps {
     val toks = docs(s, dir)
       .select(col("source"), explode(tokensExpr).as("tok"))
       .distinct()
-      .withColumn("h", expr(
-        "cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"))
+      .withColumn("h", graft.functions.Md5BitsFunctions.md5Bits60(col("tok")))
     toks.groupBy("source").agg(kmv(col("h")).as("r"))
       .select(col("source"), col("r.n_exact").as("n_exact"),
         when(col("r.hk") === Long.MinValue, col("r.n_exact").cast("double"))
@@ -1049,8 +1051,7 @@ object TextOps {
     val toks = docs(s, dir)
       .select(col("source"), explode(tokensExpr).as("tok"))
       .distinct()
-      .withColumn("h", expr(
-        "cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"))
+      .withColumn("h", graft.functions.Md5BitsFunctions.md5Bits60(col("tok")))
     toks.groupBy("source").agg(hll(col("h")).as("r"))
       .select(col("source"), col("r.n_exact").as("n_exact"),
         col("r.s").as("hll_s"), col("r.zeros").as("hll_zeros"),
@@ -1310,8 +1311,9 @@ object TextOps {
   // (est ≥ exact, overshoot = collisions) is visible in the output rather
   // than asserted away. Hashes are salted md5 — identical hex cross-engine.
   private def cmsHeavy(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     def cellExpr(i: Int, tok: String): String =
-      s"cast(conv(substring(md5(concat('cms-$i-', $tok)), 1, 8), 16, 10) as bigint) % 256"
+      s"md5_bits(concat('cms-$i-', $tok), 1, 8) % 256"
     val toks = docs(s, dir).select(explode(tokensExpr).as("tok"))
     // the sketch is built FROM the per-token counts, not the raw stream:
     // Σ_{tok→cell} count(tok) is cell-for-cell identical to counting
@@ -1833,8 +1835,8 @@ object TextOps {
   private def dsirWeight(s: SparkSession, dir: String): DataFrame = {
     val toks = docs(s, dir)
       .select(col("doc_id"), col("source"), explode(tokensExpr).as("tok"))
-      .withColumn("b", expr(
-        "cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint) % 64"))
+      .withColumn("b",
+        graft.functions.Md5BitsFunctions.md5Bits(col("tok"), 1, 8) % 64)
     // read three times (corpus counts, target counts, per-doc score)
     val perDoc = toks.groupBy("doc_id", "source", "b")
       .agg(count(lit(1)).as("c")).persist()
