@@ -106,17 +106,7 @@ object TextOps {
         least(col("a_nss") - col("a_ncap"), col("b_nss") - col("b_ncap"))) >
         col("a_nss") + col("b_nss"))
       .select("a_id", "b_id")
-    pruned
-      .join(d.select(col("doc_id").as("a_id"), col("ss").as("a_ss")), Seq("a_id"))
-      .join(d.select(col("doc_id").as("b_id"), col("ss").as("b_ss")), Seq("b_id"))
-      .withColumn("n_common", size(array_intersect(col("a_ss"), col("b_ss"))).cast("long"))
-      .withColumn("n_union",
-        (size(col("a_ss")) + size(col("b_ss"))).cast("long") - col("n_common"))
-      .withColumn("jaccard",
-        col("n_common").cast("double") / col("n_union").cast("double"))
-      .filter(col("jaccard") > 0.5)
-      .select(col("a_id"), col("b_id"), col("n_common"), col("n_union"), col("jaccard"))
-      .orderBy("a_id", "b_id")
+    exactJaccardVerify(d, pruned)
   }
 
   /** Distinct word-trigram shingles (the MinHash item space — far more
@@ -1033,6 +1023,63 @@ object TextOps {
           .as("est_distinct"))
       .orderBy("source")
   }
+
+  // -- prefix-filtered set-similarity join (AllPairs/PPJoin prefix scheme) ----
+  // The LOSSLESS upgrade of d_dedup_ngram's df-cap: order every document's
+  // shingles by a global rare-first total order (df asc, shingle asc) and
+  // index only the first |x| − ⌈t·|x|⌉ + 1 of them. Prefix-filter lemma
+  // (Bayardo et al., AllPairs; Xiao et al., PPJoin): J(A,B) ≥ t implies
+  // c = |A∩B| ≥ ⌈t·|A|⌉ and ⌈t·|B|⌉, so if the two prefixes were
+  // disjoint, the order-smallest common element would sit in one side's
+  // suffix — and then ALL c common elements sit in that ⌈t·|x|⌉−1-sized
+  // suffix: fewer than c slots. Candidates therefore NEVER miss a true
+  // pair (the df-cap could, when a pair's entire overlap is
+  // stop-shingles), yet only ~(1−t) of the postings are indexed and they
+  // concentrate on rare shingles — small join buckets by construction.
+  // t = 0.7, the MinHash family's threshold (at t the prefix is ~30% of
+  // postings; the t=0.5 variant measured 3× the capped path's time at
+  // sf0.01 — prefix filtering earns its keep at high thresholds).
+  // Gate: the oracle is the UNCAPPED exact all-pairs truth, so any lost
+  // pair fails the round.
+  private def dedupNgramPrefix(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), shingleExpr.as("ss")).persist()
+    val inv = d.select(col("doc_id"), explode(col("ss")).as("s"))
+    val dfs = inv.groupBy("s").agg(count(lit(1)).as("df"))
+    // rare-first rank within each doc; keep rk ≤ |x| − ⌈0.7|x|⌉ + 1
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
+    val prefix = inv.join(dfs, Seq("s"))
+      .join(d.select(col("doc_id"), size(col("ss")).as("nss")), Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= expr("nss - (7 * nss + 9) DIV 10 + 1"))
+      .select(col("doc_id"), col("s"))
+      // both sides of the self-join read this — uncached, the df join +
+      // rank window would run twice (harness clearCache releases it)
+      .persist()
+    val cand = prefix.select(col("doc_id").as("a_id"), col("s"))
+      .join(prefix.select(col("doc_id").as("b_id"), col("s")), Seq("s"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    exactJaccardVerify(d, cand, threshold = 0.7, inclusive = true)
+  }
+
+  /** Shared exact-Jaccard verify: re-join the full shingle sets onto the
+    * candidate pairs and keep J > threshold (≥ when `inclusive`) — used by
+    * the capped and the prefix-filtered candidate generators, one
+    * spelling, no drift. */
+  private def exactJaccardVerify(d: DataFrame, pairs: DataFrame,
+      threshold: Double = 0.5, inclusive: Boolean = false): DataFrame =
+    pairs
+      .join(d.select(col("doc_id").as("a_id"), col("ss").as("a_ss")), Seq("a_id"))
+      .join(d.select(col("doc_id").as("b_id"), col("ss").as("b_ss")), Seq("b_id"))
+      .withColumn("n_common", size(array_intersect(col("a_ss"), col("b_ss"))).cast("long"))
+      .withColumn("n_union",
+        (size(col("a_ss")) + size(col("b_ss"))).cast("long") - col("n_common"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / col("n_union").cast("double"))
+      .filter(if (inclusive) col("jaccard") >= threshold
+              else col("jaccard") > threshold)
+      .select(col("a_id"), col("b_id"), col("n_common"), col("n_union"), col("jaccard"))
+      .orderBy("a_id", "b_id")
 
   // -- HyperLogLog distinct sketch (mergeable Aggregator) ----------------------
   // Third sketch class beside KMV and Count-Min: per-source distinct-token
@@ -2058,6 +2105,7 @@ object TextOps {
     "d_dedup_exact"       -> (dedupExact _),
     "d_dedup_fingerprint" -> (dedupFingerprint _),
     "d_dedup_ngram"       -> (dedupNgram _),
+    "d_dedup_ngram_prefix" -> (dedupNgramPrefix _),
     "d_dedup_minhash"     -> (dedupMinHash _),
     "d_dedup_simhash"     -> (dedupSimHash _),
     "d_dedup_clusters"    -> (dedupClusters _),
@@ -2244,6 +2292,22 @@ object TextOps {
          |SELECT a_id, b_id, n_common, n_union,
          |  n_common::DOUBLE / n_union::DOUBLE AS jaccard
          |FROM scored WHERE n_common::DOUBLE / n_union::DOUBLE > 0.5
+         |ORDER BY a_id, b_id""".stripMargin,
+    // the UNCAPPED exact truth (any pair sharing ≥1 shingle, then exact
+    // verify) — the prefix filter must lose nothing to match this
+    "d_dedup_ngram_prefix" ->
+      s"""WITH sh AS (SELECT doc_id, $shingleSql AS ss FROM documents),
+         |inv AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id),
+         |scored AS (SELECT a_id, b_id,
+         |  len(list_intersect(sa.ss, sb.ss))::BIGINT AS n_common,
+         |  (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)))::BIGINT AS n_union
+         |  FROM cand JOIN sh sa ON cand.a_id = sa.doc_id
+         |            JOIN sh sb ON cand.b_id = sb.doc_id)
+         |SELECT a_id, b_id, n_common, n_union,
+         |  n_common::DOUBLE / n_union::DOUBLE AS jaccard
+         |FROM scored WHERE n_common::DOUBLE / n_union::DOUBLE >= 0.7
          |ORDER BY a_id, b_id""".stripMargin,
     "d_minhash_audit" ->
       s"""WITH $minhashCtes,

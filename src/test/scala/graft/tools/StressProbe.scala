@@ -62,7 +62,9 @@ object StressProbe {
         "s_cosine_topk", "s_hamming_topk", "s_ann_pq", "s_ann_ivfpq",
         "s_dedup_semantic", "s_quantize_int8",
         "s_ann_rerank", "d_sample_pps", "d_winsorize", "d_top_terms",
-        "d_profile", "d_split", "q_triangles", "q_scd2")) {
+        "d_profile", "d_split", "q_triangles", "q_scd2",
+        "d_distinct_hll", "d_domain_cap", "d_curriculum", "d_snapshot_diff",
+        "m_frame_dedup", "q_quantiles_exact")) {
       val t0 = System.nanoTime()
       try {
         val n = graft.SparkEntry.queries(name)(spark, dir).count()
