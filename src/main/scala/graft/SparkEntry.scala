@@ -42,6 +42,8 @@ object SparkEntry {
     "s_hybrid_rrf", "s_hamming_topk", "s_ann_ivfpq", "s_ann_rerank",
     "q_scd2", "q_triangles", "q_ema", "q_window_top3_rewrite", "d_cms_heavy",
     "d_dedup_paragraph", "d_char_lm", "d_dedup_incremental", "s_knn_graph",
-    "q_pagerank", "s_cluster_profile", "d_pack_ffd", "d_sft_render"
+    "q_pagerank", "s_cluster_profile", "d_pack_ffd", "d_sft_render",
+    "d_distinct_hll", "d_domain_cap", "d_curriculum", "m_frame_dedup",
+    "q_quantiles_exact"
   )
 }

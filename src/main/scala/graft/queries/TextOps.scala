@@ -1144,6 +1144,33 @@ object TextOps {
       .orderBy("pos")
   }
 
+  // -- weighted exactly-k sampling (priority / Efraimidis–Spirakis) ------------
+  // d_sample_pps draws size-proportional Bernoulli — right rates, random
+  // OUTPUT SIZE. Priority sampling fixes the size: each doc gets priority
+  // weight / u with u a deterministic salted-hash uniform, and the k
+  // highest priorities are the weighted sample without replacement. u =
+  // (h+1)/2^60 from the 60-bit md5 hash, so the priority is one IEEE
+  // division of exact integers — both engines order identical doubles.
+  // The top-k runs through the global bounded-heap exec: per-partition
+  // partial heaps, ≤ k×partitions rows to the final merge, never a global
+  // sort. Weight here = n_chars (size-biased curation); swap any score.
+  private val WeightedK = 50
+  private def sampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    val prio = docs(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        graft.functions.Md5BitsFunctions
+          .md5Bits(concat(lit("wsample:"), col("doc_id").cast("string")), 1, 15)
+          .as("h"))
+      .withColumn("priority",
+        col("n_chars").cast("double") * lit(1152921504606846976.0) /
+          (col("h") + 1L).cast("double"))
+    graft.operators.TopK.global(prio,
+        Seq(col("priority").desc, col("doc_id").asc), WeightedK)
+      .select(col("doc_id"), col("n_chars"), col("priority"),
+        col("rk").cast("long").as("rk"))
+      .orderBy("rk")
+  }
+
   // -- corpus snapshot diff -----------------------------------------------------
   // Dataset-versioning audit: what changed between two corpus releases?
   // Fingerprint both snapshots (md5 of content), ONE full-outer hash join
@@ -2134,6 +2161,7 @@ object TextOps {
     "d_domain_cap"        -> (domainCap _),
     "d_curriculum"        -> (curriculum _),
     "d_snapshot_diff"     -> (snapshotDiff _),
+    "d_sample_weighted"   -> (sampleWeighted _),
     "d_quality_gate_rel"  -> (qualityGateRel _),
     "d_sample_pps"        -> (samplePps _),
     "d_winsorize"         -> (winsorize _),
@@ -2811,6 +2839,18 @@ object TextOps {
         |  ROW_NUMBER() OVER (ORDER BY n_chars // 512,
         |    md5('curr:' || doc_id::VARCHAR), doc_id) - 1 AS pos
         |FROM documents ORDER BY pos""".stripMargin,
+    "d_sample_weighted" ->
+      s"""SELECT doc_id, n_chars, priority, rk FROM (
+         |  SELECT doc_id, n_chars,
+         |    CAST(n_chars AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) /
+         |      CAST((('0x' || substr(md5('wsample:' || doc_id::VARCHAR), 1, 15))::BIGINT + 1) AS DOUBLE)
+         |      AS priority,
+         |    ROW_NUMBER() OVER (ORDER BY
+         |      CAST(n_chars AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) /
+         |        CAST((('0x' || substr(md5('wsample:' || doc_id::VARCHAR), 1, 15))::BIGINT + 1) AS DOUBLE) DESC,
+         |      doc_id) AS rk
+         |  FROM documents)
+         |WHERE rk <= ${WeightedK} ORDER BY rk""".stripMargin,
     "d_snapshot_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 7 != 6),
         |v2 AS (SELECT doc_id,
