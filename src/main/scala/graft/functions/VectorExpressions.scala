@@ -184,7 +184,17 @@ object VectorFunctions {
       new ExpressionInfo(classOf[Md5BitsExpr].getName, "md5_bits"),
       (args: Seq[Expression]) => Md5BitsExpr(args(0),
         args(1).eval().asInstanceOf[Number].intValue(),
-        args(2).eval().asInstanceOf[Number].intValue())))
+        args(2).eval().asInstanceOf[Number].intValue())),
+    // text_norm(s, 'NFC'|'NFD'|'NFKC'|'NFKD'|'STRIP_ACCENTS') — mode must
+    // be a string literal (folded here, same contract as md5_bits)
+    (FunctionIdentifier("text_norm"),
+      new ExpressionInfo(classOf[TextNormExpr].getName, "text_norm"),
+      (args: Seq[Expression]) => TextNormExpr(args(0),
+        TextNorm.modeOf(args(1).eval().toString))),
+    (FunctionIdentifier("strip_accents"),
+      new ExpressionInfo(classOf[TextNormExpr].getName, "strip_accents"),
+      (args: Seq[Expression]) => TextNormExpr(args.head,
+        TextNorm.STRIP_ACCENTS)))
 
   /** Register vec_* into an existing session (for `spark.sql` use). */
   def register(spark: SparkSession): Unit =

@@ -619,6 +619,52 @@ object TextOps {
   private def piiScrubCustomer(s: SparkSession, dir: String): DataFrame =
     piiScrub(t(s, dir, "customer"), "c_custkey", "c_name")
 
+  // -- unicode canonicalization -------------------------------------------------
+  // Web corpus text arrives in mixed Unicode forms: "é" as one composed
+  // code point or as "e"+U+0301 — byte-distinct, canonically equal, so
+  // un-normalized text silently defeats exact dedup, fingerprinting, and
+  // token matching. `text_norm` (functions/NormalizeExpression) is the
+  // codegen'd NFC/NFKC/strip-accents canonicalizer with an all-ASCII
+  // fast path (one byte scan, zero allocation — the 100 TB hot case).
+  // The synthetic corpus is pure ASCII, so the gate INJECTS the decomposed
+  // form deterministically (literal replace on both engines) and proves:
+  // bytes differ before normalization, md5s agree after, and the NFC text
+  // equals the directly-composed injection.
+  private def normalizeNfc(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    docs(s, dir)
+      .withColumn("raw", expr(
+        "CASE WHEN doc_id % 3 = 0 THEN replace(text, 'e', 'é') ELSE text END"))
+      .withColumn("composed", expr(
+        "CASE WHEN doc_id % 3 = 0 THEN replace(text, 'e', 'é') ELSE text END"))
+      .withColumn("nfc", expr("text_norm(raw, 'NFC')"))
+      .select(col("doc_id"),
+        length(col("raw")).cast("long").as("n_raw"),
+        length(col("nfc")).cast("long").as("n_nfc"),
+        md5(col("raw")).as("md5_raw"),
+        md5(col("nfc")).as("md5_nfc"),
+        (md5(col("nfc")) === md5(col("composed"))).as("canonical_ok"))
+      .orderBy("doc_id")
+  }
+
+  // Accent folding (search/dedup canonicalization): NFD → drop combining
+  // marks → NFC, DuckDB-`strip_accents` parity. Inject COMPOSED accents
+  // (the opposite form from d_normalize, so both decomposition paths are
+  // exercised) and prove folding restores the original ASCII text.
+  private def foldAccents(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    docs(s, dir)
+      .withColumn("accented", expr(
+        "CASE WHEN doc_id % 2 = 0 THEN replace(replace(text, 'a', 'á'), 'o', 'ö') " +
+          "WHEN doc_id % 5 = 1 THEN replace(text, 'e', 'é') ELSE text END"))
+      .withColumn("folded", expr("text_norm(accented, 'STRIP_ACCENTS')"))
+      .select(col("doc_id"),
+        md5(col("accented")).as("md5_accented"),
+        md5(col("folded")).as("md5_folded"),
+        (md5(col("folded")) === md5(col("text"))).as("restored"))
+      .orderBy("doc_id")
+  }
+
   // -- rolling-hash document fingerprint ---------------------------------------
   // Rabin–Karp polynomial rolling hash (base 131, mod 2^31−1 so every
   // intermediate stays < 2^39 — overflow-free BIGINT on both engines):
@@ -2151,6 +2197,8 @@ object TextOps {
     "d_quality"           -> (quality _),
     "d_repetition"        -> (repetition _),
     "d_pii_scrub"         -> (piiScrubCustomer _),
+    "d_normalize"         -> (normalizeNfc _),
+    "d_fold_accents"      -> (foldAccents _),
     "d_lang_id"           -> (langId _),
     "d_mix_weighted"      -> (mixWeighted _),
     "d_mix_temperature"   -> (mixTemperature _),
@@ -2579,6 +2627,31 @@ object TextOps {
          |  regexp_replace(r, '$PiiIdRe', '[ID]', 'g') AS r FROM s3)
          |SELECT c_custkey, n_email, n_phone, n_ip, n_idnum, r AS redacted
          |FROM s4 ORDER BY c_custkey""".stripMargin,
+    // chr(769) = U+0301 combining acute (decomposed form), chr(233) = U+00E9
+    "d_normalize" ->
+      """WITH inj AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN replace(text, 'e', 'e' || chr(769))
+        |       ELSE text END AS raw,
+        |  CASE WHEN doc_id % 3 = 0 THEN replace(text, 'e', chr(233))
+        |       ELSE text END AS composed
+        |FROM documents)
+        |SELECT doc_id, length(raw)::BIGINT AS n_raw,
+        |  length(nfc_normalize(raw))::BIGINT AS n_nfc,
+        |  md5(raw) AS md5_raw, md5(nfc_normalize(raw)) AS md5_nfc,
+        |  md5(nfc_normalize(raw)) = md5(composed) AS canonical_ok
+        |FROM inj ORDER BY doc_id""".stripMargin,
+    // chr(225)/chr(246) = composed a-acute / o-diaeresis
+    "d_fold_accents" ->
+      """WITH inj AS (SELECT doc_id, text,
+        |  CASE WHEN doc_id % 2 = 0
+        |         THEN replace(replace(text, 'a', chr(225)), 'o', chr(246))
+        |       WHEN doc_id % 5 = 1 THEN replace(text, 'e', 'e' || chr(769))
+        |       ELSE text END AS accented
+        |FROM documents)
+        |SELECT doc_id, md5(accented) AS md5_accented,
+        |  md5(strip_accents(accented)) AS md5_folded,
+        |  md5(strip_accents(accented)) = md5(text) AS restored
+        |FROM inj ORDER BY doc_id""".stripMargin,
     // top-multiplicity via per-list count-max here vs sorted-run fold on the
     // Spark side — two different algorithms, same value, which is the point
     "d_repetition" ->
