@@ -99,6 +99,28 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  // -- runtime Bloom-filter join pruning --------------------------------------
+  // The dim filter (brand+size) is selective but NOT on the join key, so a
+  // plain plan ships every lineitem row into the join. BloomPrune builds a
+  // Bloom filter of the 15 surviving part keys with the native distributed
+  // BloomFilterAggregate, broadcasts the one-row blob, and drops ~99% of
+  // the fact scan BEFORE any exchange (at 100 TB: shuffle bytes scale with
+  // matches, not with the fact table). Lossless — Bloom false positives are
+  // removed by the real join that follows — so the oracle is the PLAIN
+  // join SQL, which is the strongest possible gate for a pruning rewrite.
+  private def qBloomPrune(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+      .filter(col("p_brand") === "Brand#3" && col("p_size") < 10)
+    graft.operators.BloomPrune.prunedJoin(li, "l_partkey", p, "p_partkey")
+      .groupBy(col("p_partkey"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_partkey")
+  }
+
   // -- window: top-3 orders per customer ------------------------------------
   private def qWindowTop3(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
@@ -1527,6 +1549,7 @@ object Relational {
     "q5_local_supplier"     -> (q5LocalSupplier _),
     "q4_semi_join"          -> (q4SemiJoin _),
     "q_anti_orders"         -> (qAntiOrders _),
+    "q_bloom_prune"         -> (qBloomPrune _),
     "q_window_top3"         -> (qWindowTop3 _),
     "q_window_top3_topk"    -> (qWindowTop3TopK _),
     "q_window_top3_rewrite" -> (qWindowTop3Rewrite _),
@@ -1778,6 +1801,15 @@ object Relational {
       """SELECT o_orderpriority, COUNT(*) AS n_orders
         |FROM orders
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the PLAIN join — the bloom prune must be invisible in the result
+    "q_bloom_prune" ->
+      """SELECT p_partkey,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |   (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#3' AND p_size < 10
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_window_top3" ->
       """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (

@@ -311,6 +311,44 @@ object Similarity {
           expr("cast(size(e) as double)")), 6).as("rmse_r"))
       .orderBy("vec_id")
 
+  // -- per-dimension standardization (whitening) --------------------------------
+  // Feature scaling before quantization/indexing: z = (x − μ_dim)/σ_dim per
+  // dimension. Cross-engine float determinism via the repo's fixed-point
+  // contract: values are first quantized q = floor(x·2^20) (exact double
+  // product by a power of two, deterministic floor), so Σq and Σq² are
+  // INTEGER aggregates — order-independent, hence hash-gateable — carried
+  // as DECIMAL(38,0) (a BIGINT Σq² overflows near ~10^9 rows per dim at
+  // 100 TB; decimal partial aggs stay exact). μ, σ, z are then ONE shared
+  // IEEE expression tree on both engines. Plan: one posexplode scan + one
+  // hash agg on (pos) — 64 groups — plus a 64-row broadcast join for the
+  // reference vector's z-scores; nothing else moves.
+  private def standardize(s: SparkSession, dir: String): DataFrame = {
+    val q = t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "x")))
+      .select(col("vec_id"), (col("p") + 1).as("pos"),
+        expr("cast(floor(cast(x as double) * 1048576) as bigint)").as("q"))
+    val stats = q.groupBy("pos").agg(
+        count(lit(1)).as("n_vecs"),
+        sum(col("q").cast("decimal(38,0)")).cast("decimal(38,0)").as("sum_q"),
+        sum((col("q") * col("q")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("sumsq_q"))
+      .withColumn("mean_d",
+        col("sum_q").cast("double") / col("n_vecs").cast("double"))
+      .withColumn("std_d", sqrt(
+        (col("sumsq_q").cast("double") -
+          col("mean_d") * col("sum_q").cast("double")) /
+          col("n_vecs").cast("double")))
+    val q0 = q.filter(col("vec_id") === 0)
+      .select(col("pos").as("q0_pos"), col("q").as("q0"))
+    stats.join(broadcast(q0), col("pos") === col("q0_pos"))
+      .select(col("pos"), col("n_vecs"), col("sum_q"), col("sumsq_q"),
+        round(col("mean_d"), 6).as("mean_r"),
+        round(col("std_d"), 6).as("std_r"),
+        round((col("q0").cast("double") - col("mean_d")) / col("std_d"), 6)
+          .as("z0_r"))
+      .orderBy("pos")
+  }
+
   // -- Matryoshka-truncated cosine top-k ---------------------------------------
   // Rank on the first 16 of 64 dims (an MRL-style prefix), renormalized.
   // This is the cheap first pass of a two-stage retrieval: 4× less data
@@ -636,6 +674,7 @@ object Similarity {
     "s_ann_pq"          -> (annPq _),
     "s_ann_ivfpq"       -> (annIvfPq _),
     "s_quantize_int8"   -> (quantizeInt8 _),
+    "s_standardize"     -> (standardize _),
     "s_cosine_mrl"      -> (cosineMrl _),
     "s_cosine_topk"     -> (cosineTopK _),
     "s_ann_lsh"         -> (annLsh _),
@@ -836,6 +875,25 @@ object Similarity {
         |  md5(array_to_string(q, ',')) AS q_md5,
         |  round(sqrt(list_dot_product(d, d) / CAST(dim AS DOUBLE)), 6) AS rmse_r
         |FROM dd ORDER BY vec_id""".stripMargin,
+    "s_standardize" ->
+      """WITH q AS (SELECT vec_id, i AS pos,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT) AS q
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+        |st AS (SELECT pos, COUNT(*) AS n_vecs,
+        |    CAST(SUM(q) AS DECIMAL(38,0)) AS sum_q,
+        |    CAST(SUM(q*q) AS DECIMAL(38,0)) AS sumsq_q
+        |  FROM q GROUP BY 1),
+        |m AS (SELECT pos, n_vecs, sum_q, sumsq_q,
+        |    CAST(sum_q AS DOUBLE)/CAST(n_vecs AS DOUBLE) AS mean_d,
+        |    sqrt((CAST(sumsq_q AS DOUBLE) -
+        |      (CAST(sum_q AS DOUBLE)/CAST(n_vecs AS DOUBLE)) * CAST(sum_q AS DOUBLE))
+        |      / CAST(n_vecs AS DOUBLE)) AS std_d
+        |  FROM st)
+        |SELECT m.pos, n_vecs, sum_q, sumsq_q,
+        |  round(mean_d, 6) AS mean_r, round(std_d, 6) AS std_r,
+        |  round((CAST(q.q AS DOUBLE) - mean_d) / std_d, 6) AS z0_r
+        |FROM m JOIN q ON q.pos = m.pos AND q.vec_id = 0
+        |ORDER BY m.pos""".stripMargin,
     "s_cosine_mrl" ->
       """WITH v AS (SELECT vec_id, list_slice(embedding::DOUBLE[], 1, 16) AS e,
         |    sqrt(list_dot_product(list_slice(embedding::DOUBLE[], 1, 16),

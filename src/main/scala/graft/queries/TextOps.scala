@@ -583,6 +583,151 @@ object TextOps {
       .orderBy("cluster_id")
   }
 
+  // -- q-digest quantile sketch --------------------------------------------------
+  // Quantiles over a LARGE integer domain (here the 16-bit md5 bucket of
+  // every token occurrence — a stand-in for any huge-domain column where
+  // q_quantiles_exact's per-value histogram would be too wide to keep).
+  // Built from exact per-value counts (the d_cms_heavy determinism trick:
+  // the histogram is the one data-sized shuffle AND the mergeable state;
+  // the bottom-up compression in operators/QDigest is then a deterministic
+  // function of it, so both engines produce the bit-identical sketch).
+  // Output value-checks, per target quantile: the sketch estimate, the
+  // exact quantile, the estimate's exact rank (its error is the q-digest
+  // guarantee ≤ n·bits/k, asserted in QDigestSpec), and the sketch size.
+  private val QdBits = 16
+  private val QdK = 64
+  private val QdTargets = Seq(("p25", 1L, 4L), ("p50", 1L, 2L),
+    ("p90", 9L, 10L), ("p99", 99L, 100L))
+
+  private def quantileSketch(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val counts = docs(s, dir)
+      .select(explode(tokensExpr).as("tok"))
+      .select(expr(s"md5_bits(tok, 1, ${QdBits / 4})").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+    val sk = graft.operators.QDigest.sketch(counts, QdBits, QdK)
+    val nRow = counts.agg(sum(col("cnt")).as("n_total")).localCheckpoint(true)
+    val nNodes = sk.agg(count(lit(1)).as("n_nodes")).localCheckpoint(true)
+    // targets: rank r = ceil(q·n) via exact integer arithmetic
+    val targets = {
+      import s.implicits._
+      QdTargets.toDF("label", "nu", "de")
+    }.crossJoin(broadcast(nRow))
+      .select(col("label"),
+        expr("(nu * n_total + de - 1) div de").as("r"))
+    val est = graft.operators.QDigest.quantiles(sk, QdBits, targets)
+    // exact quantile per target: distributed prefix scan over the counts
+    val cum = graft.operators.PrefixSum
+      .exclusive(counts, "v", "cnt", "cum0")
+      .withColumn("cum", col("cum0") + col("cnt"))
+    val exact = cum.crossJoin(broadcast(targets))
+      .filter(col("cum") >= col("r"))
+      .groupBy("label").agg(min(col("v")).as("exact_v"))
+    // rank of the estimate in the exact distribution
+    val estRank = counts.crossJoin(broadcast(est))
+      .groupBy("label", "r", "est")
+      .agg(sum(when(col("v") <= col("est"), col("cnt")).otherwise(0L))
+        .as("est_rank"))
+    estRank.join(exact, Seq("label"))
+      .crossJoin(broadcast(nRow)).crossJoin(broadcast(nNodes))
+      .select(col("label"), col("r"), col("n_total"), col("est"),
+        col("exact_v"), col("est_rank"), col("n_nodes"))
+      .orderBy("label")
+  }
+
+  /** DuckDB mirror of one QDigest compression level (children at level
+    * `l` of state CTE `prev` merge into their parents when the triple
+    * count is under nn.thr). Two CTEs per level: the merge decision and
+    * the new state. */
+  private def qdLevelSql(l: Int, prev: String): String = {
+    val lo = 1L << l
+    val hi = (1L << (l + 1)) - 1L
+    s"""dec$l AS MATERIALIZED (SELECT g.p, g.cs, COALESCE(pp.cnt, 0) AS pc,
+       |    (g.cs + COALESCE(pp.cnt, 0) <= nn.thr) AS mg
+       |  FROM (SELECT id // 2 AS p, SUM(cnt) AS cs FROM $prev
+       |        WHERE id BETWEEN $lo AND $hi GROUP BY 1) g
+       |  LEFT JOIN $prev pp ON pp.id = g.p, nn),
+       |t$l AS MATERIALIZED (
+       |  SELECT s.id, s.cnt FROM $prev s
+       |  WHERE (s.id < $lo OR s.id > $hi)
+       |    AND s.id NOT IN (SELECT p FROM dec$l WHERE mg)
+       |  UNION ALL
+       |  SELECT p AS id, cs + pc AS cnt FROM dec$l WHERE mg
+       |  UNION ALL
+       |  SELECT s.id, s.cnt FROM $prev s JOIN dec$l d ON d.p = s.id // 2
+       |  WHERE s.id BETWEEN $lo AND $hi AND NOT d.mg)""".stripMargin
+  }
+
+  private def quantileSketchOracle: String = {
+    val leafBase = 1L << QdBits
+    val levels = (QdBits to 1 by -1)
+      .map(l => qdLevelSql(l, if (l == QdBits) "s0" else s"t${l + 1}"))
+      .mkString(",\n")
+    val targetVals = QdTargets
+      .map { case (lb, nu, de) => s"('$lb', $nu, $de)" }.mkString(", ")
+    s"""WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+       |  FROM documents),
+       |cnts AS MATERIALIZED (
+       |  SELECT ('0x' || substr(md5(tok), 1, ${QdBits / 4}))::BIGINT AS v,
+       |    COUNT(*)::BIGINT AS cnt FROM toks GROUP BY 1),
+       |nn AS MATERIALIZED (SELECT SUM(cnt)::BIGINT AS n_total,
+       |    SUM(cnt)::BIGINT // $QdK AS thr FROM cnts),
+       |s0 AS MATERIALIZED (
+       |  SELECT (v + $leafBase)::BIGINT AS id, cnt FROM cnts),
+       |$levels,
+       |rng AS (SELECT id, cnt,
+       |    (id - (1::BIGINT << (length(bin(id)) - 1))) *
+       |      (1::BIGINT << ($QdBits - (length(bin(id)) - 1))) AS lo
+       |  FROM t1),
+       |rng2 AS (SELECT id, cnt, lo,
+       |    lo + (1::BIGINT << ($QdBits - (length(bin(id)) - 1))) - 1 AS hi
+       |  FROM rng),
+       |cumw AS (SELECT id, cnt, lo, hi,
+       |    SUM(cnt) OVER (ORDER BY hi, lo
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM rng2),
+       |targets AS (SELECT t.label, (t.nu * nn.n_total + t.de - 1) // t.de AS r
+       |  FROM (VALUES $targetVals) t(label, nu, de), nn),
+       |est AS (SELECT label, r, MIN(hi) AS est
+       |  FROM cumw, targets WHERE cum >= r GROUP BY 1, 2),
+       |cume AS (SELECT v, cnt,
+       |    SUM(cnt) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM cnts),
+       |exact AS (SELECT label, MIN(v) AS exact_v
+       |  FROM cume, targets WHERE cum >= r GROUP BY 1),
+       |rk AS (SELECT e.label, e.r, e.est,
+       |    SUM(CASE WHEN c.v <= e.est THEN c.cnt ELSE 0 END)::BIGINT AS est_rank
+       |  FROM est e, cnts c GROUP BY 1, 2, 3),
+       |nnodes AS (SELECT COUNT(*)::BIGINT AS n_nodes FROM t1)
+       |SELECT rk.label, rk.r, nn.n_total, rk.est, exact.exact_v,
+       |  rk.est_rank, nnodes.n_nodes
+       |FROM rk JOIN exact ON rk.label = exact.label, nn, nnodes
+       |ORDER BY rk.label""".stripMargin
+  }
+
+  // -- preference-pair mining (RLHF / DPO assembly) -----------------------------
+  // From a pool of candidate responses per prompt, build (chosen, rejected)
+  // training pairs: here the prompt key is (source, lang) and the ranking
+  // signal is n_chars (swap in any reward/quality score). ONE aggregation
+  // computes both ends — chosen = max(struct(score, -id)), rejected =
+  // min(struct(score, id)) — so at 100 TB the pair assembly is a single
+  // hash-partial agg that shuffles one struct per group per side, never a
+  // per-group sort or window. Zero-margin groups are dropped (a pair with
+  // no preference signal teaches nothing and its ends could coincide).
+  private def preferencePairs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_candidates"),
+        max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("best"),
+        min(struct(col("n_chars"), col("doc_id"))).as("worst"))
+      .select(col("source"), col("lang"), col("n_candidates"),
+        (-col("best.nid")).as("chosen_id"),
+        col("worst.doc_id").as("rejected_id"),
+        (col("best.n_chars") - col("worst.n_chars")).as("margin"))
+      .filter(col("margin") > 0)
+      .orderBy("source", "lang")
+
   // -- PII detection / redaction ----------------------------------------------
   // Multi-pattern scan-and-mask for corpus scrubbing: emails, phone numbers,
   // IPv4 addresses, then bare digit runs, redacted IN THAT ORDER (each stage
@@ -2199,6 +2344,8 @@ object TextOps {
     "d_pii_scrub"         -> (piiScrubCustomer _),
     "d_normalize"         -> (normalizeNfc _),
     "d_fold_accents"      -> (foldAccents _),
+    "d_preference_pairs"  -> (preferencePairs _),
+    "d_quantile_sketch"   -> (quantileSketch _),
     "d_lang_id"           -> (langId _),
     "d_mix_weighted"      -> (mixWeighted _),
     "d_mix_temperature"   -> (mixTemperature _),
@@ -2627,6 +2774,24 @@ object TextOps {
          |  regexp_replace(r, '$PiiIdRe', '[ID]', 'g') AS r FROM s3)
          |SELECT c_custkey, n_email, n_phone, n_ip, n_idnum, r AS redacted
          |FROM s4 ORDER BY c_custkey""".stripMargin,
+    "d_quantile_sketch" -> quantileSketchOracle,
+    "d_preference_pairs" ->
+      """WITH ranked AS (SELECT source, lang, doc_id, n_chars,
+        |  ROW_NUMBER() OVER (PARTITION BY source, lang
+        |    ORDER BY n_chars DESC, doc_id) AS rb,
+        |  ROW_NUMBER() OVER (PARTITION BY source, lang
+        |    ORDER BY n_chars ASC, doc_id) AS rw
+        |FROM documents),
+        |g AS (SELECT source, lang, COUNT(*) AS n_candidates
+        |      FROM documents GROUP BY 1, 2)
+        |SELECT g.source, g.lang, g.n_candidates,
+        |  b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+        |  b.n_chars - w.n_chars AS margin
+        |FROM g
+        |JOIN ranked b ON b.source = g.source AND b.lang = g.lang AND b.rb = 1
+        |JOIN ranked w ON w.source = g.source AND w.lang = g.lang AND w.rw = 1
+        |WHERE b.n_chars - w.n_chars > 0
+        |ORDER BY g.source, g.lang""".stripMargin,
     // chr(769) = U+0301 combining acute (decomposed form), chr(233) = U+00E9
     "d_normalize" ->
       """WITH inj AS (SELECT doc_id,

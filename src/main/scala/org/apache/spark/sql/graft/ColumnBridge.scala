@@ -21,4 +21,12 @@ object ColumnBridge {
     * catalyst nodes, not the lazy ColumnNode wrapper. */
   def catalystExpression(session: org.apache.spark.sql.classic.SparkSession,
       c: Column): Expression = session.expression(c)
+
+  /** A 1-row 1-column DataFrame as an uncorrelated scalar-subquery
+    * expression — the form expressions like BloomFilterMightContain
+    * require for their "constant" side. The subquery executes once per
+    * query (not per row) and its value is broadcast into codegen. */
+  def scalarSubquery(df: org.apache.spark.sql.DataFrame): Expression =
+    org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].logicalPlan)
 }
