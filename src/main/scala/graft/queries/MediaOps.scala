@@ -202,6 +202,73 @@ object MediaOps {
       .orderBy("doc_id")
   }
 
+  // -- perceptual-hash (aHash) image near-dedup ---------------------------------
+  // Frame-exact dedup (m_frame_dedup) misses re-encoded/brightness-shifted
+  // copies; a perceptual average hash catches them: downsample the grid to
+  // 8×8 integer block means, threshold each cell against the image's own
+  // global mean (brightness-invariant by construction), and band the
+  // 64-bit signature for LSH-style candidate blocking — the same
+  // band-join machinery as SimHash text dedup, so candidate generation
+  // shuffles on band values, never the pair space. The corpus is salted
+  // with deterministic variants (doc_id+100000: first 4 grid rows
+  // overwritten — a logo/watermark edit) whose signatures stay within a
+  // small Hamming distance of the originals, so the gate has real
+  // near-dup structure to find. Signatures are 64-char '0'/'1' strings:
+  // engine-portable (no 64-bit sign-bit hazards) and directly bandable
+  // by substring. Verification is an exact Hamming count per candidate
+  // pair, threshold 16.
+  private val AhCells = 64 // 8×8
+  private val AhBands = 4 // 16-bit bands
+  private val AhMaxHamming = 16
+  private val AhGridW = 16 // narrow grid: the documents payloads are ≤544B
+
+  /** 64-char aHash bitstring of the byte-grid in `text` (≥ 8 full rows of
+    * $AhGridW). `bh` = block height = rows_in DIV 8 must be bound as a
+    * column named bh; cells/global mean are exact integer math. */
+  private val ahBitsExpr: String = {
+    // pixel t of cell ci (block = bh rows × 2 cols):
+    // row = (ci div 8)*bh + t div 2, col = (ci%8)*2 + t%2
+    val cellSum = s"aggregate(sequence(0, cast(bh as int) * 2 - 1), 0L, " +
+      s"(a, t) -> a + ascii(substring(text, " +
+      s"cast(((ci div 8) * bh + t div 2) * $AhGridW + (ci % 8) * 2 + t % 2 + 1 as int), 1)))"
+    val cells = s"transform(sequence(0, ${AhCells - 1}), " +
+      s"ci -> $cellSum div (bh * 2))"
+    // bind the cells array once (the 1-element-transform lambda trick —
+    // an outer withColumn would be re-inlined per element)
+    s"element_at(transform(array($cells), cells -> " +
+      s"concat_ws('', transform(cells, c -> " +
+      s"if(c > aggregate(cells, 0L, (a, x) -> a + x) div $AhCells, '1', '0')))), 1)"
+  }
+
+  private def phashDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.queries.t(s, dir, "documents")
+      .filter(expr(s"doc_id % 3 = 0 AND length(text) >= ${16 * AhGridW}"))
+      .select(col("doc_id"), col("text"))
+    val variants = base.select((col("doc_id") + 100000L).as("doc_id"),
+      expr(s"concat(repeat('z', ${4 * AhGridW}), substring(text, ${4 * AhGridW + 1}))")
+        .as("text"))
+    val sigs = base.union(variants)
+      .withColumn("bh", expr(s"octet_length(text) div $AhGridW div 8"))
+      .select(col("doc_id"), expr(ahBitsExpr).as("bits"))
+    val bands = sigs.select(col("doc_id"), col("bits"),
+      explode(expr((0 until AhBands)
+        .map(i => s"struct($i AS bi, substring(bits, ${i * 16 + 1}, 16) AS bv)")
+        .mkString("array(", ", ", ")"))).as("bd"))
+      .select(col("doc_id"), col("bits"), col("bd.bi"), col("bd.bv"))
+    val a = bands.select(col("bi"), col("bv"), col("doc_id").as("a_id"),
+      col("bits").as("a_bits"))
+    val b = bands.select(col("bi"), col("bv"), col("doc_id").as("b_id"),
+      col("bits").as("b_bits"))
+    a.join(b, Seq("bi", "bv"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_bits", "b_bits").distinct()
+      .withColumn("hamming", expr(s"aggregate(sequence(1, $AhCells), 0L, " +
+        "(a, i) -> a + if(substring(a_bits, i, 1) = substring(b_bits, i, 1), 0L, 1L))"))
+      .filter(col("hamming") <= AhMaxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy("a_id", "b_id")
+  }
+
   // Multimodal record assembly: the join that builds a training record
   // from two modality tables sharing an id — text metadata from
   // `documents`, vector stats from `embeddings`. One hash join on the id;
@@ -230,10 +297,42 @@ object MediaOps {
     "m_resize"         -> (resizeImages _),
     "m_shot_boundaries" -> (shotBoundaries _),
     "m_audio_segments" -> (audioSegments _),
-    "m_frame_dedup"    -> (frameDedup _)
+    "m_frame_dedup"    -> (frameDedup _),
+    "m_phash_dedup"    -> (phashDedup _)
   )
 
   val oracles: Map[String, String] = Map(
+    "m_phash_dedup" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents
+         |  WHERE doc_id % 3 = 0 AND length(text) >= ${16 * AhGridW}),
+         |allimg AS (
+         |  SELECT doc_id, text FROM base
+         |  UNION ALL
+         |  SELECT doc_id + 100000, repeat('z', ${4 * AhGridW}) || substr(text, ${4 * AhGridW + 1})
+         |  FROM base),
+         |sig0 AS (SELECT doc_id, text, length(text) // ${AhGridW * 8} AS bh FROM allimg),
+         |cellsq AS MATERIALIZED (SELECT doc_id,
+         |    list_transform(generate_series(0, ${AhCells - 1}), ci ->
+         |      list_sum(list_transform(generate_series(0, bh * 2 - 1), t ->
+         |        ascii(text[(((ci // 8) * bh + t // 2) * $AhGridW + (ci % 8) * 2 + t % 2 + 1)::INT])))
+         |      // (bh * 2)) AS cells
+         |  FROM sig0),
+         |bitsq AS MATERIALIZED (SELECT doc_id,
+         |    array_to_string(list_transform(cells, c ->
+         |      CASE WHEN c > list_sum(cells) // $AhCells THEN '1' ELSE '0' END), '') AS bits
+         |  FROM cellsq),
+         |bands AS (SELECT doc_id, bits, bi, substr(bits, bi * 16 + 1, 16) AS bv
+         |  FROM bitsq, unnest(generate_series(0, ${AhBands - 1})) AS t(bi)),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    a.bits AS a_bits, b.bits AS b_bits
+         |  FROM bands a JOIN bands b
+         |  ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |h AS (SELECT a_id, b_id,
+         |    list_sum(list_transform(generate_series(1, $AhCells), i ->
+         |      CASE WHEN a_bits[i] = b_bits[i] THEN 0 ELSE 1 END))::BIGINT AS hamming
+         |  FROM cand)
+         |SELECT a_id, b_id, hamming FROM h WHERE hamming <= $AhMaxHamming
+         |ORDER BY a_id, b_id""".stripMargin,
     "m_frame_dedup" ->
       s"""WITH f AS (SELECT doc_id, substr(text, (fi * $ShotFrame + 1)::INT, $ShotFrame) AS fr
          |  FROM documents,

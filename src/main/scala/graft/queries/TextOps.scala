@@ -706,6 +706,32 @@ object TextOps {
        |ORDER BY rk.label""".stripMargin
   }
 
+  // -- exact-quota stratified split ----------------------------------------------
+  // d_split assigns hash buckets — right RATES, binomially-random sizes.
+  // Eval sets want EXACT sizes per stratum: within each lang, rank docs by
+  // a salted hash (deterministic shuffle order) and cut at exact quotas —
+  // val = first ⌊n/10⌋, test = next ⌊n/20⌋, train = rest. The per-stratum
+  // rank is a window PARTITIONED by the stratum — the scale-safe window
+  // shape (each language's rows sort within their own partitions; nothing
+  // global). One shuffle on lang; quotas ride along from the count agg.
+  private def splitExact(s: SparkSession, dir: String): DataFrame = {
+    val ranked = docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        md5(concat(lit("xsplit:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy("h", "doc_id")).cast("long"))
+    val quotas = docs(s, dir).groupBy(col("lang").as("q_lang"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("q_lang"), expr("n div 10").as("n_val"),
+        expr("n div 20").as("n_test"))
+    ranked.join(broadcast(quotas), col("lang") === col("q_lang"))
+      .select(col("doc_id"), col("lang"),
+        when(col("rk") <= col("n_val"), "val")
+          .when(col("rk") <= col("n_val") + col("n_test"), "test")
+          .otherwise("train").as("split"))
+      .orderBy("doc_id")
+  }
+
   // -- preference-pair mining (RLHF / DPO assembly) -----------------------------
   // From a pool of candidate responses per prompt, build (chosen, rejected)
   // training pairs: here the prompt key is (source, lang) and the ranking
@@ -2346,6 +2372,7 @@ object TextOps {
     "d_fold_accents"      -> (foldAccents _),
     "d_preference_pairs"  -> (preferencePairs _),
     "d_quantile_sketch"   -> (quantileSketch _),
+    "d_split_exact"       -> (splitExact _),
     "d_lang_id"           -> (langId _),
     "d_mix_weighted"      -> (mixWeighted _),
     "d_mix_temperature"   -> (mixTemperature _),
@@ -2775,6 +2802,19 @@ object TextOps {
          |SELECT c_custkey, n_email, n_phone, n_ip, n_idnum, r AS redacted
          |FROM s4 ORDER BY c_custkey""".stripMargin,
     "d_quantile_sketch" -> quantileSketchOracle,
+    "d_split_exact" ->
+      """WITH ranked AS (SELECT doc_id, lang,
+        |  ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY md5('xsplit:' || doc_id::VARCHAR), doc_id) AS rk
+        |FROM documents),
+        |q AS (SELECT lang, COUNT(*) // 10 AS n_val, COUNT(*) // 20 AS n_test
+        |      FROM documents GROUP BY 1)
+        |SELECT r.doc_id, r.lang,
+        |  CASE WHEN r.rk <= q.n_val THEN 'val'
+        |       WHEN r.rk <= q.n_val + q.n_test THEN 'test'
+        |       ELSE 'train' END AS split
+        |FROM ranked r JOIN q ON r.lang = q.lang
+        |ORDER BY r.doc_id""".stripMargin,
     "d_preference_pairs" ->
       """WITH ranked AS (SELECT source, lang, doc_id, n_chars,
         |  ROW_NUMBER() OVER (PARTITION BY source, lang
