@@ -311,6 +311,53 @@ object Similarity {
           expr("cast(size(e) as double)")), 6).as("rmse_r"))
       .orderBy("vec_id")
 
+  // -- bitext mining (margin-based parallel-pair extraction) --------------------
+  // The translation-pair miner (Artetxe & Schwenk's margin criterion):
+  // a raw cosine max picks hub vectors that are "closest to everything";
+  // the margin normalizes each candidate similarity by the mean of both
+  // endpoints' top-k neighborhoods, so only pairs that stand OUT of their
+  // neighborhoods survive. Labels stand in for languages (label 0 = src,
+  // label 1 = tgt). Determinism: candidate sims are rounded ratios (the
+  // repo contract); neighborhood means sum the ROUNDED sims in
+  // DECIMAL(18,6) — exact, order-independent — so the margin is one IEEE
+  // division of identical doubles on both engines. Both top-k passes run
+  // through the bounded-heap exec. At fleet scale the all-pairs candidate
+  // stage swaps for the LSH/IVF blocks (same downstream margin plan);
+  // here src×tgt is a broadcast of the smaller language.
+  private val BitextK = 4
+  private def bitextMine(s: SparkSession, dir: String): DataFrame = {
+    val v = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding").as("e"))
+      .withColumn("nrm", vecNorm(col("e")))
+    val src = v.filter(col("label") === 0)
+      .select(col("vec_id").as("a_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val tgt = v.filter(col("label") === 1)
+      .select(col("vec_id").as("b_id"), col("e"), col("nrm"))
+    val sims = tgt.crossJoin(broadcast(src))
+      .withColumn("sim_r", round(dotQE / (col("qn") * col("nrm")), 6))
+      .select("a_id", "b_id", "sim_r")
+    // neighborhood mean over the ROUNDED sims: the sum is exact decimal
+    // (order-independent), cast to double BEFORE the divide — decimal
+    // division precision rules differ across engines, IEEE doubles don't
+    def nbhdAvg(key: String): DataFrame =
+      graft.operators.TopK.perKey(sims, Seq(col(key)),
+          Seq(col("sim_r").desc, col(if (key == "a_id") "b_id" else "a_id").asc),
+          BitextK)
+        .groupBy(key)
+        .agg((sum(col("sim_r").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)).cast("double")).as(s"avg_$key"))
+    val withAvg = sims
+      .join(broadcast(nbhdAvg("a_id")), Seq("a_id"))
+      .join(broadcast(nbhdAvg("b_id")), Seq("b_id"))
+      .withColumn("margin_r", round(col("sim_r") /
+        ((col("avg_a_id") + col("avg_b_id")) / 2.0), 6))
+    graft.operators.TopK.perKey(withAvg, Seq(col("a_id")),
+        Seq(col("margin_r").desc, col("b_id").asc), 1)
+      .filter(col("margin_r") > 1.0)
+      .select(col("a_id"), col("b_id"), col("sim_r"), col("margin_r"))
+      .orderBy("a_id")
+  }
+
   // -- per-dimension standardization (whitening) --------------------------------
   // Feature scaling before quantization/indexing: z = (x − μ_dim)/σ_dim per
   // dimension. Cross-engine float determinism via the repo's fixed-point
@@ -675,6 +722,7 @@ object Similarity {
     "s_ann_ivfpq"       -> (annIvfPq _),
     "s_quantize_int8"   -> (quantizeInt8 _),
     "s_standardize"     -> (standardize _),
+    "s_bitext_mine"     -> (bitextMine _),
     "s_cosine_mrl"      -> (cosineMrl _),
     "s_cosine_topk"     -> (cosineTopK _),
     "s_ann_lsh"         -> (annLsh _),
@@ -875,6 +923,33 @@ object Similarity {
         |  md5(array_to_string(q, ',')) AS q_md5,
         |  round(sqrt(list_dot_product(d, d) / CAST(dim AS DOUBLE)), 6) AS rmse_r
         |FROM dd ORDER BY vec_id""".stripMargin,
+    "s_bitext_mine" ->
+      s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e,
+         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings),
+         |src AS (SELECT vec_id AS a_id, e AS qe, nrm AS qn FROM v WHERE label = 0),
+         |tgt AS (SELECT vec_id AS b_id, e, nrm FROM v WHERE label = 1),
+         |sims AS (SELECT a_id, b_id,
+         |    round(list_dot_product(qe, e) / (qn * nrm), 6) AS sim_r
+         |  FROM src, tgt),
+         |fa AS (SELECT a_id,
+         |    CAST(SUM(sim_r::DECIMAL(18,6)) AS DOUBLE) / COUNT(*)::DOUBLE AS avg_a
+         |  FROM (SELECT a_id, sim_r, ROW_NUMBER() OVER (PARTITION BY a_id
+         |      ORDER BY sim_r DESC, b_id) AS rk FROM sims)
+         |  WHERE rk <= $BitextK GROUP BY 1),
+         |fb AS (SELECT b_id,
+         |    CAST(SUM(sim_r::DECIMAL(18,6)) AS DOUBLE) / COUNT(*)::DOUBLE AS avg_b
+         |  FROM (SELECT b_id, sim_r, ROW_NUMBER() OVER (PARTITION BY b_id
+         |      ORDER BY sim_r DESC, a_id) AS rk FROM sims)
+         |  WHERE rk <= $BitextK GROUP BY 1),
+         |m AS (SELECT s.a_id, s.b_id, s.sim_r,
+         |    round(s.sim_r / ((fa.avg_a + fb.avg_b) / 2.0), 6) AS margin_r
+         |  FROM sims s JOIN fa USING (a_id) JOIN fb USING (b_id)),
+         |best AS (SELECT a_id, b_id, sim_r, margin_r,
+         |    ROW_NUMBER() OVER (PARTITION BY a_id
+         |      ORDER BY margin_r DESC, b_id) AS rk FROM m)
+         |SELECT a_id, b_id, sim_r, margin_r FROM best
+         |WHERE rk = 1 AND margin_r > 1.0 ORDER BY a_id""".stripMargin,
     "s_standardize" ->
       """WITH q AS (SELECT vec_id, i AS pos,
         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT) AS q

@@ -492,6 +492,44 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // -- fuzzy benchmark decontamination -------------------------------------------
+  // d_decontaminate is exact n-gram containment — it misses paraphrased or
+  // lightly-edited benchmark leaks. The fuzzy pass reuses the MinHash LSH
+  // machinery: band the BENCH slice and the corpus with the same 12-hash/
+  // 4-band family, candidates = corpus bands ⋈ bench bands (shuffle keyed
+  // on band hashes — the bench side is tiny, so at fleet scale this is a
+  // broadcast), then verify exact trigram-set Jaccard ≥ 0.5 (looser than
+  // the 0.7 dedup threshold: decontamination prefers false positives over
+  // leaked eval data). Output: each contaminated corpus doc with its match
+  // count and strongest overlap.
+  private val FuzzyBenchMod = 6
+  private def decontaminateFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val d = minhashPrep(docs(s, dir))
+    val bands = minhashBandsOf(d)
+    val bb = bands.filter(col("doc_id") % FuzzyBenchMod === 0)
+      .select(col("band_idx"), col("band_hash"), col("doc_id").as("bench_id"))
+    val cb = bands.filter(col("doc_id") % FuzzyBenchMod =!= 0)
+    val cand = cb.join(bb, Seq("band_idx", "band_hash"))
+      .select("doc_id", "bench_id").distinct()
+    val sets = d.select(col("doc_id"), col("ss"))
+    val out = cand
+      .join(sets.select(col("doc_id"), col("ss").as("c_ss")), Seq("doc_id"))
+      .join(sets.select(col("doc_id").as("bench_id"), col("ss").as("b_ss")),
+        Seq("bench_id"))
+      .withColumn("n_common",
+        size(array_intersect(col("c_ss"), col("b_ss"))).cast("long"))
+      .withColumn("n_union",
+        (size(col("c_ss")) + size(col("b_ss"))).cast("long") - col("n_common"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / col("n_union").cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bench_matches"),
+        max(col("jaccard")).as("max_jaccard"))
+      .orderBy("doc_id")
+    out
+  }
+
   // -- duplicate-span inventory (exact substring dedup) -----------------------
   // Span-level exact dedup à la "Deduplicating Training Data Makes Language
   // Models Better": every SpanK-token window is hashed and windows whose hash
@@ -704,6 +742,37 @@ object TextOps {
        |  rk.est_rank, nnodes.n_nodes
        |FROM rk JOIN exact ON rk.label = exact.label, nn, nnodes
        |ORDER BY rk.label""".stripMargin
+  }
+
+  // -- length-bucketed batch assembly (padding-waste minimization) --------------
+  // Inference/eval batching wastes compute padding every sequence to the
+  // batch max; bucketing by length first bounds that waste by the bucket
+  // width. Batches of 8 are formed inside 64-char length buckets, in a
+  // deterministic salted-hash order. Scale spelling: per-bucket ranks are
+  // NOT a per-bucket window (one hot bucket = one reducer) — the global
+  // dense position comes from the distributed prefix scan ordered by
+  // (bucket, hash), per-bucket rank = pos − min(pos of bucket), with the
+  // bucket-min join a broadcast (buckets are bounded by max_len/64, a
+  // domain constant, not by data). Output: per batch, its size, max
+  // length, and padding waste = n·max − Σlen.
+  private val BatchSize = 8
+  private def batchBuckets(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("n_chars"),
+      expr("n_chars div 64").as("bucket"),
+      md5(concat(lit("batch:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("one", lit(1L))
+    val pos = graft.operators.PrefixSum.exclusive(d,
+      Seq(col("bucket"), col("h"), col("doc_id")), "one", "pos", 0)
+    val minPos = pos.groupBy(col("bucket").as("b2"))
+      .agg(min(col("pos")).as("min_pos"))
+    pos.join(broadcast(minPos), col("bucket") === col("b2"))
+      .withColumn("rk", col("pos") - col("min_pos"))
+      .withColumn("batch_idx", expr(s"rk div $BatchSize"))
+      .groupBy("bucket", "batch_idx")
+      .agg(count(lit(1)).as("n_items"), max(col("n_chars")).as("max_len"),
+        (count(lit(1)) * max(col("n_chars")) - sum(col("n_chars")))
+          .as("waste"))
+      .orderBy("bucket", "batch_idx")
   }
 
   // -- exact-quota stratified split ----------------------------------------------
@@ -2373,6 +2442,8 @@ object TextOps {
     "d_preference_pairs"  -> (preferencePairs _),
     "d_quantile_sketch"   -> (quantileSketch _),
     "d_split_exact"       -> (splitExact _),
+    "d_batch_buckets"     -> (batchBuckets _),
+    "d_decontam_fuzzy"    -> (decontaminateFuzzy _),
     "d_lang_id"           -> (langId _),
     "d_mix_weighted"      -> (mixWeighted _),
     "d_mix_temperature"   -> (mixTemperature _),
@@ -2802,6 +2873,31 @@ object TextOps {
          |SELECT c_custkey, n_email, n_phone, n_ip, n_idnum, r AS redacted
          |FROM s4 ORDER BY c_custkey""".stripMargin,
     "d_quantile_sketch" -> quantileSketchOracle,
+    "d_decontam_fuzzy" ->
+      s"""WITH $minhashBandCtes,
+         |candf AS (SELECT DISTINCT c.doc_id AS doc_id, b.doc_id AS bench_id
+         |  FROM bands c JOIN bands b
+         |    ON c.b = b.b AND c.band_hash = b.band_hash
+         |  WHERE b.doc_id % $FuzzyBenchMod = 0 AND c.doc_id % $FuzzyBenchMod != 0),
+         |scoredf AS (SELECT candf.doc_id, candf.bench_id,
+         |    len(list_intersect(sc.ss, sb.ss))::BIGINT AS n_common,
+         |    (len(sc.ss) + len(sb.ss) - len(list_intersect(sc.ss, sb.ss)))::BIGINT AS n_union
+         |  FROM candf JOIN sh sc ON candf.doc_id = sc.doc_id
+         |             JOIN sh sb ON candf.bench_id = sb.doc_id)
+         |SELECT doc_id, COUNT(*)::BIGINT AS n_bench_matches,
+         |  MAX(n_common::DOUBLE / n_union::DOUBLE) AS max_jaccard
+         |FROM scoredf WHERE n_common::DOUBLE / n_union::DOUBLE >= 0.5
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d_batch_buckets" ->
+      s"""WITH d AS (SELECT doc_id, n_chars, n_chars // 64 AS bucket,
+         |    md5('batch:' || doc_id::VARCHAR) AS h FROM documents),
+         |r AS (SELECT doc_id, n_chars, bucket,
+         |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY h, doc_id) - 1 AS rk
+         |  FROM d)
+         |SELECT bucket, rk // $BatchSize AS batch_idx, COUNT(*) AS n_items,
+         |  MAX(n_chars) AS max_len,
+         |  COUNT(*) * MAX(n_chars) - SUM(n_chars)::BIGINT AS waste
+         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "d_split_exact" ->
       """WITH ranked AS (SELECT doc_id, lang,
         |  ROW_NUMBER() OVER (PARTITION BY lang

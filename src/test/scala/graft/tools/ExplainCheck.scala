@@ -18,13 +18,14 @@ object ExplainCheck {
     "s_contrastive_pairs", "s_hybrid_rrf", "s_ann_lsh", "s_ann_lsh_probe",
     "s_ann_rerank", "s_hamming_topk", "s_dedup_embedding", "s_dedup_semantic",
     "s_knn_graph", "s_cluster_profile", "s_quantize_int8", "s_hard_negatives",
+    "s_bitext_mine", // broadcast smaller-language vectors × corpus scan
     "d_decontaminate",
     // crossJoin(broadcast(<=#groups-row aggregate>)) — the scalar-attach
     // pattern (grand totals, corpus counts, temperature rates); a BNLJ
     // against a broadcast 1-row side IS the right plan
     "d_bm25", "d_collocations", "d_mix_temperature", "d_sample_pps",
     "d_sparse_cosine_frac", "d_top_terms", "d_vocab", "d_quantile_norm",
-    "d_dsir_weight",
+    "d_dsir_weight", "d_quantile_sketch", // n/thr scalars + 4-row targets
     "q11_important_stock", "q22_idle_balance", "q_ntile_global", "q_share",
     "q_quantiles_exact")
 

@@ -64,7 +64,11 @@ object StressProbe {
         "s_ann_rerank", "d_sample_pps", "d_winsorize", "d_top_terms",
         "d_profile", "d_split", "q_triangles", "q_scd2",
         "d_distinct_hll", "d_domain_cap", "d_curriculum", "d_snapshot_diff",
-        "m_frame_dedup", "q_quantiles_exact")) {
+        "m_frame_dedup", "q_quantiles_exact",
+        "d_sample_weighted", "d_normalize", "d_fold_accents",
+        "d_preference_pairs", "d_quantile_sketch", "d_split_exact",
+        "s_standardize", "m_phash_dedup", "q_bloom_prune",
+        "d_batch_buckets", "d_decontam_fuzzy")) {
       val t0 = System.nanoTime()
       try {
         val n = graft.SparkEntry.queries(name)(spark, dir).count()
