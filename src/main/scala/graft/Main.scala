@@ -402,8 +402,15 @@ object Main {
     * manifest rows print to stdout (control-plane: splits×languages).
     */
   private def runCorpus(spark: SparkSession, a: Args): Unit = {
-    val manifest = graft.operators.CorpusRelease.run(spark,
-      a.required("in"), a.required("out"), a.long("min-tokens", 50L))
+    // `corpus -in RAW -out R1` = batch release;
+    // `corpus -prev R1 -delta DIR -out R2` = incremental maintenance
+    val manifest = a.str("delta") match {
+      case Some(delta) => graft.operators.CorpusRelease.applyDelta(spark,
+        a.required("prev"), delta, a.required("out"),
+        a.long("min-tokens", 50L))
+      case None => graft.operators.CorpusRelease.run(spark,
+        a.required("in"), a.required("out"), a.long("min-tokens", 50L))
+    }
     manifest.collect().foreach { r =>
       println(s"[corpus] ${r.getString(0)} ${r.getString(1)}: " +
         s"${r.getLong(2)} docs, ${r.getLong(3)} tokens")

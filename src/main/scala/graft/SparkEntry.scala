@@ -44,6 +44,7 @@ object SparkEntry {
     "d_dedup_paragraph", "d_char_lm", "d_dedup_incremental", "s_knn_graph",
     "q_pagerank", "s_cluster_profile", "d_pack_ffd", "d_sft_render",
     "d_distinct_hll", "d_domain_cap", "d_curriculum", "m_frame_dedup",
-    "q_quantiles_exact", "q_bloom_prune"
+    "q_quantiles_exact", "q_bloom_prune",
+    "m_phash_dedup", "d_batch_buckets", "s_bitext_mine", "d_decontam_fuzzy"
   )
 }

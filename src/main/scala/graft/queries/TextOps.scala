@@ -744,6 +744,44 @@ object TextOps {
        |ORDER BY rk.label""".stripMargin
   }
 
+  // -- sample-based profiling with error audit ------------------------------------
+  // At 100 TB you profile a deterministic hash sample, not the corpus.
+  // This op computes mean/variance of n_chars from a ~5% md5 sample AND
+  // from the full data, side by side with the absolute error and the
+  // CLT standard-error bound — the audit that tells you whether the cheap
+  // estimate is trustworthy. All sums are integer (n_chars, n_chars²)
+  // carried in DECIMAL(38,0); means/variances are shared IEEE trees.
+  // Plan: two scans (sample is a pure per-row hash filter — no shuffle
+  // beyond the two 1-row aggregates), one 1-row join.
+  private def sampleEstimate(s: SparkSession, dir: String): DataFrame = {
+    def stats(df: DataFrame, prefix: String): DataFrame =
+      df.agg(count(lit(1)).as(s"${prefix}_n"),
+          sum(col("n_chars").cast("decimal(38,0)")).cast("decimal(38,0)")
+            .as(s"${prefix}_sum"),
+          sum((col("n_chars") * col("n_chars")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)").as(s"${prefix}_sumsq"))
+        .withColumn(s"${prefix}_mean",
+          col(s"${prefix}_sum").cast("double") /
+            col(s"${prefix}_n").cast("double"))
+        .withColumn(s"${prefix}_var",
+          (col(s"${prefix}_sumsq").cast("double") -
+            col(s"${prefix}_mean") * col(s"${prefix}_sum").cast("double")) /
+            col(s"${prefix}_n").cast("double"))
+    graft.functions.VectorFunctions.register(s)
+    val d = docs(s, dir)
+    val sample = d.filter(
+      expr("md5_bits(concat('est:', cast(doc_id as string)), 1, 8) % 20 = 0"))
+    stats(sample, "s").crossJoin(broadcast(stats(d, "f")))
+      .select(col("s_n"), col("f_n"),
+        round(col("s_mean"), 6).as("s_mean_r"),
+        round(col("f_mean"), 6).as("f_mean_r"),
+        round(abs(col("s_mean") - col("f_mean")), 6).as("mean_abs_err"),
+        // CLT standard error of the sample mean, from the SAMPLE variance
+        round(sqrt(col("s_var") / col("s_n").cast("double")), 6)
+          .as("mean_se"),
+        round(sqrt(col("f_var")), 6).as("f_std_r"))
+  }
+
   // -- length-bucketed batch assembly (padding-waste minimization) --------------
   // Inference/eval batching wastes compute padding every sequence to the
   // batch max; bucketing by length first bounds that waste by the bucket
@@ -1714,14 +1752,28 @@ object TextOps {
     * (operators/CorpusRelease), so the shipped tool cannot drift from the
     * oracle-gated semantics.
     */
-  private[graft] def releaseKept(d: DataFrame, minTokens: Long): DataFrame = {
-    val base = d.withColumn("n_tokens", size(tokensExpr).cast("long"))
+  /** The release's quality gate + dedup key: every doc that passes the
+    * token floor, with its text hash attached. This frame (winners AND
+    * losers) is the release's dedup STATE — the analog of the OSM element
+    * cache: CorpusRelease persists it so later deltas can resurrect a
+    * loser when its winner is deleted. */
+  private[graft] def releaseGated(d: DataFrame, minTokens: Long): DataFrame =
+    d.withColumn("n_tokens", size(tokensExpr).cast("long"))
       .filter(col("n_tokens") >= minTokens)
-    val survivors = base.groupBy(md5(col("text")).as("h"))
+      .withColumn("text_hash", md5(col("text")))
+
+  /** Winners of a gated frame: min doc_id per text hash, split-assigned.
+    * Shared by the batch release and the delta path's touched-hash slice —
+    * one spelling, so incremental and rebuild cannot drift. */
+  private[graft] def releaseWinnersOf(gated: DataFrame): DataFrame = {
+    val survivors = gated.groupBy(col("text_hash").as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    withSplit(base.join(survivors, Seq("doc_id")))
+    withSplit(gated.join(survivors, Seq("doc_id")))
   }
+
+  private[graft] def releaseKept(d: DataFrame, minTokens: Long): DataFrame =
+    releaseWinnersOf(releaseGated(d, minTokens))
 
   /** (split, lang) rollup of a releaseKept frame — shared with the CLI. */
   private[graft] def releaseManifestOf(kept: DataFrame): DataFrame =
@@ -2444,6 +2496,7 @@ object TextOps {
     "d_split_exact"       -> (splitExact _),
     "d_batch_buckets"     -> (batchBuckets _),
     "d_decontam_fuzzy"    -> (decontaminateFuzzy _),
+    "d_sample_estimate"   -> (sampleEstimate _),
     "d_lang_id"           -> (langId _),
     "d_mix_weighted"      -> (mixWeighted _),
     "d_mix_temperature"   -> (mixTemperature _),
@@ -2873,6 +2926,31 @@ object TextOps {
          |SELECT c_custkey, n_email, n_phone, n_ip, n_idnum, r AS redacted
          |FROM s4 ORDER BY c_custkey""".stripMargin,
     "d_quantile_sketch" -> quantileSketchOracle,
+    "d_sample_estimate" ->
+      """WITH s AS (SELECT COUNT(*)::BIGINT AS s_n,
+        |    CAST(SUM(n_chars) AS DECIMAL(38,0)) AS s_sum,
+        |    CAST(SUM(n_chars * n_chars) AS DECIMAL(38,0)) AS s_sumsq
+        |  FROM documents
+        |  WHERE ('0x' || substr(md5('est:' || doc_id::VARCHAR), 1, 8))::BIGINT % 20 = 0),
+        |f AS (SELECT COUNT(*)::BIGINT AS f_n,
+        |    CAST(SUM(n_chars) AS DECIMAL(38,0)) AS f_sum,
+        |    CAST(SUM(n_chars * n_chars) AS DECIMAL(38,0)) AS f_sumsq
+        |  FROM documents),
+        |m AS (SELECT s_n, f_n,
+        |    CAST(s_sum AS DOUBLE) / CAST(s_n AS DOUBLE) AS s_mean,
+        |    CAST(f_sum AS DOUBLE) / CAST(f_n AS DOUBLE) AS f_mean,
+        |    (CAST(s_sumsq AS DOUBLE) -
+        |      (CAST(s_sum AS DOUBLE) / CAST(s_n AS DOUBLE)) * CAST(s_sum AS DOUBLE))
+        |      / CAST(s_n AS DOUBLE) AS s_var,
+        |    (CAST(f_sumsq AS DOUBLE) -
+        |      (CAST(f_sum AS DOUBLE) / CAST(f_n AS DOUBLE)) * CAST(f_sum AS DOUBLE))
+        |      / CAST(f_n AS DOUBLE) AS f_var
+        |  FROM s, f)
+        |SELECT s_n, f_n, round(s_mean, 6) AS s_mean_r, round(f_mean, 6) AS f_mean_r,
+        |  round(abs(s_mean - f_mean), 6) AS mean_abs_err,
+        |  round(sqrt(s_var / CAST(s_n AS DOUBLE)), 6) AS mean_se,
+        |  round(sqrt(f_var), 6) AS f_std_r
+        |FROM m""".stripMargin,
     "d_decontam_fuzzy" ->
       s"""WITH $minhashBandCtes,
          |candf AS (SELECT DISTINCT c.doc_id AS doc_id, b.doc_id AS bench_id
