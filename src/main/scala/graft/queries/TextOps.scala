@@ -744,6 +744,37 @@ object TextOps {
        |ORDER BY rk.label""".stripMargin
   }
 
+  // -- data-contract validation report --------------------------------------------
+  // The ingest gate a production corpus runs before anything else: one
+  // scan computes every contract check as a conditional aggregate —
+  // null/empty payloads, out-of-domain language codes, metadata that
+  // disagrees with the payload (n_chars vs length(text)), id uniqueness —
+  // and the report unpivots to one row per check. At 100 TB this is ONE
+  // pass with map-side partials (the id-uniqueness check is the only
+  // distinct, and it shares the same shuffle); violations are counted,
+  // not collected.
+  private val ValidLangs = Seq("en", "de", "fr", "es", "zh")
+  private def validateContract(s: SparkSession, dir: String): DataFrame = {
+    val langList = ValidLangs.map(l => s"'$l'").mkString(", ")
+    docs(s, dir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+          .otherwise(0L)).as("empty_text"),
+        sum(when(!col("lang").isin(ValidLangs: _*), 1L).otherwise(0L))
+          .as("bad_lang"),
+        sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
+          .as("n_chars_mismatch"),
+        sum(when(col("doc_id").isNull || col("doc_id") < 0, 1L)
+          .otherwise(0L)).as("bad_id"),
+        (count(lit(1)) - countDistinct(col("doc_id"))).as("dup_ids"))
+      .select(expr(
+        "stack(6, 'n_rows', n_rows, 'empty_text', empty_text, " +
+          "'bad_lang', bad_lang, 'n_chars_mismatch', n_chars_mismatch, " +
+          "'bad_id', bad_id, 'dup_ids', dup_ids) AS (check, n)"))
+      .orderBy("check")
+  }
+
   // -- sample-based profiling with error audit ------------------------------------
   // At 100 TB you profile a deterministic hash sample, not the corpus.
   // This op computes mean/variance of n_chars from a ~5% md5 sample AND
@@ -1219,6 +1250,58 @@ object TextOps {
             lit(1152921504606846976L).cast("double") / col("hk").cast("double"))
           .as("est_distinct"))
       .orderBy("source")
+  }
+
+  // -- KMV set-operation estimation (source-overlap audit) ------------------------
+  // "How much do two crawls overlap?" — answered from two bottom-k
+  // sketches WITHOUT comparing the sets: bottom-k sketches are mergeable
+  // under union (bottom-k of the union of two saturated sketches = the
+  // union's sketch), the k-th smallest hash estimates |A∪B| exactly like
+  // d_distinct_kmv, and the fraction ρ of the merged sketch's members
+  // present in BOTH input sketches estimates Jaccard, giving
+  // |A∩B| ≈ ρ·est(|A∪B|). Exact values ride along so the gate
+  // value-checks estimator and truth side by side. Everything after the
+  // distinct-token aggregate moves ≤ k rows per side.
+  private def distinctOverlap(s: SparkSession, dir: String): DataFrame = {
+    // 5-char shingles, not word tokens: the synthetic vocabulary is ~31
+    // words, far below k — shingles (~1.9k per language) saturate the
+    // sketches so the estimator actually estimates
+    val toks = docs(s, dir)
+      .filter(col("lang").isin("en", "de"))
+      .select(col("lang").as("source"), explode(shingleExpr).as("tok"))
+      .distinct()
+      .withColumn("h", graft.functions.Md5BitsFunctions.md5Bits60(col("tok")))
+      .persist()
+    val sk = graft.operators.TopK.perKey(toks.select(col("source"), col("h")),
+      Seq(col("source")), Seq(col("h").asc), KmvK)
+    val a = sk.filter(col("source") === "en").select(col("h").as("ha"))
+    val b = sk.filter(col("source") === "de").select(col("h").as("hb"))
+    val merged = graft.operators.TopK.global(
+      a.select(col("ha").as("h")).union(b.select(col("hb").as("h"))).distinct(),
+      Seq(col("h").asc), KmvK)
+    val hk = merged.filter(col("rk") === KmvK).select(col("h").as("hk"))
+    val nBoth = merged.join(broadcast(a), col("h") === col("ha"), "left_semi")
+      .join(broadcast(b), col("h") === col("hb"), "left_semi")
+      .agg(count(lit(1)).as("n_both"))
+    val exactA = toks.filter(col("source") === "en")
+      .agg(count(lit(1)).as("exact_a"))
+    val exactB = toks.filter(col("source") === "de")
+      .agg(count(lit(1)).as("exact_b"))
+    val exactU = toks.select("tok").distinct()
+      .agg(count(lit(1)).as("exact_union"))
+    val exactI = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .filter(col("c") === 2).agg(count(lit(1)).as("exact_inter"))
+    val estU = lit((KmvK - 1).toDouble) *
+      lit(1152921504606846976L).cast("double") / col("hk").cast("double")
+    val rho = col("n_both").cast("double") / lit(KmvK.toDouble)
+    exactA.crossJoin(broadcast(exactB)).crossJoin(broadcast(exactU))
+      .crossJoin(broadcast(exactI)).crossJoin(broadcast(hk))
+      .crossJoin(broadcast(nBoth))
+      .select(col("exact_a"), col("exact_b"), col("exact_union"),
+        col("exact_inter"), col("n_both"),
+        round(estU, 6).as("est_union_r"),
+        round(rho, 6).as("jaccard_est_r"),
+        round(rho * estU, 6).as("est_inter_r"))
   }
 
   // -- sparse lexical cosine via inverted index --------------------------------
@@ -2497,6 +2580,8 @@ object TextOps {
     "d_batch_buckets"     -> (batchBuckets _),
     "d_decontam_fuzzy"    -> (decontaminateFuzzy _),
     "d_sample_estimate"   -> (sampleEstimate _),
+    "d_validate"          -> (validateContract _),
+    "d_distinct_overlap"  -> (distinctOverlap _),
     "d_lang_id"           -> (langId _),
     "d_mix_weighted"      -> (mixWeighted _),
     "d_mix_temperature"   -> (mixTemperature _),
@@ -2926,6 +3011,51 @@ object TextOps {
          |SELECT c_custkey, n_email, n_phone, n_ip, n_idnum, r AS redacted
          |FROM s4 ORDER BY c_custkey""".stripMargin,
     "d_quantile_sketch" -> quantileSketchOracle,
+    "d_distinct_overlap" ->
+      s"""WITH toks AS (SELECT DISTINCT source, tok FROM (
+         |  SELECT lang AS source, unnest($shingleSql) AS tok
+         |  FROM documents WHERE lang IN ('en', 'de'))),
+         |th AS (SELECT source, tok,
+         |    ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+         |ska AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rk
+         |  FROM th WHERE source = 'en') WHERE rk <= $KmvK),
+         |skb AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rk
+         |  FROM th WHERE source = 'de') WHERE rk <= $KmvK),
+         |mg AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rk FROM (
+         |  SELECT DISTINCT h FROM (SELECT h FROM ska UNION ALL SELECT h FROM skb))),
+         |mk AS (SELECT h, rk FROM mg WHERE rk <= $KmvK),
+         |hk AS (SELECT h AS hk FROM mk WHERE rk = $KmvK),
+         |nb AS (SELECT COUNT(*)::BIGINT AS n_both FROM mk
+         |  WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)),
+         |ea AS (SELECT COUNT(*)::BIGINT AS exact_a FROM th WHERE source = 'en'),
+         |eb AS (SELECT COUNT(*)::BIGINT AS exact_b FROM th WHERE source = 'de'),
+         |eu AS (SELECT COUNT(DISTINCT tok)::BIGINT AS exact_union FROM toks),
+         |ei AS (SELECT COUNT(*)::BIGINT AS exact_inter FROM (
+         |  SELECT tok FROM toks GROUP BY tok HAVING COUNT(*) = 2))
+         |SELECT exact_a, exact_b, exact_union, exact_inter, n_both,
+         |  round(${KmvK - 1}.0 * CAST(1152921504606846976 AS DOUBLE)
+         |    / CAST(hk AS DOUBLE), 6) AS est_union_r,
+         |  round(CAST(n_both AS DOUBLE) / ${KmvK}.0, 6) AS jaccard_est_r,
+         |  round((CAST(n_both AS DOUBLE) / ${KmvK}.0) *
+         |    (${KmvK - 1}.0 * CAST(1152921504606846976 AS DOUBLE)
+         |      / CAST(hk AS DOUBLE)), 6) AS est_inter_r
+         |FROM ea, eb, eu, ei, hk, nb""".stripMargin,
+    "d_validate" ->
+      """WITH a AS (SELECT COUNT(*)::BIGINT AS n_rows,
+        |  SUM(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END)::BIGINT AS empty_text,
+        |  SUM(CASE WHEN lang NOT IN ('en', 'de', 'fr', 'es', 'zh') THEN 1 ELSE 0 END)::BIGINT AS bad_lang,
+        |  SUM(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END)::BIGINT AS n_chars_mismatch,
+        |  SUM(CASE WHEN doc_id IS NULL OR doc_id < 0 THEN 1 ELSE 0 END)::BIGINT AS bad_id,
+        |  (COUNT(*) - COUNT(DISTINCT doc_id))::BIGINT AS dup_ids
+        |FROM documents)
+        |SELECT "check", n FROM (
+        |  SELECT 'n_rows' AS "check", n_rows AS n FROM a
+        |  UNION ALL SELECT 'empty_text', empty_text FROM a
+        |  UNION ALL SELECT 'bad_lang', bad_lang FROM a
+        |  UNION ALL SELECT 'n_chars_mismatch', n_chars_mismatch FROM a
+        |  UNION ALL SELECT 'bad_id', bad_id FROM a
+        |  UNION ALL SELECT 'dup_ids', dup_ids FROM a)
+        |ORDER BY "check"""".stripMargin,
     "d_sample_estimate" ->
       """WITH s AS (SELECT COUNT(*)::BIGINT AS s_n,
         |    CAST(SUM(n_chars) AS DECIMAL(38,0)) AS s_sum,
