@@ -1132,6 +1132,54 @@ object Relational {
       .orderBy("c_mktsegment", "order_year")
   }
 
+  // -- hierarchical rollup via pointer doubling --------------------------------
+  // The recursive-CTE shape Spark lacks natively (org charts, BOM
+  // explosion, category trees): per-node depth and full-subtree rollups.
+  // The tree is synthetic — parent(v) = v div 3 over doc ids, ~log3(n)
+  // deep — standing in for any adjacency. The scalable spelling is
+  // POINTER DOUBLING on the ancestor relation: round k holds every
+  // (node, ancestor) pair within 2^k hops, so composing the relation
+  // with itself (one equi join per round) closes a depth-d tree in
+  // ⌈log2 d⌉ rounds — 26 levels (a trillion ids) needs 5 rounds, where a
+  // level-at-a-time loop needs 26. Each round is localCheckpoint'd (the
+  // CC.scala discipline: cut lineage, pin results); convergence is a
+  // driver-side count (control-plane) with a hard round cap. Rollups are
+  // then ONE aggregate over the (node, ancestor) pairs — n·depth rows,
+  // the standard path-index trade.
+  private def qHierarchy(s: SparkSession, dir: String): DataFrame = {
+    val nodes = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val edges = nodes.filter(col("doc_id") > 0)
+      .select(col("doc_id").as("v"), expr("doc_id div 3").as("a"))
+    var anc = edges.localCheckpoint(true)
+    var n = anc.count()
+    var rounds = 0
+    var grew = true
+    while (grew && rounds < 12) {
+      val next = anc.as("x")
+        .join(anc.as("y"), col("x.a") === col("y.v"))
+        .select(col("x.v").as("v"), col("y.a").as("a"))
+        .union(anc).distinct()
+        .localCheckpoint(true)
+      val n2 = next.count()
+      grew = n2 != n
+      anc = next; n = n2; rounds += 1
+    }
+    require(!grew, s"ancestor closure did not converge in $rounds rounds")
+    val depth = anc.groupBy("v").agg(count(lit(1)).as("depth"))
+    val contrib = anc.join(nodes, col("v") === col("doc_id"))
+      .groupBy(col("a"))
+      .agg(count(lit(1)).as("n_desc"), sum(col("n_chars")).as("desc_chars"))
+    nodes
+      .join(depth, col("doc_id") === depth("v"), "left")
+      .join(contrib, col("doc_id") === contrib("a"), "left")
+      .select(col("doc_id"),
+        coalesce(col("depth"), lit(0L)).as("depth"),
+        coalesce(col("n_desc"), lit(0L)).as("n_desc"),
+        (col("n_chars") + coalesce(col("desc_chars"), lit(0L)))
+          .as("subtree_chars"))
+      .orderBy("doc_id")
+  }
+
   // -- triangle counting with degree-ordered orientation ---------------------
   // The graph primitive behind clustering coefficients and community
   // pre-filters, spelled the way it survives a power-law graph: project the
@@ -1550,6 +1598,7 @@ object Relational {
     "q4_semi_join"          -> (q4SemiJoin _),
     "q_anti_orders"         -> (qAntiOrders _),
     "q_bloom_prune"         -> (qBloomPrune _),
+    "q_hierarchy"           -> (qHierarchy _),
     "q_window_top3"         -> (qWindowTop3 _),
     "q_window_top3_topk"    -> (qWindowTop3TopK _),
     "q_window_top3_rewrite" -> (qWindowTop3Rewrite _),
@@ -1802,6 +1851,23 @@ object Relational {
         |FROM orders
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_hierarchy" ->
+      """WITH RECURSIVE anc AS (
+        |  SELECT doc_id AS v, doc_id // 3 AS a FROM documents WHERE doc_id > 0
+        |  UNION
+        |  SELECT v, a // 3 FROM anc WHERE a > 0),
+        |dep AS (SELECT v, COUNT(*)::BIGINT AS depth FROM anc GROUP BY 1),
+        |con AS (SELECT anc.a, COUNT(*)::BIGINT AS n_desc,
+        |    SUM(d.n_chars)::BIGINT AS desc_chars
+        |  FROM anc JOIN documents d ON anc.v = d.doc_id GROUP BY 1)
+        |SELECT n.doc_id,
+        |  COALESCE(dep.depth, 0) AS depth,
+        |  COALESCE(con.n_desc, 0) AS n_desc,
+        |  n.n_chars + COALESCE(con.desc_chars, 0) AS subtree_chars
+        |FROM documents n
+        |LEFT JOIN dep ON n.doc_id = dep.v
+        |LEFT JOIN con ON n.doc_id = con.a
+        |ORDER BY n.doc_id""".stripMargin,
     // the PLAIN join — the bloom prune must be invisible in the result
     "q_bloom_prune" ->
       """SELECT p_partkey,

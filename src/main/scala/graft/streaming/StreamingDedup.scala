@@ -269,4 +269,31 @@ object StreamingDedup {
       .start()
     q.awaitTermination()
   }
+
+  /** The composed streaming INGEST pipeline: Unicode canonicalization →
+    * quality gate → near-dup detection, all inside one stream. The
+    * transforms are stateless projections riding the micro-batch (no
+    * extra streaming state), and they run BEFORE hashing by
+    * construction — which is the point: a decomposed-accent re-encode of
+    * an accepted document must hash identically (caught as a dup), and a
+    * below-floor fragment must never reach the band index at all.
+    * StreamingIngestSpec proves both, plus that the raw `run` would have
+    * missed the re-encoded dup.
+    */
+  def runIngest(spark: SparkSession, inputDir: String, stateDir: String,
+      checkpointDir: String, minTokens: Long = 5L,
+      threshold: Double = 0.7): Unit = {
+    graft.functions.VectorFunctions.register(spark)
+    val stream = spark.readStream.schema(docSchema).parquet(inputDir)
+      .withColumn("text", expr("text_norm(text, 'NFC')"))
+      .filter(size(TextOps.tokensExpr) >= minTokens)
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, stateDir, batchId, threshold)
+      }
+      .start()
+    q.awaitTermination()
+  }
 }
