@@ -45,8 +45,9 @@ object BloomPrune {
   }
 
   /** `fact` minus the rows whose `factKey` cannot appear in `dim.dimKey`.
-    * May keep false positives (fpp ≈ 0.8^(numBits/expectedItems ln 2 …));
-    * never drops a true match. */
+    * May keep false positives (at the optimal hash count,
+    * fpp ≈ 0.6185^(numBits/actualItems) — the defaults give ~8 bits/item
+    * ≈ 2% when sized right); never drops a true match. */
   def semiFilter(fact: DataFrame, factKey: Column, dim: DataFrame,
       dimKey: Column, expectedItems: Long = 1L << 20,
       numBits: Long = 1L << 23): DataFrame = {

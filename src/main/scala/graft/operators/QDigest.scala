@@ -109,16 +109,13 @@ object QDigest {
     * SMALL literal frame (label, r). The window is over the sketch, whose
     * size is bounded by O(k·bits), not by the data. */
   def quantiles(sketch: DataFrame, bits: Int, targets: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("hi"), col("lo"))
-      .rowsBetween(Window_unboundedPreceding, 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("hi"), col("lo"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = withRanges(sketch, bits).withColumn("cum", sum(col("cnt")).over(w))
     cum.crossJoin(broadcast(targets))
       .filter(col("cum") >= col("r"))
       .groupBy(col("label"), col("r"))
       .agg(min(col("hi")).as("est"))
   }
-
-  private val Window_unboundedPreceding =
-    org.apache.spark.sql.expressions.Window.unboundedPreceding
 }
