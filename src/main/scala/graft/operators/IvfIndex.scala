@@ -128,6 +128,44 @@ object IvfIndex {
     cents.coalesce(1).write.mode("overwrite").parquet(s"$indexDir.centroids")
   }
 
+  /** Incremental index maintenance: assign ONLY the delta against the
+    * index's own FROZEN centroids and append those rows into the affected
+    * cell partitions (parquet append adds files; existing files are never
+    * touched). With frozen centroids assignment is deterministic, so
+    * `build(base) + append(delta)` and `build(base ∪ delta)` produce
+    * search-identical indexes — IvfAppendSpec asserts row equality.
+    *
+    * Returns the drift report (cell, n_before, n_added): appends never
+    * move centroids, so cell shares drift as the distribution shifts —
+    * when a cell's share moves past the caller's bound, rebuild with
+    * `kmeansCentroids`. At 100 TB the report costs one partition-local
+    * count per side; the assignment is the same broadcast cross join as
+    * `build`, sized by the DELTA.
+    */
+  def append(spark: SparkSession, indexDir: String,
+      delta: DataFrame): DataFrame = {
+    val cents = spark.read.parquet(s"$indexDir.centroids")
+    // materialize BEFORE the append lands — the frame is lazy, and
+    // without the barrier it would re-scan the directory post-append
+    val before = spark.read.parquet(indexDir)
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_before"))
+      .localCheckpoint(true)
+    val assigned = nearestCells(
+        withNorm(delta, "embedding").select("vec_id", "e", "nrm"), cents, 1)
+      .withColumnRenamed("c_id", "cell").drop("crk")
+      .persist()
+    try {
+      assigned.write.mode("append").partitionBy("cell").parquet(indexDir)
+      val added = assigned.groupBy("cell").agg(count(lit(1)).as("n_added"))
+      before.join(added, Seq("cell"), "full_outer")
+        .select(col("cell"),
+          coalesce(col("n_before"), lit(0L)).as("n_before"),
+          coalesce(col("n_added"), lit(0L)).as("n_added"))
+        .orderBy("cell")
+    } finally assigned.unpersist()
+  }
+
   /** Probe-pruned top-k search against a built index. `queries` carries
     * (vec_id, embedding); each probes its `nProbe` nearest cells. The
     * `isin(cells)` filter lands in the scan's PartitionFilters, so only
