@@ -45,6 +45,7 @@ object SparkEntry {
     "q_pagerank", "s_cluster_profile", "d_pack_ffd", "d_sft_render",
     "d_distinct_hll", "d_domain_cap", "d_curriculum", "m_frame_dedup",
     "q_quantiles_exact", "q_bloom_prune",
-    "m_phash_dedup", "d_batch_buckets", "s_bitext_mine", "d_decontam_fuzzy"
+    "m_phash_dedup", "d_batch_buckets", "s_bitext_mine", "d_decontam_fuzzy",
+    "q_hierarchy"
   )
 }

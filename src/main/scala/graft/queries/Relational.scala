@@ -1132,6 +1132,32 @@ object Relational {
       .orderBy("c_mktsegment", "order_year")
   }
 
+  // -- join-skew advisor --------------------------------------------------------
+  // The pre-flight check before a big join: exact per-key counts (one
+  // hash aggregate — the same shuffle the join itself would pay), the
+  // hottest keys through the bounded-heap top-k, and the derived salt
+  // recommendation for operators/SkewJoin — ⌈max_key_rows / avg_rows_per_
+  // partition⌉, i.e. how many reducers the hottest key needs to not be a
+  // straggler. All integer arithmetic; shares are single IEEE divisions.
+  private val SkewPartitions = 32L
+  private def qSkewAdvisor(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = graft.operators.TopK.global(counts,
+      Seq(col("cnt").desc, col("key").asc), 5)
+    val totals = counts.agg(count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("n_rows")).localCheckpoint(true)
+    top.crossJoin(broadcast(totals))
+      .select(col("rk").cast("long").as("rk"), col("key"), col("cnt"),
+        col("n_keys"), col("n_rows"),
+        round(col("cnt").cast("double") / col("n_rows").cast("double"), 6)
+          .as("share_r"),
+        expr(s"(cnt * $SkewPartitions + n_rows - 1) div n_rows")
+          .as("salts_needed"))
+      .orderBy("rk")
+  }
+
   // -- hierarchical rollup via pointer doubling --------------------------------
   // The recursive-CTE shape Spark lacks natively (org charts, BOM
   // explosion, category trees): per-node depth and full-subtree rollups.
@@ -1599,6 +1625,7 @@ object Relational {
     "q_anti_orders"         -> (qAntiOrders _),
     "q_bloom_prune"         -> (qBloomPrune _),
     "q_hierarchy"           -> (qHierarchy _),
+    "q_skew_advisor"        -> (qSkewAdvisor _),
     "q_window_top3"         -> (qWindowTop3 _),
     "q_window_top3_topk"    -> (qWindowTop3TopK _),
     "q_window_top3_rewrite" -> (qWindowTop3Rewrite _),
@@ -1851,6 +1878,17 @@ object Relational {
         |FROM orders
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_skew_advisor" ->
+      """WITH c AS (SELECT o_custkey AS key, COUNT(*)::BIGINT AS cnt
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT COUNT(*)::BIGINT AS n_keys, SUM(cnt)::BIGINT AS n_rows
+        |  FROM c),
+        |r AS (SELECT key, cnt,
+        |    ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rk FROM c)
+        |SELECT rk, key, cnt, n_keys, n_rows,
+        |  round(CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS share_r,
+        |  (cnt * 32 + n_rows - 1) // n_rows AS salts_needed
+        |FROM r, t WHERE rk <= 5 ORDER BY rk""".stripMargin,
     "q_hierarchy" ->
       """WITH RECURSIVE anc AS (
         |  SELECT doc_id AS v, doc_id // 3 AS a FROM documents WHERE doc_id > 0

@@ -744,6 +744,34 @@ object TextOps {
        |ORDER BY rk.label""".stripMargin
   }
 
+  // -- tokenizer fertility audit ---------------------------------------------------
+  // The multilingual tokenizer-quality staple: chars-per-token ("fertility")
+  // and tokens-per-doc by language. A tokenizer that fragments one language
+  // into shards (high fertility variance) starves it of effective context;
+  // this is the audit run before committing a vocab. One scan, one
+  // (lang)-keyed aggregate; the ratios are single IEEE divisions of exact
+  // BIGINT sums.
+  private def tokenFertility(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("lang"), col("n_chars"),
+        size(tokensExpr).cast("long").as("n_toks"),
+        expr("aggregate(transform(" + tokensExprSql + ", t -> length(t)), " +
+          "0L, (a, x) -> a + x)").as("tok_chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("tok_chars")).as("total_tok_chars"))
+      .withColumn("chars_per_token", round(
+        col("total_tok_chars").cast("double") /
+          col("total_tokens").cast("double"), 6))
+      .withColumn("tokens_per_doc", round(
+        col("total_tokens").cast("double") / col("n_docs").cast("double"), 6))
+      .orderBy("lang")
+
+  private val tokensExprSql =
+    "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+
   // -- data-contract validation report --------------------------------------------
   // The ingest gate a production corpus runs before anything else: one
   // scan computes every contract check as a conditional aggregate —
@@ -2582,6 +2610,7 @@ object TextOps {
     "d_sample_estimate"   -> (sampleEstimate _),
     "d_validate"          -> (validateContract _),
     "d_distinct_overlap"  -> (distinctOverlap _),
+    "d_token_fertility"   -> (tokenFertility _),
     "d_lang_id"           -> (langId _),
     "d_mix_weighted"      -> (mixWeighted _),
     "d_mix_temperature"   -> (mixTemperature _),
@@ -3011,6 +3040,20 @@ object TextOps {
          |SELECT c_custkey, n_email, n_phone, n_ip, n_idnum, r AS redacted
          |FROM s4 ORDER BY c_custkey""".stripMargin,
     "d_quantile_sketch" -> quantileSketchOracle,
+    "d_token_fertility" ->
+      s"""WITH d AS (SELECT lang, n_chars,
+         |    len($tokensSql)::BIGINT AS n_toks,
+         |    list_sum(list_transform($tokensSql, t -> length(t)))::BIGINT AS tok_chars
+         |  FROM documents)
+         |SELECT lang, COUNT(*)::BIGINT AS n_docs,
+         |  SUM(n_toks)::BIGINT AS total_tokens,
+         |  SUM(n_chars)::BIGINT AS total_chars,
+         |  SUM(tok_chars)::BIGINT AS total_tok_chars,
+         |  round(CAST(SUM(tok_chars) AS DOUBLE) / CAST(SUM(n_toks) AS DOUBLE), 6)
+         |    AS chars_per_token,
+         |  round(CAST(SUM(n_toks) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         |    AS tokens_per_doc
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "d_distinct_overlap" ->
       s"""WITH toks AS (SELECT DISTINCT source, tok FROM (
          |  SELECT lang AS source, unnest($shingleSql) AS tok

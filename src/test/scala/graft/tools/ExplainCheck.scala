@@ -29,7 +29,7 @@ object ExplainCheck {
     "d_sample_estimate", // two 1-row stats frames joined scalar-style
     "d_distinct_overlap", // six 1-row sketch/exact scalars assembled
     "q11_important_stock", "q22_idle_balance", "q_ntile_global", "q_share",
-    "q_quantiles_exact")
+    "q_quantiles_exact", "q_skew_advisor")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
