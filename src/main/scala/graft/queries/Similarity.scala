@@ -220,6 +220,57 @@ object Similarity {
       .orderBy("src_id", "rnk")
   }
 
+  // -- graph-expanded ANN (neighbors-of-neighbors candidate generation) ---------
+  // The NSW/HNSW serving trick in its distributed spelling: a CHEAP first
+  // stage (IVF probing only the single nearest cell — low recall, tiny
+  // read) seeds each query with 3 candidates, then the precomputed kNN
+  // graph expands seeds one hop (neighbors of neighbors), and the exact
+  // rerank runs over the widened set. Recall recovers without widening
+  // the cell probe — the graph hop reaches across cell boundaries the
+  // nProbe=1 scan never read. All joins are id-keyed equi joins; the
+  // expansion multiplies candidates by the graph degree (3), never by
+  // the corpus.
+  private def annGraphExpand(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+    val cents = v.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
+    val simToCent = v.select(col("vec_id"), col("e").as("qe"),
+        col("nrm").as("qn"), col("e"), col("nrm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", round(
+        vecDot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+    val cells = graft.operators.TopK.perKey(simToCent, Seq(col("vec_id")),
+        Seq(col("csim").desc, col("c_id").asc), 1)
+      .select(col("vec_id"), col("e"), col("nrm"), col("c_id").as("cell"))
+    val probes = cells.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"),
+        col("nrm").as("qn"), col("cell"))
+    val seedCand = cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("sim_r", round(dotQE / (col("qn") * col("nrm")), 6))
+    val seeds = graft.operators.TopK.perKey(seedCand, Seq(col("q_id")),
+        Seq(col("sim_r").desc, col("vec_id").asc), 3)
+      .select(col("q_id"), col("vec_id").as("cand_id"))
+    val edges = knnGraph(s, dir).select(col("src_id"), col("neighbor_id"))
+    val expanded = seeds
+      .join(edges, seeds("cand_id") === edges("src_id"))
+      .select(col("q_id"), col("neighbor_id").as("cand_id"))
+    val candIds = seeds.union(expanded)
+      .filter(col("q_id") =!= col("cand_id")).distinct()
+    val rer = candIds
+      .join(v.select(col("vec_id").as("q_id"), col("e").as("qe"),
+        col("nrm").as("qn")), Seq("q_id"))
+      .join(v.select(col("vec_id").as("cand_id"), col("e"), col("nrm")),
+        Seq("cand_id"))
+      .withColumn("sim_r", round(dotQE / (col("qn") * col("nrm")), 6))
+    graft.operators.TopK.perKey(rer, Seq(col("q_id")),
+        Seq(col("sim_r").desc, col("cand_id").asc), 5)
+      .withColumnRenamed("rk", "rnk")
+      .select(col("q_id"), col("rnk"), col("cand_id").as("neighbor_id"),
+        col("sim_r"))
+      .orderBy("q_id", "rnk")
+  }
+
   // -- IVF over the cell-bucketed index (operators.IvfIndex) -------------------
   // Same algebra as annIvf but the corpus is first WRITTEN partitioned by
   // cell id and the probe is a partition-pruned scan — the 100 TB path,
@@ -723,6 +774,7 @@ object Similarity {
     "s_quantize_int8"   -> (quantizeInt8 _),
     "s_standardize"     -> (standardize _),
     "s_bitext_mine"     -> (bitextMine _),
+    "s_ann_graph_expand" -> (annGraphExpand _),
     "s_cosine_mrl"      -> (cosineMrl _),
     "s_cosine_topk"     -> (cosineTopK _),
     "s_ann_lsh"         -> (annLsh _),
@@ -1178,6 +1230,50 @@ object Similarity {
          |    row_number() OVER (PARTITION BY q_id ORDER BY sim_r DESC, neighbor_id) AS rnk
          |  FROM cand)
          |SELECT q_id, rnk::BIGINT AS rnk, neighbor_id, sim_r, cell FROM r
+         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "s_ann_graph_expand" ->
+      s"""WITH $vSql,
+         |$codedSql,
+         |gprobes AS (SELECT vec_id AS a_id, e AS qe, nrm AS qn,
+         |    unnest(list_transform(generate_series(-1, 7), f ->
+         |      CASE WHEN f = -1 THEN code
+         |           ELSE xor(code, (1::BIGINT << f::INT)) END)) AS pcode
+         |  FROM coded),
+         |gsc AS (SELECT p.a_id, c.vec_id AS b_id,
+         |    round(list_dot_product(p.qe, c.e) / (p.qn * c.nrm), 6) AS sim_r
+         |  FROM gprobes p JOIN coded c ON p.pcode = c.code AND p.a_id <> c.vec_id),
+         |edges AS (SELECT a_id AS src_id, b_id AS neighbor_id FROM (
+         |  SELECT a_id, b_id, ROW_NUMBER() OVER (PARTITION BY a_id
+         |    ORDER BY sim_r DESC, b_id) AS rnk FROM gsc) WHERE rnk <= 3),
+         |ctr AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM v WHERE vec_id < 16),
+         |csims AS (SELECT v.vec_id, v.e, v.nrm, ctr.c_id,
+         |    round(list_dot_product(v.e, ctr.ce) / (v.nrm * ctr.cn), 6) AS csim
+         |  FROM v, ctr),
+         |cells AS (SELECT vec_id, e, nrm, c_id AS cell FROM (
+         |  SELECT vec_id, e, nrm, c_id, csim, ROW_NUMBER() OVER (
+         |    PARTITION BY vec_id ORDER BY csim DESC, c_id) AS crk FROM csims)
+         |  WHERE crk = 1),
+         |qprobes AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn, cell
+         |  FROM cells WHERE vec_id < 10),
+         |seedc AS (SELECT p.q_id, cl.vec_id,
+         |    round(list_dot_product(p.qe, cl.e) / (p.qn * cl.nrm), 6) AS sim_r
+         |  FROM qprobes p JOIN cells cl ON p.cell = cl.cell AND p.q_id != cl.vec_id),
+         |seeds AS (SELECT q_id, vec_id AS cand_id FROM (
+         |  SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY sim_r DESC, vec_id) AS rnk FROM seedc) WHERE rnk <= 3),
+         |cand AS (SELECT DISTINCT q_id, cand_id FROM (
+         |  SELECT q_id, cand_id FROM seeds
+         |  UNION ALL
+         |  SELECT s.q_id, e.neighbor_id FROM seeds s
+         |  JOIN edges e ON s.cand_id = e.src_id)
+         |  WHERE q_id != cand_id),
+         |rer AS (SELECT c.q_id, c.cand_id,
+         |    round(list_dot_product(vq.e, vc.e) / (vq.nrm * vc.nrm), 6) AS sim_r
+         |  FROM cand c JOIN v vq ON c.q_id = vq.vec_id
+         |              JOIN v vc ON c.cand_id = vc.vec_id)
+         |SELECT q_id, rnk::BIGINT AS rnk, cand_id AS neighbor_id, sim_r FROM (
+         |  SELECT q_id, cand_id, sim_r, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY sim_r DESC, cand_id) AS rnk FROM rer)
          |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "s_ann_ivf" ->
       s"""WITH $vSql,

@@ -19,6 +19,7 @@ object ExplainCheck {
     "s_ann_rerank", "s_hamming_topk", "s_dedup_embedding", "s_dedup_semantic",
     "s_knn_graph", "s_cluster_profile", "s_quantize_int8", "s_hard_negatives",
     "s_bitext_mine", // broadcast smaller-language vectors × corpus scan
+    "s_ann_graph_expand", // broadcast centroid assignment × corpus scan
     "d_decontaminate",
     // crossJoin(broadcast(<=#groups-row aggregate>)) — the scalar-attach
     // pattern (grand totals, corpus counts, temperature rates); a BNLJ
