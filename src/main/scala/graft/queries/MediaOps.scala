@@ -61,7 +61,11 @@ object MediaOps {
   private val ShotFrame = 64
   private val ShotCut = 2.0
 
-  private def shotBoundaries(s: SparkSession, dir: String): DataFrame = {
+  /** Frames with mean level, inter-frame delta and the cut flag — shared
+    * by shot-boundary detection and keyframe selection (one spelling, so
+    * the two views of "shot" cannot drift).
+    */
+  private def shotFrames(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val frames = graft.queries.t(s, dir, "documents")
       .filter(expr("doc_id % 3 = 2"))
@@ -78,9 +82,40 @@ object MediaOps {
     frames
       .withColumn("delta", col("mean_level") - lag(col("mean_level"), 1).over(w))
       .withColumn("is_cut", col("delta").isNull || abs(col("delta")) >= ShotCut)
-      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+      .withColumn("frame_idx", col("frame_idx").cast("long"))
+  }
+
+  private def shotBoundaries(s: SparkSession, dir: String): DataFrame =
+    shotFrames(s, dir)
+      .select(col("doc_id"), col("frame_idx"),
         col("mean_level"), col("delta"), col("is_cut"))
       .orderBy("doc_id", "frame_idx")
+
+  // Keyframe selection: the representative frame per shot (the thumbnail /
+  // the frame a vision encoder embeds once per shot instead of per frame).
+  // Shots come from the cut flags via a running count (gaps-and-islands);
+  // the keyframe is the shot's brightest frame (max mean level, ties to
+  // the earliest) picked by ONE max(struct) aggregate per shot — no
+  // per-shot sort. Per-clip partitioned windows + one groupBy: scale-safe.
+  private def videoKeyframes(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    shotFrames(s, dir)
+      .withColumn("shot_id",
+        sum(col("is_cut").cast("long")).over(w) - 1)
+      .groupBy("doc_id", "shot_id")
+      .agg(min(col("frame_idx")).as("start_idx"),
+        max(col("frame_idx")).as("end_idx"),
+        count(lit(1)).as("n_frames"),
+        max(struct(col("mean_level"), (-col("frame_idx")).as("nfi"),
+          col("fr"))).as("best"))
+      .select(col("doc_id"), col("shot_id"), col("start_idx"),
+        col("end_idx"), col("n_frames"),
+        (-col("best.nfi")).as("key_idx"),
+        round(col("best.mean_level"), 6).as("key_level_r"),
+        md5(col("best.fr")).as("key_md5"))
+      .orderBy("doc_id", "shot_id")
   }
 
   // Energy-based segmentation (VAD-shaped) over the "audio" payloads: the
@@ -304,7 +339,8 @@ object MediaOps {
     "m_shot_boundaries" -> (shotBoundaries _),
     "m_audio_segments" -> (audioSegments _),
     "m_frame_dedup"    -> (frameDedup _),
-    "m_phash_dedup"    -> (phashDedup _)
+    "m_phash_dedup"    -> (phashDedup _),
+    "m_keyframes"      -> (videoKeyframes _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -426,6 +462,35 @@ object MediaOps {
          |SELECT doc_id, frame_idx, mean_level, delta,
          |  (delta IS NULL OR abs(delta) >= $ShotCut) AS is_cut
          |FROM d ORDER BY doc_id, frame_idx""".stripMargin,
+    "m_keyframes" ->
+      s"""WITH f AS (SELECT doc_id, fi, substr(text, (fi * $ShotFrame + 1)::INT, $ShotFrame) AS fr
+         |  FROM documents,
+         |   unnest(generate_series(0, len(text) // $ShotFrame)) AS t(fi)
+         |  WHERE doc_id % 3 = 2),
+         |lv AS (SELECT doc_id, fi::BIGINT AS frame_idx, fr,
+         |   list_sum(list_transform(generate_series(1, len(fr)),
+         |     i -> ascii(substr(fr, i::INT, 1))))::DOUBLE / len(fr)::DOUBLE AS mean_level
+         |  FROM f WHERE len(fr) > 0),
+         |d AS (SELECT doc_id, frame_idx, fr, mean_level,
+         |   mean_level - lag(mean_level) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS delta
+         |  FROM lv),
+         |sh AS (SELECT doc_id, frame_idx, fr, mean_level,
+         |   (SUM(CASE WHEN delta IS NULL OR abs(delta) >= $ShotCut THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY frame_idx
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)::BIGINT AS shot_id
+         |  FROM d),
+         |g AS (SELECT doc_id, shot_id, MIN(frame_idx) AS start_idx,
+         |   MAX(frame_idx) AS end_idx, COUNT(*)::BIGINT AS n_frames
+         |  FROM sh GROUP BY 1, 2),
+         |r AS (SELECT doc_id, shot_id, frame_idx, mean_level, fr,
+         |   ROW_NUMBER() OVER (PARTITION BY doc_id, shot_id
+         |     ORDER BY mean_level DESC, frame_idx) AS kr
+         |  FROM sh)
+         |SELECT g.doc_id, g.shot_id, g.start_idx, g.end_idx, g.n_frames,
+         |  r.frame_idx AS key_idx, round(r.mean_level, 6) AS key_level_r,
+         |  md5(r.fr) AS key_md5
+         |FROM g JOIN r ON g.doc_id = r.doc_id AND g.shot_id = r.shot_id AND r.kr = 1
+         |ORDER BY g.doc_id, g.shot_id""".stripMargin,
     "m_audio_windows" ->
       s"""SELECT doc_id, w::BIGINT AS win_idx, len(win)::BIGINT AS n_bytes,
          | md5(win) AS win_md5,
