@@ -68,7 +68,10 @@ object StressProbe {
         "d_sample_weighted", "d_normalize", "d_fold_accents",
         "d_preference_pairs", "d_quantile_sketch", "d_split_exact",
         "s_standardize", "m_phash_dedup", "q_bloom_prune",
-        "d_batch_buckets", "d_decontam_fuzzy")) {
+        "d_batch_buckets", "d_decontam_fuzzy",
+        "d_sample_estimate", "d_validate", "d_distinct_overlap",
+        "d_token_fertility", "q_skew_advisor", "q_hierarchy",
+        "s_ann_graph_expand", "m_keyframes", "s_bitext_mine")) {
       val t0 = System.nanoTime()
       try {
         val n = graft.SparkEntry.queries(name)(spark, dir).count()
