@@ -600,6 +600,48 @@ object TextOps {
       .orderBy("doc_id", "start_tok")
   }
 
+  // -- span-trim application (the dedup paper's remove step, executed) ---------
+  // d_dup_spans_merged reports WHERE the duplicated spans are; this op
+  // actually removes them: every token covered by a duplicated window is
+  // dropped UNLESS this doc is the span's canonical keeper (the span
+  // hash's lowest doc_id keeps its occurrence — exactly one copy of every
+  // duplicated passage survives corpus-wide). Output per doc: original and
+  // kept token counts and the md5 of the trimmed text, so the gate checks
+  // the RESULT of trimming, not just the instructions. Plan shapes: the
+  // window inventory is the one span_hash shuffle the d_dedup_spans
+  // family already pays; dropped windows expand SpanK× into token drops
+  // (bounded by dup mass, not corpus); the anti join and the per-doc
+  // reassembly group on doc_id — per-doc arrays, never corpus-wide state.
+  private def trimSpans(s: SparkSession, dir: String): DataFrame = {
+    val w = spanWindows(s, dir)
+    val firstDoc = w.groupBy("span_hash")
+      .agg(countDistinct(col("doc_id")).as("nd"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("nd") >= 2)
+    val dropTokens = w.join(firstDoc, Seq("span_hash"))
+      .filter(col("doc_id") =!= col("first_doc"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${SpanK - 1})")).as("t"))
+      .distinct()
+    val toks = docs(s, dir)
+      .select(col("doc_id"), posexplode(tokensExpr).as(Seq("t", "tok")))
+    val kept = toks.join(dropTokens, Seq("doc_id", "t"), "left_anti")
+    toks.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+      .join(kept.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          md5(concat_ws(" ", expr(
+            "transform(array_sort(collect_list(struct(t, tok))), x -> x.tok)")))
+            .as("kept_md5")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"),
+        round((col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .cast("double") / col("n_tokens").cast("double"), 6)
+          .as("trim_ratio"))
+      .orderBy("doc_id")
+  }
+
   // -- quality-aware dedup resolution: keep the best doc per cluster ----------
   // Production dedup does not keep min-id — it keeps the BEST member of each
   // near-dup cluster. Survivor = the member with the most word tokens,
@@ -2611,6 +2653,7 @@ object TextOps {
     "d_validate"          -> (validateContract _),
     "d_distinct_overlap"  -> (distinctOverlap _),
     "d_token_fertility"   -> (tokenFertility _),
+    "d_trim_spans"        -> (trimSpans _),
     "d_lang_id"           -> (langId _),
     "d_mix_weighted"      -> (mixWeighted _),
     "d_mix_temperature"   -> (mixTemperature _),
@@ -2906,6 +2949,33 @@ object TextOps {
          |       ELSE 'clean' END AS decontam_bucket
          |FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
          |ORDER BY c.doc_id""".stripMargin,
+    "d_trim_spans" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |w AS (SELECT doc_id, i,
+         |    md5(array_to_string(list_slice(toks, i, i + ${SpanK - 1}), ' ')) AS span_hash
+         |  FROM tk, unnest(range(1, len(toks) - $SpanK + 2)) AS u(i)
+         |  WHERE len(toks) >= $SpanK),
+         |fd AS (SELECT span_hash, MIN(doc_id) AS first_doc FROM w
+         |  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
+         |dt AS (SELECT DISTINCT w.doc_id, g.t
+         |  FROM w JOIN fd USING (span_hash),
+         |    unnest(generate_series(w.i, w.i + ${SpanK - 1})) AS g(t)
+         |  WHERE w.doc_id != fd.first_doc),
+         |tok AS (SELECT doc_id, u.t, toks[u.t] AS tok
+         |  FROM tk, unnest(generate_series(1, len(toks))) AS u(t)),
+         |kept AS (SELECT tok.doc_id, tok.t, tok.tok FROM tok
+         |  LEFT JOIN dt ON tok.doc_id = dt.doc_id AND tok.t = dt.t
+         |  WHERE dt.t IS NULL),
+         |k2 AS (SELECT doc_id, COUNT(*)::BIGINT AS n_kept,
+         |    md5(array_to_string(list(tok ORDER BY t), ' ')) AS kept_md5
+         |  FROM kept GROUP BY 1),
+         |nt AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens FROM tk)
+         |SELECT nt.doc_id, nt.n_tokens,
+         |  COALESCE(k2.n_kept, 0) AS n_kept,
+         |  COALESCE(k2.kept_md5, md5('')) AS kept_md5,
+         |  round(CAST(nt.n_tokens - COALESCE(k2.n_kept, 0) AS DOUBLE)
+         |    / CAST(nt.n_tokens AS DOUBLE), 6) AS trim_ratio
+         |FROM nt LEFT JOIN k2 USING (doc_id) ORDER BY nt.doc_id""".stripMargin,
     "d_dedup_spans" ->
       s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
          |w AS (SELECT doc_id,
