@@ -407,9 +407,10 @@ object Main {
     val manifest = a.str("delta") match {
       case Some(delta) => graft.operators.CorpusRelease.applyDelta(spark,
         a.required("prev"), delta, a.required("out"),
-        a.long("min-tokens", 50L))
+        a.long("min-tokens", 50L), a.bool("strict"))
       case None => graft.operators.CorpusRelease.run(spark,
-        a.required("in"), a.required("out"), a.long("min-tokens", 50L))
+        a.required("in"), a.required("out"), a.long("min-tokens", 50L),
+        a.bool("strict"))
     }
     manifest.collect().foreach { r =>
       println(s"[corpus] ${r.getString(0)} ${r.getString(1)}: " +

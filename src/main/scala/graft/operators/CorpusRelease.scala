@@ -34,13 +34,36 @@ import org.apache.spark.sql.functions._
   */
 object CorpusRelease {
 
+  /** Data-contract checks a release input must pass under `-strict`:
+    * empty payloads, broken ids, duplicate ids. ONE conditional-aggregate
+    * scan (the d_validate shape); returns only the violated checks. */
+  def contractViolations(docs: DataFrame): Seq[(String, Long)] = {
+    val r = docs.agg(
+      sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+        .otherwise(0L)).as("empty_text"),
+      sum(when(col("doc_id").isNull || col("doc_id") < 0, 1L)
+        .otherwise(0L)).as("bad_id"),
+      (count(lit(1)) - countDistinct(col("doc_id"))).as("dup_ids")).head()
+    Seq("empty_text", "bad_id", "dup_ids").zipWithIndex
+      .map { case (n, i) => (n, r.getLong(i)) }
+      .filter(_._2 > 0)
+  }
+
+  /** Fail fast (before any write) when the input breaks the contract. */
+  private def enforce(docs: DataFrame, what: String): Unit = {
+    val v = contractViolations(docs)
+    require(v.isEmpty, s"strict $what validation failed: " +
+      v.map { case (n, c) => s"$n=$c" }.mkString(", "))
+  }
+
   /** Run the release; returns the (split, lang, n_docs, n_tokens)
     * manifest (also written as JSON next to the corpus) as a local
     * relation — already computed, safe to collect.
     */
   def run(spark: SparkSession, inDir: String, outDir: String,
-      minTokens: Long = 50L): DataFrame = {
+      minTokens: Long = 50L, strict: Boolean = false): DataFrame = {
     val docs = spark.read.parquet(s"$inDir/documents.parquet")
+    if (strict) enforce(docs, "input")
     val gated = graft.queries.TextOps.releaseGated(docs, minTokens)
       .persist()
     try {
@@ -70,10 +93,12 @@ object CorpusRelease {
     * Returns the new manifest (local relation, like `run`).
     */
   def applyDelta(spark: SparkSession, prevDir: String, deltaDir: String,
-      outDir: String, minTokens: Long = 50L): DataFrame = {
+      outDir: String, minTokens: Long = 50L,
+      strict: Boolean = false): DataFrame = {
     val state = spark.read.parquet(s"$prevDir/state")
     val prev = spark.read.parquet(s"$prevDir/corpus")
     val upserts = spark.read.parquet(s"$deltaDir/documents.parquet")
+    if (strict) enforce(upserts, "delta")
     val deletesPath = new java.io.File(s"$deltaDir/deletes.parquet")
     val deletes =
       if (deletesPath.exists)

@@ -130,4 +130,23 @@ class CorpusDeltaSpec extends SparkSpecBase {
       .collect().map(_.mkString("|")).toSeq.sorted
     assert(manifest == recount)
   }
+  test("strict mode: clean input releases; a contract violation aborts") {
+    val clean = tmp("graft-strict-ok")
+    CorpusRelease.run(spark, rawDir, clean, MinTokens, strict = true)
+    assert(spark.read.parquet(s"$clean/corpus").count() > 0)
+
+    import spark.implicits._
+    val badDir = tmp("graft-strict-bad")
+    raw.unionByName(Seq((777000L, "")).toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("srcx"))
+        .withColumn("n_chars", lit(0L)))
+      .write.mode("overwrite").parquet(s"$badDir/documents.parquet")
+    val out = tmp("graft-strict-out")
+    val e = intercept[IllegalArgumentException] {
+      CorpusRelease.run(spark, badDir, out, MinTokens, strict = true)
+    }
+    assert(e.getMessage.contains("empty_text"))
+    // nothing was written before the failure
+    assert(!new java.io.File(s"$out/corpus").exists())
+  }
 }
