@@ -329,6 +329,80 @@ object MediaOps {
     d.join(e, Seq("doc_id")).orderBy("doc_id")
   }
 
+  // -- CLIP-score-style caption–image alignment filtering ---------------------
+  // The LAION construction step: every (image, caption) pair gets an
+  // alignment score and pairs below threshold are flagged for drop. The
+  // two encoders are deterministic stubs (per-segment integer byte sums
+  // over the grid; hashed-token-bucket counts over the caption — the
+  // caption is the adjacent doc_id+1 payload), but the Spark shape is the
+  // real thing: per-dim rows ride the scan, ONE (doc, dim) left join
+  // pairs the modalities, ONE aggregation folds the cosine, and the score
+  // is a single IEEE tree over exact integer sums so both engines agree
+  // bit-for-bit. Nothing wider than (doc_id, dim) shuffles — payloads
+  // stay in the scan stage, the LAION property that matters at 100 TB.
+  private val ClipDims = 8
+  private val ClipTau = 0.88
+
+  private def clipFilter(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.queries.t(s, dir, "documents")
+    val img = d.filter(expr("doc_id % 3 = 0"))
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      .filter(col("n") >= ClipDims)
+    val cap = d.filter(expr("doc_id % 3 = 1"))
+      .select((col("doc_id") - 1).as("doc_id"), col("text").as("caption"))
+    val pair = img.join(cap, Seq("doc_id"))
+    val iv = pair.select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, ${ClipDims - 1}), s -> " +
+          s"aggregate(sequence(s * (n div $ClipDims) + 1, (s + 1) * (n div $ClipDims)), " +
+          "0L, (a, i) -> a + ascii(substring(text, i, 1))))"))
+        .as(Seq("dim", "ie")))
+      .select(col("doc_id"), col("dim").cast("long").as("dim"), col("ie"))
+    val tb = pair.select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(caption), '[a-z0-9]+', 0)")).as("tok"))
+      .select(col("doc_id"),
+        (graft.functions.Md5BitsFunctions.md5Bits(col("tok"), 1, 8) % ClipDims).as("dim"))
+      .groupBy("doc_id", "dim").agg(count(lit(1)).as("te"))
+    iv.join(tb, Seq("doc_id", "dim"), "left")
+      .na.fill(0L, Seq("te"))
+      .groupBy("doc_id")
+      .agg(sum(col("ie") * col("te")).as("dot"),
+        sum(col("ie") * col("ie")).as("ni"),
+        sum(col("te") * col("te")).as("nt"))
+      .select(col("doc_id"), col("dot"),
+        round(col("dot").cast("double") /
+          (sqrt(col("ni").cast("double")) * sqrt(col("nt").cast("double"))), 6)
+          .as("clip_r"))
+      .withColumn("kept", when(col("clip_r") >= ClipTau, 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
+  // -- byte-histogram entropy filter ------------------------------------------
+  // The low-information screen a vision pipeline runs before the expensive
+  // encoder: blank frames, solid fills and repeated tiles have low byte
+  // entropy and get dropped. Exact per-(doc, value) counts are the only
+  // shuffle (≤256 rows per doc regardless of image size — the histogram IS
+  // the mergeable state); the Shannon sum folds that histogram in value
+  // order (the repo's sequential-fold determinism pattern, d_dsir_weight
+  // style) and bits-per-byte is one shared IEEE tree, round(…, 6).
+  private val EntropyTau = 4.05
+
+  private def imageEntropy(s: SparkSession, dir: String): DataFrame =
+    graft.queries.t(s, dir, "documents")
+      .filter(expr("doc_id % 3 = 0"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)))")).as("v"))
+      .groupBy("doc_id", "v").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"),
+        expr("aggregate(array_sort(collect_list(struct(v, c))), cast(0.0 as double), " +
+          "(a, x) -> a + cast(x.c as double) * ln(cast(x.c as double)))").as("sclc"))
+      .select(col("doc_id"), col("n").cast("long").as("n_bytes"),
+        col("n_distinct"),
+        round((expr("ln(cast(n as double))") - col("sclc") / col("n").cast("double")) /
+          expr("ln(cast(2.0 as double))"), 6).as("entropy_r"))
+      .withColumn("low_info", when(col("entropy_r") < EntropyTau, 1L).otherwise(0L))
+      .orderBy("doc_id")
+
   val queries: Map[String, QueryFn] = Map(
     "m_media_features" -> (mediaFeatures _),
     "m_frame_sample"   -> (frameSample _),
@@ -340,10 +414,52 @@ object MediaOps {
     "m_audio_segments" -> (audioSegments _),
     "m_frame_dedup"    -> (frameDedup _),
     "m_phash_dedup"    -> (phashDedup _),
-    "m_keyframes"      -> (videoKeyframes _)
+    "m_keyframes"      -> (videoKeyframes _),
+    "m_clip_filter"    -> (clipFilter _),
+    "m_image_entropy"  -> (imageEntropy _)
   )
 
   val oracles: Map[String, String] = Map(
+    "m_clip_filter" ->
+      s"""WITH img AS (SELECT doc_id, text, length(text) AS n FROM documents
+         |  WHERE doc_id % 3 = 0 AND length(text) >= $ClipDims),
+         |cap AS (SELECT doc_id - 1 AS doc_id, text AS caption FROM documents
+         |  WHERE doc_id % 3 = 1),
+         |pair AS (SELECT img.doc_id, img.text, img.n, cap.caption
+         |  FROM img JOIN cap USING (doc_id)),
+         |iv AS (SELECT doc_id, s AS dim,
+         |    list_reduce(list_prepend(0::BIGINT, list_transform(
+         |      generate_series(s * (n // $ClipDims) + 1, (s + 1) * (n // $ClipDims)),
+         |      i -> ascii(substr(text, i::INT, 1))::BIGINT)), (a, x) -> a + x) AS ie
+         |  FROM pair, unnest(generate_series(0, ${ClipDims - 1})) AS t(s)),
+         |ct AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(lower(caption), '[a-z0-9]+')) AS tok FROM pair),
+         |tb AS (SELECT doc_id,
+         |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % $ClipDims AS dim,
+         |    count(*)::BIGINT AS te
+         |  FROM ct GROUP BY 1, 2),
+         |j AS (SELECT iv.doc_id, iv.ie, COALESCE(tb.te, 0) AS te
+         |  FROM iv LEFT JOIN tb ON iv.doc_id = tb.doc_id AND iv.dim = tb.dim),
+         |sc AS (SELECT doc_id, SUM(ie * te)::BIGINT AS dot,
+         |    SUM(ie * ie) AS ni, SUM(te * te) AS nt FROM j GROUP BY 1)
+         |SELECT doc_id, dot,
+         |  round(dot::DOUBLE / (sqrt(ni::DOUBLE) * sqrt(nt::DOUBLE)), 6) AS clip_r,
+         |  (CASE WHEN round(dot::DOUBLE / (sqrt(ni::DOUBLE) * sqrt(nt::DOUBLE)), 6)
+         |     >= $ClipTau THEN 1 ELSE 0 END)::BIGINT AS kept
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    "m_image_entropy" ->
+      s"""WITH v AS (SELECT doc_id, ascii(text[i::INT]) AS v
+         |  FROM documents, unnest(generate_series(1, len(text))) AS t(i)
+         |  WHERE doc_id % 3 = 0),
+         |h AS (SELECT doc_id, v, count(*)::BIGINT AS c FROM v GROUP BY 1, 2),
+         |e AS (SELECT doc_id, SUM(c)::BIGINT AS n, COUNT(*)::BIGINT AS n_distinct,
+         |  list_reduce(list_prepend(0.0, list(c::DOUBLE * ln(c::DOUBLE) ORDER BY v)),
+         |    (a, b) -> a + b) AS sclc FROM h GROUP BY 1)
+         |SELECT doc_id, n AS n_bytes, n_distinct,
+         |  round((ln(n::DOUBLE) - sclc / n::DOUBLE) / ln(2.0), 6) AS entropy_r,
+         |  (CASE WHEN round((ln(n::DOUBLE) - sclc / n::DOUBLE) / ln(2.0), 6)
+         |     < $EntropyTau THEN 1 ELSE 0 END)::BIGINT AS low_info
+         |FROM e ORDER BY doc_id""".stripMargin,
     "m_phash_dedup" ->
       s"""WITH base AS (SELECT doc_id, text FROM documents
          |  WHERE doc_id % 3 = 0 AND length(text) >= ${16 * AhGridW}),

@@ -2619,6 +2619,44 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // -- positional-postings phrase search --------------------------------------
+  // Corpus-wide multi-word phrase retrieval the way a search index answers
+  // it — NOT a substring scan: tokens become (doc, pos) postings, a
+  // broadcast terms table keeps only the phrases' words (the selective
+  // index-lookup prefilter), and a match is ALL of a phrase's offsets
+  // agreeing on one base position, found by ONE (phrase, doc, base)
+  // aggregation. Cost scales with the matched terms' posting lists, never
+  // with corpus size, and phrase length adds zero extra joins (the
+  // k-1-self-joins spelling would). Phrases are fixture constants chosen
+  // for real support in the synthetic corpus (48/46/8 raw term windows).
+  private val Phrases = Seq("table hash", "part filter", "slow hash batch")
+
+  private[queries] val phraseTermsSql: String = Phrases.flatMap { p =>
+    val ws = p.split(" ")
+    ws.zipWithIndex.map { case (w, i) => s"('$p', '$w', $i, ${ws.length})" }
+  }.mkString(", ")
+
+  private def phraseSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val terms = Phrases.flatMap { p =>
+      val ws = p.split(" ")
+      ws.zipWithIndex.map { case (w, i) => (p, w, i.toLong, ws.length.toLong) }
+    }.toDF("phrase", "tok", "off", "plen")
+    val postings = docs(s, dir)
+      .select(col("doc_id"), posexplode(tokensExpr).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+    postings.join(broadcast(terms), Seq("tok"))
+      .select(col("phrase"), col("doc_id"), (col("pos") - col("off")).as("base"),
+        col("off"), col("plen"))
+      .filter(col("base") >= 0)
+      .groupBy("phrase", "doc_id", "base")
+      .agg(countDistinct(col("off")).as("n_off"), max(col("plen")).as("plen"))
+      .filter(col("n_off") === col("plen"))
+      .groupBy("phrase", "doc_id")
+      .agg(count(lit(1)).as("n_matches"), min(col("base")).as("first_pos"))
+      .orderBy("phrase", "doc_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "d_dedup_exact"       -> (dedupExact _),
     "d_dedup_fingerprint" -> (dedupFingerprint _),
@@ -2695,7 +2733,8 @@ object TextOps {
     "d_char_lm"           -> (charLm _),
     "d_lm_buckets"        -> (lmBuckets _),
     "d_dedup_incremental" -> (dedupIncremental _),
-    "m_binary_meta"       -> (binaryMeta _)
+    "m_binary_meta"       -> (binaryMeta _),
+    "d_phrase_search"     -> (phraseSearch _)
   )
 
   /** Shared CTE chain: word-trigram shingles → MinHash bands → verified
@@ -3385,6 +3424,19 @@ object TextOps {
         |  list(prev_cum + length(marker) + length(text) ORDER BY turn) FILTER (WHERE turn % 2 = 1) AS mask_ends,
         |  SUM(length(text)) FILTER (WHERE turn % 2 = 1)::BIGINT AS loss_chars
         |FROM o GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
+    "d_phrase_search" ->
+      s"""WITH d AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |t AS (SELECT doc_id, unnest(toks) AS tok,
+         |    (generate_subscripts(toks, 1) - 1)::BIGINT AS pos FROM d),
+         |terms(phrase, tok, off, plen) AS (VALUES $phraseTermsSql),
+         |h AS (SELECT terms.phrase, t.doc_id, t.pos - terms.off AS base,
+         |    terms.off, terms.plen
+         |  FROM t JOIN terms USING (tok) WHERE t.pos - terms.off >= 0),
+         |m AS (SELECT phrase, doc_id, base FROM h
+         |  GROUP BY phrase, doc_id, base, plen HAVING COUNT(DISTINCT off) = plen)
+         |SELECT phrase, doc_id, COUNT(*)::BIGINT AS n_matches,
+         |  MIN(base)::BIGINT AS first_pos
+         |FROM m GROUP BY 1, 2 ORDER BY phrase, doc_id""".stripMargin,
     "d_dsir_weight" ->
       s"""WITH toks AS (
          |  SELECT doc_id, source, unnest($tokensSql) AS tok FROM documents),

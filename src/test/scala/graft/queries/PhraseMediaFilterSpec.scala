@@ -1,0 +1,90 @@
+package graft.queries
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Invariants for the positional-postings phrase search and the two
+  * media-filter queries (CLIP-style alignment, byte-entropy screen).
+  * Value-level equality vs DuckDB is covered by Verify + tools/check.py;
+  * these assert the semantics the oracle mirror can't see — agreement
+  * with an independent re-derivation and the filters' internal
+  * consistency.
+  */
+class PhraseMediaFilterSpec extends SparkSpecBase {
+
+  test("phrase matches agree with a direct token-array re-derivation") {
+    // independent spelling: slide a window over the token array per doc
+    // and count exact sequence hits — no postings, no joins
+    val expected = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("toks"))
+      .select(col("doc_id"), expr(
+        """aggregate(sequence(1, greatest(size(toks) - 1, 1)),
+          |  0L, (a, i) -> a + if(element_at(toks, i) = 'table' AND
+          |    element_at(toks, i + 1) = 'hash', 1L, 0L))""".stripMargin)
+        .as("n"))
+      .filter(col("n") > 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = TextOps.queries("d_phrase_search")(spark, sf001)
+      .filter(col("phrase") === "table hash")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_matches"))
+      .toMap
+    assert(got == expected, s"postings result drifted from direct scan")
+  }
+
+  test("phrase first_pos points at a real occurrence of the full phrase") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    TextOps.queries("d_phrase_search")(spark, sf001).collect().foreach { r =>
+      val words = r.getAs[String]("phrase").split(" ")
+      val toks = docs(r.getAs[Long]("doc_id"))
+      val p = r.getAs[Long]("first_pos").toInt
+      assert(toks.slice(p, p + words.length) == words.toSeq,
+        s"first_pos $p does not start '${r.getAs[String]("phrase")}'")
+    }
+  }
+
+  test("clip scores are valid cosines and the kept flag matches the threshold") {
+    val rows = MediaOps.queries("m_clip_filter")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val kept = rows.count(_.getAs[Long]("kept") == 1L)
+    assert(kept > 0 && kept < rows.length,
+      s"threshold is vacuous: $kept of ${rows.length} kept")
+    rows.foreach { r =>
+      val s = r.getAs[Double]("clip_r")
+      // both stub embeddings are componentwise non-negative -> cosine in [0, 1]
+      assert(s >= 0.0 && s <= 1.0 + 1e-9, s"cosine $s out of range")
+      assert((r.getAs[Long]("kept") == 1L) == (s >= 0.88))
+    }
+  }
+
+  test("entropy is bounded by log2(distinct values) and flags are consistent") {
+    val rows = MediaOps.queries("m_image_entropy")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Double]("entropy_r")
+      val nd = r.getAs[Long]("n_distinct").toDouble
+      assert(h >= 0.0 && h <= math.log(nd) / math.log(2.0) + 1e-6,
+        s"entropy $h above log2($nd)")
+      assert((r.getAs[Long]("low_info") == 1L) == (h < 4.05))
+    }
+  }
+
+  test("a uniform payload scores zero entropy; distinct bytes score log2(n)") {
+    import spark.implicits._
+    val fixture = Seq(
+      (0L, "aaaaaaaaaaaaaaaa", "en", "src0", 16L), // uniform -> H = 0
+      (3L, "abcdefgh", "en", "src0", 8L) // 8 distinct -> H = 3
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft-entropy-").toString
+    fixture.write.parquet(s"$dir/documents.parquet")
+    val out = MediaOps.queries("m_image_entropy")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("entropy_r"))
+      .toMap
+    assert(out(0L) == 0.0)
+    assert(math.abs(out(3L) - 3.0) < 1e-9)
+  }
+}
