@@ -764,7 +764,50 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  // -- semantic sequence packing (in-context pretraining ordering) ------------
+  // The ICLM trick (Shi et al.): order the corpus so semantically-related
+  // documents land in the SAME training sequence, giving the model real
+  // long-range context instead of random concatenation. Distributed shape:
+  // assign every doc to its nearest frozen seed centroid (one broadcast of
+  // 16 centroids against the scan — the s_ann_graph_expand assignment
+  // spelling), then concat-and-split WITHIN each cell: a per-cell
+  // partitioned window (cells grow with the corpus, so no single-reducer
+  // funnel) gives each doc its token offset, and seq_idx = offset DIV 512.
+  // The order inside a cell is a salted hash — deterministic, and an
+  // unbiased shuffle of each topic cluster. Token counts ride the
+  // documents scan; embeddings never shuffle wider than (doc_id, cell).
+  private val IcpSeqLen = 512L
+
+  private def packSemantic(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = vecs(s, dir)
+    val cents = v.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
+    val simToCent = v.select(col("vec_id"), col("e").as("qe"), col("nrm").as("qn"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", round(
+        vecDot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+    val cells = graft.operators.TopK.perKey(simToCent, Seq(col("vec_id")),
+        Seq(col("csim").desc, col("c_id").asc), 1)
+      .select(col("vec_id").as("doc_id"), col("c_id").as("cell"))
+    val nt = t(s, dir, "documents")
+      .select(col("doc_id"), size(graft.queries.TextOps.tokensExpr)
+        .cast("long").as("n_tokens"),
+        md5(concat(lit("icp:"), col("doc_id").cast("string"))).as("hkey"))
+    val w = Window.partitionBy("cell").orderBy("hkey", "doc_id")
+    cells.join(nt, Seq("doc_id"))
+      .withColumn("pos_in_cell", row_number().over(w).cast("long"))
+      .withColumn("cum",
+        sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .select(col("doc_id"), col("cell"), col("pos_in_cell"), col("n_tokens"),
+        (col("cum") - col("n_tokens")).as("tok_offset"),
+        expr(s"(cum - n_tokens) div $IcpSeqLen").as("seq_idx"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "s_pack_semantic"   -> (packSemantic _),
     "s_hard_negatives"  -> (hardNegatives _),
     "s_contrastive_pairs" -> (contrastivePairs _),
     "s_hamming_topk"    -> (hammingTopK _),
@@ -854,6 +897,28 @@ object Similarity {
        |qd AS (SELECT vec_id AS q_id, m, k, dist2 AS qdist2 FROM d WHERE vec_id < 10)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "s_pack_semantic" ->
+      s"""WITH $vSql,
+         |c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM v WHERE vec_id < 16),
+         |sims AS (SELECT v.vec_id, c.c_id,
+         |    round(list_dot_product(v.e, c.ce) / (v.nrm * c.cn), 6) AS csim
+         |  FROM v, c),
+         |cells AS (SELECT vec_id AS doc_id, c_id AS cell FROM (
+         |  SELECT vec_id, c_id, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY csim DESC, c_id) AS crk FROM sims) WHERE crk = 1),
+         |nt AS (SELECT doc_id,
+         |    len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_tokens,
+         |    md5('icp:' || doc_id::VARCHAR) AS hkey FROM documents),
+         |o AS (SELECT cells.doc_id, cell, n_tokens,
+         |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY hkey, doc_id)::BIGINT
+         |      AS pos_in_cell,
+         |    SUM(n_tokens) OVER (PARTITION BY cell ORDER BY hkey, doc_id
+         |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+         |  FROM cells JOIN nt USING (doc_id))
+         |SELECT doc_id, cell, pos_in_cell, n_tokens,
+         |  (cum - n_tokens)::BIGINT AS tok_offset,
+         |  ((cum - n_tokens) // $IcpSeqLen)::BIGINT AS seq_idx
+         |FROM o ORDER BY doc_id""".stripMargin,
     "s_contrastive_pairs" ->
       s"""WITH $vSql,
          |a AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM v WHERE vec_id < 50),

@@ -2657,6 +2657,40 @@ object TextOps {
       .orderBy("phrase", "doc_id")
   }
 
+  // -- LLM-watermark detection ------------------------------------------------
+  // Synthetic-data provenance screen (the Kirchenbauer green-list test): a
+  // watermarking sampler biases each next token toward a pseudo-random
+  // "green" quarter of the vocabulary keyed on the previous token, so
+  // watermarked text shows a green-transition fraction far above the γ=1/4
+  // null rate. Per doc: count green transitions with the fused md5 hash,
+  // z-score against Binomial(m, γ), flag z > 4. Everything rides the scan
+  // (the transition fold is one codegen'd HOF per row — no shuffle at any
+  // corpus size); the z is one IEEE tree over exact integer counts
+  // (γ = 0.25 and γ(1−γ) = 0.1875 are exact binary fractions).
+  // The corpus is salted with deterministic watermarked variants
+  // (doc_id + 200000, a repeated tail of the bidirectionally-green bigram
+  // "the line"): the gate proves exactly the salted docs flag — real
+  // detection power, not just parity (orig max z ≈ 3.3, variants ≥ 8.3).
+  private def watermarkDetect(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+    val variants = base.filter(expr("doc_id % 20 = 0"))
+      .select((col("doc_id") + 200000L).as("doc_id"),
+        concat(col("text"), expr("repeat(' the line', 30)")).as("text"))
+    base.union(variants)
+      .withColumn("toks", tokensExpr)
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), (size(col("toks")) - 1).cast("long").as("n_trans"),
+        expr("aggregate(sequence(2, size(toks)), 0L, (a, i) -> a + " +
+          "if(md5_bits(concat(element_at(toks, i - 1), ':', element_at(toks, i)), 1, 8) % 4 = 0, 1L, 0L))")
+          .as("n_green"))
+      .withColumn("z_r", round(
+        (col("n_green").cast("double") - lit(0.25) * col("n_trans").cast("double")) /
+          sqrt(lit(0.1875) * col("n_trans").cast("double")), 6))
+      .withColumn("watermarked", when(col("z_r") > 4.0, 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "d_dedup_exact"       -> (dedupExact _),
     "d_dedup_fingerprint" -> (dedupFingerprint _),
@@ -2734,7 +2768,8 @@ object TextOps {
     "d_lm_buckets"        -> (lmBuckets _),
     "d_dedup_incremental" -> (dedupIncremental _),
     "m_binary_meta"       -> (binaryMeta _),
-    "d_phrase_search"     -> (phraseSearch _)
+    "d_phrase_search"     -> (phraseSearch _),
+    "d_watermark_detect"  -> (watermarkDetect _)
   )
 
   /** Shared CTE chain: word-trigram shingles → MinHash bands → verified
@@ -3437,6 +3472,25 @@ object TextOps {
          |SELECT phrase, doc_id, COUNT(*)::BIGINT AS n_matches,
          |  MIN(base)::BIGINT AS first_pos
          |FROM m GROUP BY 1, 2 ORDER BY phrase, doc_id""".stripMargin,
+    "d_watermark_detect" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+         |allv AS (SELECT doc_id, text FROM base
+         |  UNION ALL
+         |  SELECT doc_id + 200000, text || repeat(' the line', 30)
+         |  FROM base WHERE doc_id % 20 = 0),
+         |d AS (SELECT doc_id, $tokensSql AS toks FROM allv),
+         |tr AS (SELECT doc_id, (len(toks) - 1)::BIGINT AS n_trans,
+         |    list_sum(list_transform(generate_series(2, len(toks)), i ->
+         |      CASE WHEN ('0x' || substr(md5(toks[i-1] || ':' || toks[i]), 1, 8))::BIGINT % 4 = 0
+         |        THEN 1 ELSE 0 END))::BIGINT AS n_green
+         |  FROM d WHERE len(toks) >= 2)
+         |SELECT doc_id, n_trans, n_green,
+         |  round((n_green::DOUBLE - 0.25 * n_trans::DOUBLE)
+         |    / sqrt(0.1875 * n_trans::DOUBLE), 6) AS z_r,
+         |  (CASE WHEN round((n_green::DOUBLE - 0.25 * n_trans::DOUBLE)
+         |    / sqrt(0.1875 * n_trans::DOUBLE), 6) > 4 THEN 1 ELSE 0 END)::BIGINT
+         |    AS watermarked
+         |FROM tr ORDER BY doc_id""".stripMargin,
     "d_dsir_weight" ->
       s"""WITH toks AS (
          |  SELECT doc_id, source, unnest($tokensSql) AS tok FROM documents),

@@ -72,6 +72,37 @@ class PhraseMediaFilterSpec extends SparkSpecBase {
     }
   }
 
+  test("watermark detector flags exactly the salted green-tail variants") {
+    val rows = TextOps.queries("d_watermark_detect")(spark, sf001).collect()
+    val flagged = rows.filter(_.getAs[Long]("watermarked") == 1L)
+      .map(_.getAs[Long]("doc_id")).toSet
+    val salted = rows.map(_.getAs[Long]("doc_id")).filter(_ >= 200000L).toSet
+    assert(salted.nonEmpty, "fixture lost its watermarked variants")
+    assert(flagged == salted,
+      s"false pos: ${flagged.diff(salted)}; false neg: ${salted.diff(flagged)}")
+    // the z gap is wide, not marginal: clean docs stay below 4 with margin
+    rows.filter(_.getAs[Long]("doc_id") < 200000L).foreach { r =>
+      assert(r.getAs[Double]("z_r") < 3.9, s"clean doc near threshold: $r")
+    }
+  }
+
+  test("semantic packing partitions each cell's token mass contiguously") {
+    val rows = Similarity.queries("s_pack_semantic")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("cell")).foreach { case (cell, rs) =>
+      val total = rs.map(_.getAs[Long]("n_tokens")).sum
+      val maxEnd = rs.map(r =>
+        r.getAs[Long]("tok_offset") + r.getAs[Long]("n_tokens")).max
+      assert(maxEnd == total, s"cell $cell offsets not contiguous")
+      // positions are a dense 1..n permutation within the cell
+      val pos = rs.map(_.getAs[Long]("pos_in_cell")).sorted
+      assert(pos.toSeq == (1L to rs.length).toSeq, s"cell $cell ranks not dense")
+      rs.foreach { r =>
+        assert(r.getAs[Long]("seq_idx") == r.getAs[Long]("tok_offset") / 512)
+      }
+    }
+  }
+
   test("a uniform payload scores zero entropy; distinct bytes score log2(n)") {
     import spark.implicits._
     val fixture = Seq(

@@ -71,7 +71,8 @@ object StressProbe {
         "d_batch_buckets", "d_decontam_fuzzy",
         "d_sample_estimate", "d_validate", "d_distinct_overlap",
         "d_token_fertility", "q_skew_advisor", "q_hierarchy",
-        "s_ann_graph_expand", "m_keyframes", "s_bitext_mine")) {
+        "s_ann_graph_expand", "m_keyframes", "s_bitext_mine",
+        "d_phrase_search", "m_clip_filter", "m_image_entropy")) {
       val t0 = System.nanoTime()
       try {
         val n = graft.SparkEntry.queries(name)(spark, dir).count()
