@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Positional inverted index, written as a partitioned-parquet artifact —
+  * the text-retrieval analog of [[IvfIndex]] (same build-once/probe-pruned
+  * lifecycle). Postings are (tok, doc_id, pos) rows partitioned by a hash
+  * bucket of the token, so a term lookup reads exactly the buckets its
+  * terms hash into (parquet directory-level partition pruning, asserted in
+  * TermIndexSpec) — at 100 TB a phrase query costs the posting lists it
+  * touches, never a corpus scan. Buckets (not raw terms) keep the
+  * directory count bounded and hot stop-terms spread across files inside
+  * their bucket; the residual `tok` equality rides the row-group filter.
+  *
+  * The phrase matcher itself is ONE spelling shared with the scan-side
+  * d_phrase_search (see [[matchPhrases]]), so the indexed and scan paths
+  * cannot drift semantically — the driver gate runs both against the same
+  * oracle.
+  */
+object TermIndex {
+
+  val DefaultBuckets = 64
+
+  /** Driver-side mirror of the `md5_bits(tok, 1, 8) % nBuckets` bucket rule
+    * (functions/Md5BitsExpression) — used to turn a query's constant terms
+    * into the partition values to prune to. Parity is spec-pinned.
+    */
+  def bucketOf(tok: String, nBuckets: Int = DefaultBuckets): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16) % nBuckets
+  }
+
+  /** Tokenize `docs` (same rule as the query suite: lower-cased alnum runs)
+    * and write the positional postings partitioned by term bucket.
+    */
+  def build(spark: SparkSession, docs: DataFrame, indexDir: String,
+      nBuckets: Int = DefaultBuckets): Unit =
+    docs
+      .select(col("doc_id"), posexplode(
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"),
+        (graft.functions.Md5BitsFunctions.md5Bits(col("tok"), 1, 8) % nBuckets)
+          .as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(indexDir)
+
+  /** Phrase terms table: one row per (phrase, word, offset) plus the phrase
+    * length — broadcast against postings by both search paths. */
+  def termsOf(spark: SparkSession, phrases: Seq[String]): DataFrame = {
+    import spark.implicits._
+    phrases.flatMap { p =>
+      val ws = p.split(" ")
+      ws.zipWithIndex.map { case (w, i) => (p, w, i.toLong, ws.length.toLong) }
+    }.toDF("phrase", "tok", "off", "plen")
+  }
+
+  /** The phrase-match algebra over a postings frame (doc_id, pos, tok):
+    * keep only phrase terms (broadcast join — the index-lookup prefilter),
+    * then a match is ALL of a phrase's offsets agreeing on one base
+    * position, found by ONE (phrase, doc, base) aggregation. Phrase length
+    * adds zero joins. Returns (phrase, doc_id, n_matches, first_pos).
+    */
+  def matchPhrases(postings: DataFrame, terms: DataFrame): DataFrame =
+    postings.join(broadcast(terms), Seq("tok"))
+      .select(col("phrase"), col("doc_id"), (col("pos") - col("off")).as("base"),
+        col("off"), col("plen"))
+      .filter(col("base") >= 0)
+      .groupBy("phrase", "doc_id", "base")
+      .agg(countDistinct(col("off")).as("n_off"), max(col("plen")).as("plen"))
+      .filter(col("n_off") === col("plen"))
+      .groupBy("phrase", "doc_id")
+      .agg(count(lit(1)).as("n_matches"), min(col("base")).as("first_pos"))
+      .orderBy("phrase", "doc_id")
+
+  /** Serve a phrase query from a written index: prune the scan to the
+    * buckets the query's terms hash into (computed driver-side from the
+    * constants — no data moves), then run the shared matcher.
+    */
+  def phraseSearch(spark: SparkSession, indexDir: String,
+      phrases: Seq[String], nBuckets: Int = DefaultBuckets): DataFrame = {
+    val buckets = phrases.flatMap(_.split(" ")).distinct
+      .map(bucketOf(_, nBuckets))
+    val postings = spark.read.parquet(indexDir)
+      .filter(col("bucket").isin(buckets: _*))
+    matchPhrases(postings, termsOf(spark, phrases))
+  }
+}

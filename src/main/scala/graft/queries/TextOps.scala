@@ -2636,25 +2636,39 @@ object TextOps {
     ws.zipWithIndex.map { case (w, i) => s"('$p', '$w', $i, ${ws.length})" }
   }.mkString(", ")
 
+  private lazy val phraseSearchSql: String =
+    s"""WITH d AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |t AS (SELECT doc_id, unnest(toks) AS tok,
+       |    (generate_subscripts(toks, 1) - 1)::BIGINT AS pos FROM d),
+       |terms(phrase, tok, off, plen) AS (VALUES $phraseTermsSql),
+       |h AS (SELECT terms.phrase, t.doc_id, t.pos - terms.off AS base,
+       |    terms.off, terms.plen
+       |  FROM t JOIN terms USING (tok) WHERE t.pos - terms.off >= 0),
+       |m AS (SELECT phrase, doc_id, base FROM h
+       |  GROUP BY phrase, doc_id, base, plen HAVING COUNT(DISTINCT off) = plen)
+       |SELECT phrase, doc_id, COUNT(*)::BIGINT AS n_matches,
+       |  MIN(base)::BIGINT AS first_pos
+       |FROM m GROUP BY 1, 2 ORDER BY phrase, doc_id""".stripMargin
+
   private def phraseSearch(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val terms = Phrases.flatMap { p =>
-      val ws = p.split(" ")
-      ws.zipWithIndex.map { case (w, i) => (p, w, i.toLong, ws.length.toLong) }
-    }.toDF("phrase", "tok", "off", "plen")
     val postings = docs(s, dir)
       .select(col("doc_id"), posexplode(tokensExpr).as(Seq("pos", "tok")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
-    postings.join(broadcast(terms), Seq("tok"))
-      .select(col("phrase"), col("doc_id"), (col("pos") - col("off")).as("base"),
-        col("off"), col("plen"))
-      .filter(col("base") >= 0)
-      .groupBy("phrase", "doc_id", "base")
-      .agg(countDistinct(col("off")).as("n_off"), max(col("plen")).as("plen"))
-      .filter(col("n_off") === col("plen"))
-      .groupBy("phrase", "doc_id")
-      .agg(count(lit(1)).as("n_matches"), min(col("base")).as("first_pos"))
-      .orderBy("phrase", "doc_id")
+    graft.operators.TermIndex.matchPhrases(postings,
+      graft.operators.TermIndex.termsOf(s, Phrases))
+  }
+
+  // Same query served from the WRITTEN inverted index (operators/TermIndex
+  // — postings partitioned by term-hash bucket, probe pruned to the query
+  // terms' buckets): the build-once/serve-many path a retrieval corpus
+  // runs at 100 TB. Byte-identical to d_phrase_search by the shared
+  // matcher; the gate runs both against the same oracle, the spec pins
+  // the partition pruning.
+  private def phraseIndexed(s: SparkSession, dir: String): DataFrame = {
+    val idx = java.nio.file.Files.createTempDirectory("graft-term-index")
+      .toString + "/idx"
+    graft.operators.TermIndex.build(s, docs(s, dir), idx)
+    graft.operators.TermIndex.phraseSearch(s, idx, Phrases)
   }
 
   // -- LLM-watermark detection ------------------------------------------------
@@ -2769,6 +2783,7 @@ object TextOps {
     "d_dedup_incremental" -> (dedupIncremental _),
     "m_binary_meta"       -> (binaryMeta _),
     "d_phrase_search"     -> (phraseSearch _),
+    "d_phrase_indexed"    -> (phraseIndexed _),
     "d_watermark_detect"  -> (watermarkDetect _)
   )
 
@@ -3459,19 +3474,10 @@ object TextOps {
         |  list(prev_cum + length(marker) + length(text) ORDER BY turn) FILTER (WHERE turn % 2 = 1) AS mask_ends,
         |  SUM(length(text)) FILTER (WHERE turn % 2 = 1)::BIGINT AS loss_chars
         |FROM o GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
-    "d_phrase_search" ->
-      s"""WITH d AS (SELECT doc_id, $tokensSql AS toks FROM documents),
-         |t AS (SELECT doc_id, unnest(toks) AS tok,
-         |    (generate_subscripts(toks, 1) - 1)::BIGINT AS pos FROM d),
-         |terms(phrase, tok, off, plen) AS (VALUES $phraseTermsSql),
-         |h AS (SELECT terms.phrase, t.doc_id, t.pos - terms.off AS base,
-         |    terms.off, terms.plen
-         |  FROM t JOIN terms USING (tok) WHERE t.pos - terms.off >= 0),
-         |m AS (SELECT phrase, doc_id, base FROM h
-         |  GROUP BY phrase, doc_id, base, plen HAVING COUNT(DISTINCT off) = plen)
-         |SELECT phrase, doc_id, COUNT(*)::BIGINT AS n_matches,
-         |  MIN(base)::BIGINT AS first_pos
-         |FROM m GROUP BY 1, 2 ORDER BY phrase, doc_id""".stripMargin,
+    "d_phrase_search" -> phraseSearchSql,
+    // identical result contract — the indexed path must reproduce the scan
+    // path byte-for-byte (shared matcher; only the postings source differs)
+    "d_phrase_indexed" -> phraseSearchSql,
     "d_watermark_detect" ->
       s"""WITH base AS (SELECT doc_id, text FROM documents),
          |allv AS (SELECT doc_id, text FROM base

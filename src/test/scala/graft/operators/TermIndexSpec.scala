@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class TermIndexSpec extends SparkSpecBase {
+
+  private lazy val indexDir = {
+    val d = java.nio.file.Files.createTempDirectory("term-index-spec")
+      .toString + "/idx"
+    TermIndex.build(spark,
+      spark.read.parquet(s"$sf001/documents.parquet"), d)
+    d
+  }
+
+  private val phrases = Seq("table hash", "slow hash batch")
+
+  test("driver-side bucketOf matches the md5_bits bucket rule in the data") {
+    val toks = spark.read.parquet(indexDir)
+      .select("tok", "bucket").distinct().collect()
+    assert(toks.nonEmpty)
+    toks.foreach { r =>
+      assert(TermIndex.bucketOf(r.getAs[String]("tok")) ==
+        r.getAs[Int]("bucket").toLong,
+        s"bucket mismatch for token '${r.getAs[String]("tok")}'")
+    }
+  }
+
+  test("indexed phrase search equals the direct postings-scan result") {
+    val direct = {
+      val postings = spark.read.parquet(s"$sf001/documents.parquet")
+        .select(col("doc_id"), posexplode(
+          expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+          .as(Seq("pos", "tok")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+      TermIndex.matchPhrases(postings, TermIndex.termsOf(spark, phrases))
+        .collect().toSeq
+    }
+    val indexed = TermIndex.phraseSearch(spark, indexDir, phrases)
+      .collect().toSeq
+    assert(direct.nonEmpty)
+    assert(indexed == direct)
+  }
+
+  test("the index probe prunes to the query terms' bucket partitions") {
+    val searched = TermIndex.phraseSearch(spark, indexDir, Seq("table hash"))
+    val plan = searched.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val partLines = plan.split("\n").filter(_.contains("PartitionFilters"))
+    assert(partLines.exists(l => l.contains("bucket") && l.contains("IN")),
+      s"no partition filter over bucket in:\n${plan.take(1200)}")
+    // and the pruning is real: the executed scan reads fewer files than the
+    // index holds (inputFiles would lie — it predates partition pruning)
+    val allFiles = spark.read.parquet(indexDir).inputFiles.length
+    // collect() (not count(), which plans its own aggregate on a fresh
+    // QueryExecution) so the metrics below belong to the executed plan
+    searched.collect()
+    // descend through AQE wrappers — a plain collect stops at the adaptive
+    // root and never sees the file scans
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansOf(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scansOf(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scansOf)
+    }
+    val scans = scansOf(searched.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "no file scan in the executed plan")
+    val touched = scans.map(_.metrics("numFiles").value).sum
+    assert(touched > 0 && touched < allFiles,
+      s"probe touched $touched of $allFiles index files — pruning had no effect")
+  }
+
+  test("a phrase with a term absent from the corpus matches nothing") {
+    assert(TermIndex.phraseSearch(spark, indexDir,
+      Seq("table zzzunseen")).count() == 0)
+  }
+}
