@@ -57,13 +57,14 @@ object TermIndex {
     }.toDF("phrase", "tok", "off", "plen")
   }
 
-  /** The phrase-match algebra over a postings frame (doc_id, pos, tok):
+  /** Per-match phrase occurrences over a postings frame (doc_id, pos, tok):
     * keep only phrase terms (broadcast join — the index-lookup prefilter),
     * then a match is ALL of a phrase's offsets agreeing on one base
     * position, found by ONE (phrase, doc, base) aggregation. Phrase length
-    * adds zero joins. Returns (phrase, doc_id, n_matches, first_pos).
+    * adds zero joins. Returns (phrase, doc_id, base, plen), one row per
+    * occurrence.
     */
-  def matchPhrases(postings: DataFrame, terms: DataFrame): DataFrame =
+  def matchPositions(postings: DataFrame, terms: DataFrame): DataFrame =
     postings.join(broadcast(terms), Seq("tok"))
       .select(col("phrase"), col("doc_id"), (col("pos") - col("off")).as("base"),
         col("off"), col("plen"))
@@ -71,6 +72,14 @@ object TermIndex {
       .groupBy("phrase", "doc_id", "base")
       .agg(countDistinct(col("off")).as("n_off"), max(col("plen")).as("plen"))
       .filter(col("n_off") === col("plen"))
+      .select("phrase", "doc_id", "base", "plen")
+
+  /** Per-(phrase, doc) rollup of [[matchPositions]] —
+    * (phrase, doc_id, n_matches, first_pos). The one spelling both the
+    * scan-side and index-side phrase queries return.
+    */
+  def matchPhrases(postings: DataFrame, terms: DataFrame): DataFrame =
+    matchPositions(postings, terms)
       .groupBy("phrase", "doc_id")
       .agg(count(lit(1)).as("n_matches"), min(col("base")).as("first_pos"))
       .orderBy("phrase", "doc_id")

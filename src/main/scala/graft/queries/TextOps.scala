@@ -2249,6 +2249,78 @@ object TextOps {
       .orderBy(col("score_r").desc, col("doc_id"))
   }
 
+  // -- KWIC snippet extraction ------------------------------------------------
+  // Keyword-in-context windows around every phrase occurrence — the
+  // "show me the evidence" step behind decontamination review and search
+  // result rendering. Per-match positions come from the shared phrase
+  // matcher; each match joins back to its doc's token array ONCE (matches
+  // are posting-list-sized, so the join is match-sized, and the snippet
+  // slice is a per-row array op — no window, no second corpus pass).
+  private val KwicCtx = 5L
+
+  private def phraseKwic(s: SparkSession, dir: String): DataFrame = {
+    val toked = docs(s, dir)
+      .select(col("doc_id"), tokensExpr.as("toks"))
+    val postings = toked
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+    graft.operators.TermIndex.matchPositions(postings,
+        graft.operators.TermIndex.termsOf(s, Phrases))
+      .join(toked, Seq("doc_id"))
+      .withColumn("start0", greatest(col("base") - KwicCtx, lit(0L)))
+      .select(col("phrase"), col("doc_id"), col("base"),
+        concat_ws(" ", expr(
+          s"slice(toks, cast(start0 + 1 as int), " +
+            s"cast(base + plen + $KwicCtx - start0 as int))")).as("snippet"))
+      .orderBy("phrase", "doc_id", "base")
+  }
+
+  // -- served BM25 retrieval over the written inverted index ------------------
+  // d_bm25 scores the WHOLE corpus in one scan (right for a fixed audit
+  // query); this is the serving-path contrast: the query reads only its
+  // terms' pruned bucket partitions of the TermIndex artifact, tf/df come
+  // straight off the posting lists, and only MATCHING docs are scored —
+  // at 100 TB a query costs its posting lists plus one doc-length join,
+  // never a corpus scan. Scoring reuses d_bm25's spelling exactly (log-free
+  // rational idf, k1 = 1.2 / b = 0.75 saturation, one IEEE tree over exact
+  // integer tf/df/dl); the per-term weights pivot to FIXED columns before
+  // the final sum so the score is a fixed expression tree, never an
+  // order-dependent float SUM. Top-10 via the bounded-heap global top-k.
+  private def searchBm25(s: SparkSession, dir: String): DataFrame = {
+    val idx = java.nio.file.Files.createTempDirectory("graft-search-idx")
+      .toString + "/idx"
+    graft.operators.TermIndex.build(s, docs(s, dir), idx)
+    val dl = docs(s, dir)
+      .select(col("doc_id"), size(tokensExpr).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val buckets = bmTerms.map(t => graft.operators.TermIndex.bucketOf(t)).distinct
+    val tf = s.read.parquet(idx)
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("tok").isin(bmTerms: _*))
+      .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("tok").agg(count(lit(1)).as("df_docs"))
+    val w = tf.join(broadcast(dft), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("w",
+        (((col("n_docs").cast("double") - col("df_docs").cast("double")) + lit(0.5)) /
+          (col("df_docs").cast("double") + lit(0.5))) *
+          ((col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
+              (col("dl").cast("double") / col("avgdl"))))))
+    val pivots = bmTerms.map(t =>
+      coalesce(max(when(col("tok") === t, col("w"))), lit(0.0)).as(s"w_$t"))
+    val perDoc = w.groupBy("doc_id").agg(pivots.head, pivots.tail: _*)
+      .withColumn("score_r",
+        round(bmTerms.map(t => col(s"w_$t")).reduce(_ + _), 6))
+    graft.operators.TopK.global(perDoc,
+        Seq(col("score_r").desc, col("doc_id").asc), 10)
+      .select(col("rk").cast("long").as("rnk"), col("doc_id"), col("score_r"))
+      .orderBy("rnk")
+  }
+
   // -- sequence packing (concat-and-split) -------------------------------------
   // GPT-style training batches: documents are concatenated in a fixed order
   // and split into fixed-length sequences; each doc's global token offset
@@ -2784,6 +2856,8 @@ object TextOps {
     "m_binary_meta"       -> (binaryMeta _),
     "d_phrase_search"     -> (phraseSearch _),
     "d_phrase_indexed"    -> (phraseIndexed _),
+    "d_search_bm25"       -> (searchBm25 _),
+    "d_phrase_kwic"       -> (phraseKwic _),
     "d_watermark_detect"  -> (watermarkDetect _)
   )
 
@@ -3478,6 +3552,49 @@ object TextOps {
     // identical result contract — the indexed path must reproduce the scan
     // path byte-for-byte (shared matcher; only the postings source differs)
     "d_phrase_indexed" -> phraseSearchSql,
+    "d_phrase_kwic" ->
+      s"""WITH d AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |t AS (SELECT doc_id, unnest(toks) AS tok,
+         |    (generate_subscripts(toks, 1) - 1)::BIGINT AS pos FROM d),
+         |terms(phrase, tok, off, plen) AS (VALUES $phraseTermsSql),
+         |h AS (SELECT terms.phrase, t.doc_id, t.pos - terms.off AS base,
+         |    terms.off, terms.plen
+         |  FROM t JOIN terms USING (tok) WHERE t.pos - terms.off >= 0),
+         |m AS (SELECT phrase, doc_id, base, plen FROM h
+         |  GROUP BY phrase, doc_id, base, plen HAVING COUNT(DISTINCT off) = plen),
+         |k AS (SELECT phrase, m.doc_id, base,
+         |    greatest(base - 5, 0) AS start0, plen, toks
+         |  FROM m JOIN d ON m.doc_id = d.doc_id)
+         |SELECT phrase, doc_id, base,
+         |  array_to_string(list_slice(toks, (start0 + 1)::INT,
+         |    (base + plen + 5)::INT), ' ') AS snippet
+         |FROM k ORDER BY phrase, doc_id, base""".stripMargin,
+    "d_search_bm25" ->
+      s"""WITH d AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM d),
+         |stats AS (SELECT count(*)::BIGINT AS n_docs, SUM(dl)::BIGINT AS sum_dl
+         |  FROM dl),
+         |tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+         |  WHERE tok IN (${bmTerms.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY 1, 2),
+         |dft AS (SELECT tok, count(*)::BIGINT AS df_docs FROM tf GROUP BY 1),
+         |w AS (SELECT tf.doc_id, tf.tok,
+         |    (((n_docs::DOUBLE - df_docs::DOUBLE) + 0.5) / (df_docs::DOUBLE + 0.5)) *
+         |    ((tf::DOUBLE * 2.2) / (tf::DOUBLE + 1.2 * (0.25 + 0.75 *
+         |      (dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE))))) AS w
+         |  FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id), stats),
+         |p AS (SELECT doc_id,
+         |    ${bmTerms.zipWithIndex.map { case (t, i) =>
+              s"COALESCE(MAX(CASE WHEN tok = '$t' THEN w END), 0.0) AS w$i"
+            }.mkString(",\n|    ")}
+         |  FROM w GROUP BY 1)
+         |SELECT ROW_NUMBER() OVER (ORDER BY
+         |    round(${bmTerms.indices.map(i => s"w$i").mkString(" + ")}, 6) DESC,
+         |    doc_id)::BIGINT AS rnk,
+         |  doc_id,
+         |  round(${bmTerms.indices.map(i => s"w$i").mkString(" + ")}, 6) AS score_r
+         |FROM p ORDER BY rnk LIMIT 10""".stripMargin,
     "d_watermark_detect" ->
       s"""WITH base AS (SELECT doc_id, text FROM documents),
          |allv AS (SELECT doc_id, text FROM base

@@ -72,6 +72,39 @@ class PhraseMediaFilterSpec extends SparkSpecBase {
     }
   }
 
+  test("KWIC snippets contain their phrase and match the occurrence count") {
+    val kwic = TextOps.queries("d_phrase_kwic")(spark, sf001).collect()
+    assert(kwic.nonEmpty)
+    kwic.foreach { r =>
+      assert(r.getAs[String]("snippet")
+        .contains(r.getAs[String]("phrase")),
+        s"snippet lost its phrase: $r")
+    }
+    val occ = kwic.groupBy(r =>
+      (r.getAs[String]("phrase"), r.getAs[Long]("doc_id"))).map { case (k, v) =>
+      k -> v.length.toLong }
+    val agg = TextOps.queries("d_phrase_search")(spark, sf001).collect()
+      .map(r => (r.getAs[String]("phrase"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Long]("n_matches")).toMap
+    assert(occ == agg, "per-match rows disagree with the per-doc rollup")
+  }
+
+  test("served BM25 ranks by score and only returns docs with a query term") {
+    val hits = TextOps.queries("d_search_bm25")(spark, sf001).collect()
+    assert(hits.length == 10)
+    val scores = hits.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("score_r"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "scores not descending in rank order")
+    val terms = Set("spark", "key", "dup")
+    val texts = spark.read.parquet(s"$sf001/documents.parquet")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    hits.foreach { r =>
+      val toks = texts(r.getAs[Long]("doc_id")).toLowerCase
+        .split("[^a-z0-9]+").toSet
+      assert(toks.intersect(terms).nonEmpty, s"hit without any query term: $r")
+    }
+  }
+
   test("watermark detector flags exactly the salted green-tail variants") {
     val rows = TextOps.queries("d_watermark_detect")(spark, sf001).collect()
     val flagged = rows.filter(_.getAs[Long]("watermarked") == 1L)
