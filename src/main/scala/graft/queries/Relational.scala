@@ -1602,7 +1602,49 @@ object Relational {
       .orderBy("pct")
   }
 
+  // -- incremental materialized-view maintenance ------------------------------
+  // The warehouse IVM contract: an hourly (hour, event_type) rollup is
+  // materialized once over the base window, and new events update it by
+  // merging a DELTA-SIZED rollup — one full-outer join on the view key,
+  // count/sum partials added (both are self-mergeable aggregates; the
+  // decimal sums stay exact, so split-then-merge is bit-identical to the
+  // one-shot rollup the oracle computes). At 100 TB the refresh cost is
+  // the delta plus the touched view rows — never a re-scan of the base
+  // fact; the materialized artifact is the same build-once parquet
+  // lifecycle as IvfIndex/TermIndex.
+  // half-past the hour ON PURPOSE: the spanning hour bucket lands in BOTH
+  // the base view and the delta, so the merge's matched-key path (partial
+  // sums ADDED, not just unioned) is exercised and oracle-checked
+  private val IvmCutNs = 1705797000L * 1000000000L // 2024-01-21T00:30Z
+
+  private def qIvmRollup(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("ts"), col("event_type"), col("value"))
+    def rollup(df: DataFrame): DataFrame = df
+      .groupBy(expr("ts div 3600000000000").as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sv"))
+    val viewDir = java.nio.file.Files.createTempDirectory("graft-ivm")
+      .toString + "/view"
+    rollup(ev.filter(col("ts") < IvmCutNs))
+      .write.mode("overwrite").parquet(viewDir)
+    val base = s.read.parquet(viewDir)
+      .select(col("hour"), col("event_type"),
+        col("n").as("bn"), col("sv").as("bs"))
+    val delta = rollup(ev.filter(col("ts") >= IvmCutNs))
+      .select(col("hour"), col("event_type"),
+        col("n").as("dn"), col("sv").as("ds"))
+    base.join(delta, Seq("hour", "event_type"), "full_outer")
+      .select(col("hour"), col("event_type"),
+        (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_events"),
+        (coalesce(col("bs"), lit(0).cast(org.apache.spark.sql.types.DecimalType(18, 2))) +
+          coalesce(col("ds"), lit(0).cast(org.apache.spark.sql.types.DecimalType(18, 2))))
+          .cast("double").as("sum_value"))
+      .orderBy("hour", "event_type")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_ivm_rollup"          -> (qIvmRollup _),
     "q_quantiles_exact"     -> (qQuantilesExact _),
     "q2_min_cost_supplier"  -> (q2MinCostSupplier _),
     "q7_volume_shipping"    -> (q7VolumeShipping _),
@@ -2427,6 +2469,13 @@ object Relational {
         |   ELSE 10 END AS rate
         | FROM events)
         |WHERE bucket < rate ORDER BY event_id""".stripMargin,
+    // oracle = the NAIVE one-shot rollup over all events: the incremental
+    // base+delta merge must be indistinguishable from a full recompute
+    "q_ivm_rollup" ->
+      """SELECT epoch_us(ts) // 3600000000 AS hour, event_type,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "q_rollup_events" ->
       """SELECT event_type, COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

@@ -72,7 +72,9 @@ object StressProbe {
         "d_sample_estimate", "d_validate", "d_distinct_overlap",
         "d_token_fertility", "q_skew_advisor", "q_hierarchy",
         "s_ann_graph_expand", "m_keyframes", "s_bitext_mine",
-        "d_phrase_search", "m_clip_filter", "m_image_entropy")) {
+        "d_phrase_search", "m_clip_filter", "m_image_entropy",
+        "d_watermark_detect", "s_pack_semantic", "d_phrase_indexed",
+        "d_search_bm25", "d_phrase_kwic", "q_ivm_rollup")) {
       val t0 = System.nanoTime()
       try {
         val n = graft.SparkEntry.queries(name)(spark, dir).count()
