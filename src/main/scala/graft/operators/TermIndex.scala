@@ -33,11 +33,10 @@ object TermIndex {
     java.lang.Long.parseLong(hex.substring(0, 8), 16) % nBuckets
   }
 
-  /** Tokenize `docs` (same rule as the query suite: lower-cased alnum runs)
-    * and write the positional postings partitioned by term bucket.
-    */
-  def build(spark: SparkSession, docs: DataFrame, indexDir: String,
-      nBuckets: Int = DefaultBuckets): Unit =
+  /** One spelling of doc → bucketed positional postings (lower-cased alnum
+    * tokens, same rule as the query suite) — shared by build and append so
+    * the two write paths cannot drift. */
+  private def postingsOf(docs: DataFrame, nBuckets: Int): DataFrame =
     docs
       .select(col("doc_id"), posexplode(
         expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
@@ -45,7 +44,41 @@ object TermIndex {
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"),
         (graft.functions.Md5BitsFunctions.md5Bits(col("tok"), 1, 8) % nBuckets)
           .as("bucket"))
+
+  /** Tokenize `docs` and write the positional postings partitioned by term
+    * bucket. */
+  def build(spark: SparkSession, docs: DataFrame, indexDir: String,
+      nBuckets: Int = DefaultBuckets): Unit =
+    postingsOf(docs, nBuckets)
       .write.mode("overwrite").partitionBy("bucket").parquet(indexDir)
+
+  /** Incremental index maintenance: tokenize ONLY the delta docs and
+    * parquet-append their postings into the affected bucket partitions
+    * (existing files are never touched). The bucket rule is a pure hash of
+    * the token — no trained state to freeze — so `build(base) +
+    * append(delta)` is search-identical to `build(base ∪ delta)` by
+    * construction (TermIndexSpec asserts it). Returns the per-bucket
+    * growth report (bucket, n_before, n_added), the caller's signal for
+    * small-file compaction; the "before" counts are checkpointed ahead of
+    * the write so the lazy frame can't re-scan its own delta.
+    */
+  def append(spark: SparkSession, indexDir: String, delta: DataFrame,
+      nBuckets: Int = DefaultBuckets): DataFrame = {
+    val before = spark.read.parquet(indexDir)
+      .groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_before"))
+      .localCheckpoint(true)
+    val postings = postingsOf(delta, nBuckets).persist()
+    try {
+      postings.write.mode("append").partitionBy("bucket").parquet(indexDir)
+      val added = postings.groupBy("bucket").agg(count(lit(1)).as("n_added"))
+      before.join(added, Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          coalesce(col("n_before"), lit(0L)).as("n_before"),
+          coalesce(col("n_added"), lit(0L)).as("n_added"))
+        .orderBy("bucket")
+    } finally postings.unpersist()
+  }
 
   /** Phrase terms table: one row per (phrase, word, offset) plus the phrase
     * length — broadcast against postings by both search paths. */

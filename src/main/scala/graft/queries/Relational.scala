@@ -1643,7 +1643,40 @@ object Relational {
       .orderBy("hour", "event_type")
   }
 
+  // -- time-series resampling: gap fill + forward fill -------------------------
+  // The telemetry-regularization step (training-run metrics, usage
+  // dashboards): every (user, day) cell exists after resampling, absent
+  // days carry n_events = 0, and the value channel is forward-filled from
+  // the user's last active day. The day grid comes from ONE 1-row min/max
+  // aggregate broadcast onto the distinct users (scalar-attach — never a
+  // cartesian against the fact table); the fill is a per-user partitioned
+  // running window (user count grows with the corpus — no single-reducer
+  // funnel). Gap rows are grid-sized, not fact-sized, and the decimal day
+  // sums stay exact so the filled values are bit-stable.
+  private def qResample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "events")
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"),
+        dec(col("value")).as("v"))
+    val d = e.groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n_events"), sum(col("v")).as("sv"))
+    val mm = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = e.select("user_id").distinct()
+      .crossJoin(broadcast(mm))
+      .select(col("user_id"), explode(expr("sequence(d0, d1)")).as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(d, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("sv").cast("double").as("day_value"))
+      .withColumn("ffill_value",
+        coalesce(last(col("day_value"), ignoreNulls = true).over(w), lit(0.0)))
+      .orderBy("user_id", "day")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_resample"            -> (qResample _),
     "q_ivm_rollup"          -> (qIvmRollup _),
     "q_quantiles_exact"     -> (qQuantilesExact _),
     "q2_min_cost_supplier"  -> (q2MinCostSupplier _),
@@ -2469,6 +2502,23 @@ object Relational {
         |   ELSE 10 END AS rate
         | FROM events)
         |WHERE bucket < rate ORDER BY event_id""".stripMargin,
+    "q_resample" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |   CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |d AS (SELECT user_id, day, COUNT(*)::BIGINT AS n_events, SUM(v) AS sv
+        | FROM e GROUP BY 1, 2),
+        |mm AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM e),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |grid AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day
+        | FROM u, mm),
+        |j AS (SELECT grid.user_id, grid.day,
+        |   COALESCE(n_events, 0) AS n_events, CAST(sv AS DOUBLE) AS day_value
+        | FROM grid LEFT JOIN d USING (user_id, day))
+        |SELECT user_id, day, n_events, day_value,
+        | COALESCE(last_value(day_value IGNORE NULLS) OVER (
+        |   PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING), 0.0)
+        |   AS ffill_value
+        |FROM j ORDER BY user_id, day""".stripMargin,
     // oracle = the NAIVE one-shot rollup over all events: the incremental
     // base+delta merge must be indistinguishable from a full recompute
     "q_ivm_rollup" ->

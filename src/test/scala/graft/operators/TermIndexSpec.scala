@@ -77,4 +77,29 @@ class TermIndexSpec extends SparkSpecBase {
     assert(TermIndex.phraseSearch(spark, indexDir,
       Seq("table zzzunseen")).count() == 0)
   }
+
+  test("build(base) + append(delta) is search-identical to a full rebuild") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    assert(delta.count() > 0)
+    val incDir = java.nio.file.Files.createTempDirectory("term-inc")
+      .toString + "/idx"
+    TermIndex.build(spark, base, incDir)
+    val report = TermIndex.append(spark, incDir, delta).collect()
+    val fullDir = java.nio.file.Files.createTempDirectory("term-full")
+      .toString + "/idx"
+    TermIndex.build(spark, docs, fullDir)
+    val inc = TermIndex.phraseSearch(spark, incDir, phrases).collect().toSeq
+    val full = TermIndex.phraseSearch(spark, fullDir, phrases).collect().toSeq
+    assert(inc.nonEmpty && inc == full)
+    // the growth report accounts for every delta posting, and appends
+    // never shrink a bucket
+    val deltaPostings = delta.selectExpr(
+      "sum(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)))")
+      .collect()(0).getLong(0)
+    assert(report.map(_.getAs[Long]("n_added")).sum == deltaPostings)
+    report.foreach(r => assert(r.getAs[Long]("n_added") >= 0L &&
+      r.getAs[Long]("n_before") >= 0L))
+  }
 }

@@ -32,7 +32,8 @@ object ExplainCheck {
     "d_search_bm25", // 1-row (n_docs, sum_dl) stats attach onto posting rows
     "d_distinct_overlap", // six 1-row sketch/exact scalars assembled
     "q11_important_stock", "q22_idle_balance", "q_ntile_global", "q_share",
-    "q_quantiles_exact", "q_skew_advisor")
+    "q_quantiles_exact", "q_skew_advisor",
+    "q_resample") // 1-row (d0, d1) day-range attach onto distinct users
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
