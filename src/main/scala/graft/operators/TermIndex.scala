@@ -80,6 +80,41 @@ object TermIndex {
     } finally postings.unpersist()
   }
 
+  /** Small-file compaction — the consumer of append's growth report: long
+    * append streams leave each bucket holding one file per delta, and scan
+    * cost becomes file-count-bound instead of byte-bound. Rewrite the index
+    * to one file per bucket partition (atomically: write to a fresh
+    * directory, then swap — readers never see a half-compacted index), and
+    * return (n_files_before, n_files_after). Postings are re-sorted by
+    * (tok, doc_id, pos) inside each bucket so row-group stats tighten the
+    * residual tok filter after the partition prune.
+    */
+  def compact(spark: SparkSession, indexDir: String): (Long, Long) = {
+    def parquetFiles(p: java.io.File): Seq[java.io.File] =
+      if (!p.exists()) Nil
+      else if (p.isDirectory) p.listFiles().toSeq.flatMap(parquetFiles)
+      else if (p.getName.endsWith(".parquet")) Seq(p) else Nil
+    val dir = new java.io.File(indexDir)
+    val before = parquetFiles(dir).size.toLong
+    val tmp = indexDir + ".compacting"
+    spark.read.parquet(indexDir)
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "tok", "doc_id", "pos")
+      .write.mode("overwrite").option("maxRecordsPerFile", 0)
+      .partitionBy("bucket").parquet(tmp)
+    val old = indexDir + ".old"
+    new java.io.File(old).delete()
+    require(dir.renameTo(new java.io.File(old)), s"cannot swap out $indexDir")
+    require(new java.io.File(tmp).renameTo(dir), s"cannot swap in $tmp")
+    deleteRecursively(new java.io.File(old))
+    (before, parquetFiles(dir).size.toLong)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete()
+  }
+
   /** Phrase terms table: one row per (phrase, word, offset) plus the phrase
     * length — broadcast against postings by both search paths. */
   def termsOf(spark: SparkSession, phrases: Seq[String]): DataFrame = {

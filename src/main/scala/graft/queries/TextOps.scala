@@ -2743,6 +2743,41 @@ object TextOps {
     graft.operators.TermIndex.phraseSearch(s, idx, Phrases)
   }
 
+  // -- SymSpell fuzzy term matching -------------------------------------------
+  // Spell-tolerant term lookup for the retrieval stack: a query term
+  // matches a vocabulary term at edit distance ≤ 1 iff their 1-deletion
+  // neighborhoods intersect (the SymSpell lemma: equal → share self,
+  // insert/delete → one lies in the other's set, substitute → both
+  // contain the string with that position deleted) — so candidates meet
+  // in an EQUI join on the deletion variant, never an all-pairs distance
+  // scan, and the Levenshtein verify only prices the candidates. The
+  // shared-variant block overshoots to distance 2 ("ab"/"ba" share "a"),
+  // which is exactly why the verify stays; the ORACLE is the naive
+  // all-pairs truth, so the gate proves the blocking lossless. Queries
+  // are deterministic typos (2nd char dropped from every ≥4-char vocab
+  // word). At 100 TB the variant explosion is ×(len+1) on the VOCABULARY
+  // (not the corpus) — the classic SymSpell space-for-time trade.
+  private def fuzzyTerm(s: SparkSession, dir: String): DataFrame = {
+    val vocabulary = docs(s, dir)
+      .select(explode(tokensExpr).as("tok")).distinct()
+    def withVariants(df: DataFrame, c: String): DataFrame = df
+      .select(col(c), explode(expr(
+        s"array_distinct(concat(array($c), " +
+          s"transform(sequence(1, length($c)), i -> " +
+          s"concat(substring($c, 1, i - 1), substring($c, i + 1, length($c))))))"))
+        .as("variant"))
+    val queries = vocabulary.filter(length(col("tok")) >= 4)
+      .select(concat(substring(col("tok"), 1, 1), expr("substring(tok, 3)"))
+        .as("q"))
+      .distinct()
+    withVariants(queries, "q")
+      .join(withVariants(vocabulary, "tok"), Seq("variant"))
+      .select("q", "tok").distinct()
+      .withColumn("dist", levenshtein(col("q"), col("tok")).cast("long"))
+      .filter(col("dist") <= 1)
+      .orderBy("q", "tok")
+  }
+
   // -- LLM-watermark detection ------------------------------------------------
   // Synthetic-data provenance screen (the Kirchenbauer green-list test): a
   // watermarking sampler biases each next token toward a pseudo-random
@@ -2858,6 +2893,7 @@ object TextOps {
     "d_phrase_indexed"    -> (phraseIndexed _),
     "d_search_bm25"       -> (searchBm25 _),
     "d_phrase_kwic"       -> (phraseKwic _),
+    "d_fuzzy_term"        -> (fuzzyTerm _),
     "d_watermark_detect"  -> (watermarkDetect _)
   )
 
@@ -3595,6 +3631,15 @@ object TextOps {
          |  doc_id,
          |  round(${bmTerms.indices.map(i => s"w$i").mkString(" + ")}, 6) AS score_r
          |FROM p ORDER BY rnk LIMIT 10""".stripMargin,
+    // oracle = the NAIVE all-pairs edit-distance truth: equality proves the
+    // deletion-neighborhood blocking dropped no true match
+    "d_fuzzy_term" ->
+      s"""WITH v AS (SELECT DISTINCT unnest($tokensSql) AS tok FROM documents),
+         |q AS (SELECT DISTINCT substr(tok, 1, 1) || substr(tok, 3) AS q
+         |  FROM v WHERE length(tok) >= 4)
+         |SELECT q, tok, levenshtein(q, tok)::BIGINT AS dist
+         |FROM q, v WHERE levenshtein(q, tok) <= 1
+         |ORDER BY q, tok""".stripMargin,
     "d_watermark_detect" ->
       s"""WITH base AS (SELECT doc_id, text FROM documents),
          |allv AS (SELECT doc_id, text FROM base

@@ -102,4 +102,20 @@ class TermIndexSpec extends SparkSpecBase {
     report.foreach(r => assert(r.getAs[Long]("n_added") >= 0L &&
       r.getAs[Long]("n_before") >= 0L))
   }
+
+  test("compaction returns each bucket to one file and preserves results") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("term-compact")
+      .toString + "/idx"
+    TermIndex.build(spark, docs.filter(col("doc_id") % 3 === 0), dir)
+    TermIndex.append(spark, dir, docs.filter(col("doc_id") % 3 === 1))
+    TermIndex.append(spark, dir, docs.filter(col("doc_id") % 3 === 2))
+    val pre = TermIndex.phraseSearch(spark, dir, phrases).collect().toSeq
+    val nBuckets = spark.read.parquet(dir).select("bucket").distinct().count()
+    val (before, after) = TermIndex.compact(spark, dir)
+    assert(before > nBuckets, s"appends left no extra files ($before)")
+    assert(after == nBuckets, s"$after files for $nBuckets buckets")
+    val post = TermIndex.phraseSearch(spark, dir, phrases).collect().toSeq
+    assert(post == pre && pre.nonEmpty)
+  }
 }
