@@ -80,6 +80,20 @@ object TermIndex {
     } finally postings.unpersist()
   }
 
+  /** Idempotent per-batch write for the STREAMING index (see
+    * streaming/StreamingIndexer): each micro-batch lands in its own
+    * `batch=<id>` directory (nested under it, the same bucket partitions —
+    * parquet partition discovery exposes both levels, so bucket pruning
+    * still works through [[phraseSearch]] on the root). Overwrite of the
+    * deterministic batch directory makes foreachBatch re-delivery a no-op
+    * rewrite instead of a double-append — exactly-once without a manifest.
+    */
+  def writeBatch(docs: DataFrame, indexDir: String, batchId: Long,
+      nBuckets: Int = DefaultBuckets): Unit =
+    postingsOf(docs, nBuckets)
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$indexDir/batch=$batchId")
+
   /** Small-file compaction — the consumer of append's growth report: long
     * append streams leave each bucket holding one file per delta, and scan
     * cost becomes file-count-bound instead of byte-bound. Rewrite the index
