@@ -102,7 +102,8 @@ object Main {
 
   private val boolFlags = Set("write", "optimize", "deployproduction",
     "revertdeploy", "removebackup", "once", "full", "deps",
-    "overwritecache", "appendcache", "diff", "force", "commit-latest", "quiet")
+    "overwritecache", "appendcache", "diff", "force", "commit-latest", "quiet",
+    "strict", "append", "compact")
 
   /** config.json keys → flag names (config/config.go:14-35). Nested
     * `schemas` handled separately. */
@@ -418,6 +419,41 @@ object Main {
     }
   }
 
+  /** `index -in DOCS -out IDX [-append] [-compact]` — build or maintain the
+    * positional inverted index (operators/TermIndex) over a parquet
+    * documents directory; `search -idx IDX -phrase "w1 w2[,w3 w4]"` serves
+    * phrase queries from it (bucket-pruned scan). Matches print to stdout
+    * (control-plane: one line per matching doc).
+    */
+  private def runIndex(spark: SparkSession, a: Args): Unit = {
+    val docs = spark.read.parquet(a.required("in"))
+    val out = a.required("out")
+    if (a.bool("append")) {
+      val report = graft.operators.TermIndex.append(spark, out, docs)
+      val grown = report.filter(
+        org.apache.spark.sql.functions.col("n_added") > 0).count()
+      System.err.println(s"[index] appended into $grown buckets")
+    } else {
+      graft.operators.TermIndex.build(spark, docs, out)
+      System.err.println(s"[index] built $out")
+    }
+    if (a.bool("compact")) {
+      val (before, after) = graft.operators.TermIndex.compact(spark, out)
+      System.err.println(s"[index] compacted $before -> $after files")
+    }
+  }
+
+  private def runSearch(spark: SparkSession, a: Args): Unit = {
+    val phrases = a.required("phrase").split(",").map(_.trim).toSeq
+    graft.operators.TermIndex.phraseSearch(spark, a.required("idx"), phrases)
+      .collect()
+      .foreach { r =>
+        println(s"[search] ${r.getAs[String]("phrase")}: doc " +
+          s"${r.getAs[Long]("doc_id")} x${r.getAs[Long]("n_matches")} " +
+          s"first@${r.getAs[Long]("first_pos")}")
+      }
+  }
+
   private def runQueryCache(spark: SparkSession, a: Args): Unit = {
     val store = new StateStore(spark, a.required("cachedir"))
     val seq = store.currentSeq
@@ -456,6 +492,8 @@ object Main {
       case "run"         => runReplication(session(a), a)
       case "query-cache" => runQueryCache(session(a), a)
       case "corpus"      => runCorpus(session(a), a)
+      case "index"       => runIndex(session(a), a)
+      case "search"      => runSearch(session(a), a)
       case "version"     => println("graft 0.5.0 (imposm3-compatible surface)")
       case other =>
         System.err.println(s"invalid command: '$other'"); usage()

@@ -2743,6 +2743,49 @@ object TextOps {
     graft.operators.TermIndex.phraseSearch(s, idx, Phrases)
   }
 
+  // -- wire-format fidelity: JSONL / CSV roundtrips ----------------------------
+  // Real corpora arrive as JSONL (and occasionally CSV); the ingest
+  // question is never "can Spark read it" but "does free text survive the
+  // trip byte-for-byte". Each gate writes the documents table in the wire
+  // format, reads it back with an EXPLICIT schema (inference drift is a
+  // silent corruptor), and hashes the text — the oracle reads the original
+  // parquet, so any escaping/encoding loss flips the md5. The CSV fixture
+  // is salted with a deliberately hostile row (embedded comma, double
+  // quotes, a literal newline) because the synthetic corpus alone would
+  // let a broken quoting config pass.
+  private def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl")
+      .toString + "/docs"
+    d.write.mode("overwrite").json(tmp)
+    s.read.schema(d.schema).json(tmp)
+      .select(col("doc_id"), md5(col("text")).as("text_md5"), col("lang"),
+        col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private val CsvHostileText =
+    "comma, \"quote\" and\nnewline \\ backslash"
+
+  private def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val hostile = d.limit(1).select(lit(-1L).as("doc_id"),
+      lit(CsvHostileText).as("text"), lit("en").as("lang"),
+      lit("src0").as("source"),
+      lit(CsvHostileText.length.toLong).as("n_chars"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-csv")
+      .toString + "/docs"
+    d.unionByName(hostile).write.mode("overwrite")
+      .option("quote", "\"").option("escape", "\"")
+      .csv(tmp)
+    s.read.schema(d.schema)
+      .option("quote", "\"").option("escape", "\"").option("multiLine", true)
+      .csv(tmp)
+      .select(col("doc_id"), md5(col("text")).as("text_md5"), col("lang"),
+        col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   // -- SymSpell fuzzy term matching -------------------------------------------
   // Spell-tolerant term lookup for the retrieval stack: a query term
   // matches a vocabulary term at edit distance ≤ 1 iff their 1-deletion
@@ -2894,6 +2937,8 @@ object TextOps {
     "d_search_bm25"       -> (searchBm25 _),
     "d_phrase_kwic"       -> (phraseKwic _),
     "d_fuzzy_term"        -> (fuzzyTerm _),
+    "d_jsonl_roundtrip"   -> (jsonlRoundtrip _),
+    "d_csv_roundtrip"     -> (csvRoundtrip _),
     "d_watermark_detect"  -> (watermarkDetect _)
   )
 
@@ -3631,6 +3676,20 @@ object TextOps {
          |  doc_id,
          |  round(${bmTerms.indices.map(i => s"w$i").mkString(" + ")}, 6) AS score_r
          |FROM p ORDER BY rnk LIMIT 10""".stripMargin,
+    // oracle reads the ORIGINAL parquet — any escaping/encoding loss on the
+    // wire-format trip flips the text md5
+    "d_jsonl_roundtrip" ->
+      """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_csv_roundtrip" ->
+      """WITH h0 AS (SELECT 'comma, "quote" and' || chr(10) ||
+        |    'newline \ backslash' AS text),
+        |all_docs AS (
+        |  SELECT doc_id, text, lang, source, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT -1::BIGINT, text, 'en', 'src0', length(text)::BIGINT FROM h0)
+        |SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
+        |FROM all_docs ORDER BY doc_id""".stripMargin,
     // oracle = the NAIVE all-pairs edit-distance truth: equality proves the
     // deletion-neighborhood blocking dropped no true match
     "d_fuzzy_term" ->

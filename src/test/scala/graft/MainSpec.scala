@@ -155,6 +155,27 @@ class MainSpec extends SparkSpecBase {
     assert(misassigned.count() == 0)
   }
 
+  test("index and search commands build and serve the inverted index") {
+    val idx = Files.createTempDirectory("graft-cli-idx").toString + "/idx"
+    Main.run(Array("index", "-in", s"$sf001/documents.parquet", "-out", idx))
+    Main.run(Array("index", "-in", s"$sf001/documents.parquet", "-out", idx,
+      "-append", "-compact"))
+    // append doubled every posting row; compaction must fold each bucket
+    // back to one file (match counts are unaffected — the base-position
+    // group-by collapses duplicate postings)
+    val postings = spark.read.parquet(idx)
+    val nBuckets = postings.select("bucket").distinct().count()
+    val files = postings.inputFiles.length.toLong
+    assert(files == nBuckets, s"$files files for $nBuckets buckets")
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      Main.run(Array("search", "-idx", idx, "-phrase", "table hash"))
+    }
+    val lines = out.toString("UTF-8").split("\n").filter(_.startsWith("[search]"))
+    assert(lines.nonEmpty, "search printed no matches")
+    assert(lines.forall(_.contains("table hash")), lines.take(3).mkString("; "))
+  }
+
   test("import command handles the Monaco PBF with the reference mapping") {
     val monaco = "/root/reference/vendor/github.com/omniscale/go-osm/parser/pbf/monaco-20150428.osm.pbf"
     assume(new java.io.File(monaco).exists())
