@@ -2275,6 +2275,54 @@ object TextOps {
       .orderBy("phrase", "doc_id", "base")
   }
 
+  // -- boolean retrieval (AND / NOT over the pruned postings) -----------------
+  // Conjunctive-with-negation queries, the workhorse of corpus forensics
+  // ("docs mentioning spark AND key but NOT dup"): the pruned postings
+  // scan pivots to per-term counts in ONE aggregation — no semi/anti join
+  // chain, no second corpus pass — and the boolean predicate is a filter
+  // over the pivot. At 100 TB the cost is the three posting lists.
+  private def searchBool(s: SparkSession, dir: String): DataFrame = {
+    val idx = java.nio.file.Files.createTempDirectory("graft-bool-idx")
+      .toString + "/idx"
+    graft.operators.TermIndex.build(s, docs(s, dir), idx)
+    val buckets = bmTerms.map(t => graft.operators.TermIndex.bucketOf(t)).distinct
+    s.read.parquet(idx)
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("tok").isin(bmTerms: _*))
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("tok") === bmTerms(0), 1L).otherwise(0L)).as("tf_a"),
+        sum(when(col("tok") === bmTerms(1), 1L).otherwise(0L)).as("tf_b"),
+        sum(when(col("tok") === bmTerms(2), 1L).otherwise(0L)).as("tf_not"))
+      .filter(col("tf_a") > 0 && col("tf_b") > 0 && col("tf_not") === 0)
+      .select(col("doc_id"), col("tf_a"), col("tf_b"))
+      .orderBy("doc_id")
+  }
+
+  // -- proximity search (terms within a token window) -------------------------
+  // The NEAR/k operator: a (a, b) pair qualifies when the terms appear
+  // within `NearWindow` tokens of each other in either order. Positions
+  // come from the same postings shape; the pair meets in a doc-keyed equi
+  // join of the two (tiny) position lists, so the candidate space is the
+  // product of the two terms' per-doc frequencies — never the corpus.
+  private val NearWindow = 3L
+
+  private def searchNear(s: SparkSession, dir: String): DataFrame = {
+    val postings = docs(s, dir)
+      .select(col("doc_id"), posexplode(tokensExpr).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+    val a = postings.filter(col("tok") === bmTerms(0))
+      .select(col("doc_id"), col("pos").as("pa"))
+    val b = postings.filter(col("tok") === bmTerms(1))
+      .select(col("doc_id"), col("pos").as("pb"))
+    a.join(b, Seq("doc_id"))
+      .filter(abs(col("pa") - col("pb")) <= NearWindow)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("pa") - col("pb"))).as("min_gap"))
+      .orderBy("doc_id")
+  }
+
   // -- served BM25 retrieval over the written inverted index ------------------
   // d_bm25 scores the WHOLE corpus in one scan (right for a fixed audit
   // query); this is the serving-path contrast: the query reads only its
@@ -2935,6 +2983,8 @@ object TextOps {
     "d_phrase_search"     -> (phraseSearch _),
     "d_phrase_indexed"    -> (phraseIndexed _),
     "d_search_bm25"       -> (searchBm25 _),
+    "d_search_bool"       -> (searchBool _),
+    "d_search_near"       -> (searchNear _),
     "d_phrase_kwic"       -> (phraseKwic _),
     "d_fuzzy_term"        -> (fuzzyTerm _),
     "d_jsonl_roundtrip"   -> (jsonlRoundtrip _),
@@ -3633,6 +3683,27 @@ object TextOps {
     // identical result contract — the indexed path must reproduce the scan
     // path byte-for-byte (shared matcher; only the postings source differs)
     "d_phrase_indexed" -> phraseSearchSql,
+    "d_search_bool" ->
+      s"""WITH t AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
+         |p AS (SELECT doc_id,
+         |    SUM(CASE WHEN tok = '${bmTerms(0)}' THEN 1 ELSE 0 END)::BIGINT AS tf_a,
+         |    SUM(CASE WHEN tok = '${bmTerms(1)}' THEN 1 ELSE 0 END)::BIGINT AS tf_b,
+         |    SUM(CASE WHEN tok = '${bmTerms(2)}' THEN 1 ELSE 0 END)::BIGINT AS tf_not
+         |  FROM t WHERE tok IN ('${bmTerms(0)}', '${bmTerms(1)}', '${bmTerms(2)}')
+         |  GROUP BY 1)
+         |SELECT doc_id, tf_a, tf_b FROM p
+         |WHERE tf_a > 0 AND tf_b > 0 AND tf_not = 0
+         |ORDER BY doc_id""".stripMargin,
+    "d_search_near" ->
+      s"""WITH d AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |t AS (SELECT doc_id, unnest(toks) AS tok,
+         |    (generate_subscripts(toks, 1) - 1)::BIGINT AS pos FROM d),
+         |a AS (SELECT doc_id, pos AS pa FROM t WHERE tok = '${bmTerms(0)}'),
+         |b AS (SELECT doc_id, pos AS pb FROM t WHERE tok = '${bmTerms(1)}')
+         |SELECT doc_id, COUNT(*)::BIGINT AS n_pairs,
+         |  MIN(abs(pa - pb))::BIGINT AS min_gap
+         |FROM a JOIN b USING (doc_id) WHERE abs(pa - pb) <= $NearWindow
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "d_phrase_kwic" ->
       s"""WITH d AS (SELECT doc_id, $tokensSql AS toks FROM documents),
          |t AS (SELECT doc_id, unnest(toks) AS tok,

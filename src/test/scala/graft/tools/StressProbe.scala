@@ -74,7 +74,9 @@ object StressProbe {
         "s_ann_graph_expand", "m_keyframes", "s_bitext_mine",
         "d_phrase_search", "m_clip_filter", "m_image_entropy",
         "d_watermark_detect", "s_pack_semantic", "d_phrase_indexed",
-        "d_search_bm25", "d_phrase_kwic", "q_ivm_rollup")) {
+        "d_search_bm25", "d_phrase_kwic", "q_ivm_rollup",
+        "d_fuzzy_term", "d_search_bool", "d_search_near", "q_resample",
+        "d_jsonl_roundtrip", "d_csv_roundtrip")) {
       val t0 = System.nanoTime()
       try {
         val n = graft.SparkEntry.queries(name)(spark, dir).count()
