@@ -376,6 +376,34 @@ object MediaOps {
       .orderBy("doc_id")
   }
 
+  // -- loudness normalization (integer gain) -----------------------------------
+  // The audio-preprocessing gain stage: every clip is scaled so its mean
+  // level hits the target (80), spelled entirely in integer arithmetic —
+  // b' = clamp(1, 127, b·T·len DIV Σb) — so the normalized bytes and their
+  // md5 are bit-identical cross-engine (the m_resize determinism pattern).
+  // Zero shuffles: the whole kernel rides the scan; at fleet scale this is
+  // the shape of any per-record media transform.
+  private val GainTarget = 80L
+
+  private def audioGain(s: SparkSession, dir: String): DataFrame =
+    graft.queries.t(s, dir, "documents")
+      .filter(expr("doc_id % 3 = 1"))
+      .withColumn("n", length(col("text")).cast("long"))
+      .filter(col("n") > 0)
+      .withColumn("tot", expr(
+        "aggregate(sequence(1, length(text)), 0L, " +
+          "(a, i) -> a + ascii(substring(text, i, 1)))"))
+      .withColumn("normalized", expr(
+        s"""concat_ws('', transform(sequence(1, cast(n as int)), i ->
+           |  char(greatest(1L, least(127L,
+           |    ascii(substring(text, i, 1)) * $GainTarget * n div tot)))))"""
+          .stripMargin))
+      .select(col("doc_id"), col("n").as("n_bytes"),
+        round(col("tot").cast("double") / col("n").cast("double"), 6)
+          .as("mean_r"),
+        md5(col("normalized")).as("normalized_md5"))
+      .orderBy("doc_id")
+
   // -- byte-histogram entropy filter ------------------------------------------
   // The low-information screen a vision pipeline runs before the expensive
   // encoder: blank frames, solid fills and repeated tiles have low byte
@@ -416,10 +444,26 @@ object MediaOps {
     "m_phash_dedup"    -> (phashDedup _),
     "m_keyframes"      -> (videoKeyframes _),
     "m_clip_filter"    -> (clipFilter _),
-    "m_image_entropy"  -> (imageEntropy _)
+    "m_image_entropy"  -> (imageEntropy _),
+    "m_audio_gain"     -> (audioGain _)
   )
 
   val oracles: Map[String, String] = Map(
+    "m_audio_gain" ->
+      s"""WITH a AS (SELECT doc_id, text, len(text)::BIGINT AS n FROM documents
+         |  WHERE doc_id % 3 = 1 AND len(text) > 0),
+         |t AS (SELECT doc_id, n, text,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(generate_series(1, n), i ->
+         |        ascii(text[i::INT])::BIGINT)), (x, y) -> x + y) AS tot
+         |  FROM a)
+         |SELECT doc_id, n AS n_bytes,
+         |  round(tot::DOUBLE / n::DOUBLE, 6) AS mean_r,
+         |  md5(array_to_string(list_transform(generate_series(1, n), i ->
+         |    chr(greatest(1, least(127,
+         |      ascii(text[i::INT])::BIGINT * $GainTarget * n // tot))::INT)), ''))
+         |    AS normalized_md5
+         |FROM t ORDER BY doc_id""".stripMargin,
     "m_clip_filter" ->
       s"""WITH img AS (SELECT doc_id, text, length(text) AS n FROM documents
          |  WHERE doc_id % 3 = 0 AND length(text) >= $ClipDims),

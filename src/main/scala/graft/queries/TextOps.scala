@@ -386,6 +386,42 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // -- model-based quality filtering (FineWeb-Edu shape) ----------------------
+  // The classifier-filter step: a linear model over cheap doc features
+  // (stopword ratio, lexical diversity, mean token length, length credit)
+  // through a sigmoid, keep above threshold. The weights here are fixed
+  // stand-ins for a trained model's — the SPARK SHAPE is the deliverable:
+  // every feature is a ratio of exact integer counts computed in the same
+  // scan (zero shuffle, codegen'd HOFs), the logit is ONE shared IEEE
+  // tree, and the sigmoid's exp() is wrapped in round(…, 6) like ln() in
+  // the entropy screen. At 100 TB this is a pure map over the corpus —
+  // the cheapest possible filter shape.
+  private val QcTau = 0.71
+
+  private def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(stopwords.map(lit): _*)
+    docs(s, dir)
+      .withColumn("toks", tokensExpr)
+      .filter(size(col("toks")) > 0)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => array_contains(stopArr, t))).cast("long"))
+      .withColumn("n_distinct",
+        size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("sum_len",
+        expr("aggregate(toks, 0L, (a, t) -> a + length(t))"))
+      .withColumn("z",
+        lit(-2.0) +
+          lit(6.0) * (col("n_stop").cast("double") / col("n_tokens").cast("double")) +
+          lit(2.0) * (col("n_distinct").cast("double") / col("n_tokens").cast("double")) +
+          lit(0.3) * (col("sum_len").cast("double") / col("n_tokens").cast("double")) +
+          lit(0.004) * least(col("n_tokens"), lit(250L)).cast("double"))
+      .withColumn("score_r", round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
+      .withColumn("kept", when(col("score_r") >= QcTau, 1L).otherwise(0L))
+      .select("doc_id", "n_tokens", "n_stop", "n_distinct", "score_r", "kept")
+      .orderBy("doc_id")
+  }
+
   /** Marker stopwords per candidate language (shared with the oracle). */
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "is"),
@@ -2987,6 +3023,7 @@ object TextOps {
     "d_search_near"       -> (searchNear _),
     "d_phrase_kwic"       -> (phraseKwic _),
     "d_fuzzy_term"        -> (fuzzyTerm _),
+    "d_quality_classifier" -> (qualityClassifier _),
     "d_jsonl_roundtrip"   -> (jsonlRoundtrip _),
     "d_csv_roundtrip"     -> (csvRoundtrip _),
     "d_watermark_detect"  -> (watermarkDetect _)
@@ -3747,6 +3784,26 @@ object TextOps {
          |  doc_id,
          |  round(${bmTerms.indices.map(i => s"w$i").mkString(" + ")}, 6) AS score_r
          |FROM p ORDER BY rnk LIMIT 10""".stripMargin,
+    "d_quality_classifier" ->
+      s"""WITH d AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |f AS (SELECT doc_id,
+         |    len(toks)::BIGINT AS n_tokens,
+         |    len(list_filter(toks, t -> t IN (${stopwords.map(w => s"'$w'").mkString(", ")})))::BIGINT AS n_stop,
+         |    len(list_distinct(toks))::BIGINT AS n_distinct,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(toks, t -> length(t)::BIGINT)), (a, b) -> a + b)
+         |      AS sum_len
+         |  FROM d WHERE len(toks) > 0),
+         |z AS (SELECT doc_id, n_tokens, n_stop, n_distinct,
+         |    -2.0 + 6.0 * (n_stop::DOUBLE / n_tokens::DOUBLE)
+         |         + 2.0 * (n_distinct::DOUBLE / n_tokens::DOUBLE)
+         |         + 0.3 * (sum_len::DOUBLE / n_tokens::DOUBLE)
+         |         + 0.004 * least(n_tokens, 250)::DOUBLE AS z FROM f)
+         |SELECT doc_id, n_tokens, n_stop, n_distinct,
+         |  round(1.0 / (1.0 + exp(-z)), 6) AS score_r,
+         |  (CASE WHEN round(1.0 / (1.0 + exp(-z)), 6) >= $QcTau
+         |    THEN 1 ELSE 0 END)::BIGINT AS kept
+         |FROM z ORDER BY doc_id""".stripMargin,
     // oracle reads the ORIGINAL parquet — any escaping/encoding loss on the
     // wire-format trip flips the text md5
     "d_jsonl_roundtrip" ->
