@@ -1886,6 +1886,38 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // -- FIM (fill-in-the-middle) task construction -----------------------------
+  // The code-LM infilling transform: split each doc's token stream into
+  // (prefix, middle, suffix) at two deterministic hash-derived cut points
+  // and render the PSM order — prefix sentinel + prefix, suffix sentinel +
+  // suffix, middle sentinel + middle — so the model learns to infill
+  // conditioned on both sides. Cuts are a pure function of doc_id (the
+  // reproducibility a lineage audit needs); the render is one transform
+  // over the token array riding the scan, zero shuffle. Transcripts gate
+  // as md5 + span lengths.
+  private def fimSplit(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("toks", tokensExpr)
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") >= 3)
+      .withColumn("h1", expr(
+        "cast(conv(substring(md5(concat('fim1:', cast(doc_id as string))), 1, 8), 16, 10) as bigint)"))
+      .withColumn("h2", expr(
+        "cast(conv(substring(md5(concat('fim2:', cast(doc_id as string))), 1, 8), 16, 10) as bigint)"))
+      // 1 <= c1 < c2 < n: prefix [1..c1], middle (c1..c2], suffix (c2..n]
+      .withColumn("c1", col("h1") % (col("n") - 2) + 1L)
+      .withColumn("c2", col("c1") + col("h2") % (col("n") - col("c1") - 1L) + 1L)
+      .withColumn("psm", concat(
+        lit("<fim_prefix> "),
+        concat_ws(" ", expr("slice(toks, 1, cast(c1 as int))")),
+        lit(" <fim_suffix> "),
+        concat_ws(" ", expr("slice(toks, cast(c2 + 1 as int), cast(n - c2 as int))")),
+        lit(" <fim_middle> "),
+        concat_ws(" ", expr("slice(toks, cast(c1 + 1 as int), cast(c2 - c1 as int))"))))
+      .select(col("doc_id"), col("n").as("n_tokens"), col("c1"), col("c2"),
+        md5(col("psm")).as("psm_md5"))
+      .orderBy("doc_id")
+
   // -- Count-Min Sketch heavy hitters -----------------------------------------
   // The third sketch class beside KMV (distinct count) and MinHash
   // (similarity): a 4×256 Count-Min Sketch of the token stream. The sketch
@@ -2994,6 +3026,7 @@ object TextOps {
     "d_release_manifest"  -> (releaseManifest _),
     "d_cms_heavy"         -> (cmsHeavy _),
     "d_span_corrupt"      -> (spanCorrupt _),
+    "d_fim_split"         -> (fimSplit _),
     "d_quantile_norm"     -> (quantileNorm _),
     "d_minhash_audit"     -> (minhashAudit _),
     "d_sparse_cosine"     -> (sparseCosine _),
@@ -4238,6 +4271,24 @@ object TextOps {
         | ON (CASE WHEN n_s > 1 THEN (rn - 1) * (n_tot - 1) // (n_s - 1)
         |      ELSE (n_tot - 1) // 2 END) = g.pos
         |ORDER BY r.doc_id""".stripMargin,
+    "d_fim_split" ->
+      s"""WITH d AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |f AS (SELECT doc_id, toks, len(toks)::BIGINT AS n,
+         |    ('0x' || substr(md5('fim1:' || doc_id::VARCHAR), 1, 8))::BIGINT AS h1,
+         |    ('0x' || substr(md5('fim2:' || doc_id::VARCHAR), 1, 8))::BIGINT AS h2
+         |  FROM d WHERE len(toks) >= 3),
+         |c AS (SELECT doc_id, toks, n, h1 % (n - 2) + 1 AS c1,
+         |    (h1 % (n - 2) + 1) + h2 % (n - (h1 % (n - 2) + 1) - 1) + 1 AS c2
+         |  FROM f)
+         |SELECT doc_id, n AS n_tokens, c1::BIGINT AS c1, c2::BIGINT AS c2,
+         |  md5('<fim_prefix> ' ||
+         |    array_to_string(list_slice(toks, 1, c1::INT), ' ') ||
+         |    ' <fim_suffix> ' ||
+         |    array_to_string(list_slice(toks, (c2 + 1)::INT, n::INT), ' ') ||
+         |    ' <fim_middle> ' ||
+         |    array_to_string(list_slice(toks, (c1 + 1)::INT, c2::INT), ' '))
+         |    AS psm_md5
+         |FROM c ORDER BY doc_id""".stripMargin,
     "d_span_corrupt" ->
       s"""WITH d AS (SELECT doc_id, $tokensSql AS toks FROM documents),
          |b AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0)

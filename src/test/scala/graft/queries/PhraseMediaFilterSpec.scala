@@ -105,6 +105,29 @@ class PhraseMediaFilterSpec extends SparkSpecBase {
     }
   }
 
+  test("FIM split partitions every doc: prefix+middle+suffix == tokens") {
+    import org.apache.spark.sql.functions._
+    val toksOf = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val rows = TextOps.queries("d_fim_split")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, c1, c2) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("c1"),
+        r.getAs[Long]("c2"))
+      assert(1 <= c1 && c1 < c2 && c2 < n, s"degenerate cuts: $r")
+      val toks = toksOf(r.getAs[Long]("doc_id"))
+      val rendered = "<fim_prefix> " +
+        toks.slice(0, c1.toInt).mkString(" ") +
+        " <fim_suffix> " + toks.slice(c2.toInt, n.toInt).mkString(" ") +
+        " <fim_middle> " + toks.slice(c1.toInt, c2.toInt).mkString(" ")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(rendered.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      assert(md == r.getAs[String]("psm_md5"), s"render drifted for $r")
+    }
+  }
+
   test("watermark detector flags exactly the salted green-tail variants") {
     val rows = TextOps.queries("d_watermark_detect")(spark, sf001).collect()
     val flagged = rows.filter(_.getAs[Long]("watermarked") == 1L)
