@@ -504,6 +504,55 @@ object Similarity {
       .orderBy("rnk")
   }
 
+  // -- the served hybrid stack: index-BM25 ⊕ IVF ⊕ RRF -------------------------
+  // s_hybrid_rrf fuses corpus-scan rankings; this is the same fusion with
+  // BOTH legs served the way production serves them: the lexical top-50
+  // comes off the TermIndex posting lists (only matching docs scored) and
+  // the vector top-50 comes from a 2-probe IVF pass over the frozen seed
+  // cells (never a brute-force corpus scan). Fusion stays 1/(60 + rank)
+  // per side on BIGINT ranks — bit-identical cross-engine. At 100 TB each
+  // leg reads its own pruned slice of its own artifact; nothing here
+  // touches the full corpus.
+  private def searchServed(s: SparkSession, dir: String): DataFrame = {
+    val lex = graft.operators.TopK.global(
+        graft.queries.TextOps.searchBm25Scores(s, dir),
+        Seq(col("score_r").desc, col("doc_id").asc), 50)
+      .select(col("doc_id"), col("rk").as("lex_rank"))
+    val v = vecs(s, dir)
+    val cents = v.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
+    val simToCent = v.select(col("vec_id"), col("e").as("qe"),
+        col("nrm").as("qn"), col("e"), col("nrm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", round(
+        vecDot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+    val ranked = graft.operators.TopK.perKey(simToCent, Seq(col("vec_id")),
+        Seq(col("csim").desc, col("c_id").asc), 2)
+      .withColumnRenamed("rk", "crk")
+    val cells = ranked.filter(col("crk") === 1)
+      .select(col("vec_id"), col("e"), col("nrm"), col("c_id").as("cell"))
+    val probes = ranked.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("qe"), col("qn"),
+        col("c_id").as("cell"))
+    val cand = cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("sim_r", round(dotQE / (col("qn") * col("nrm")), 6))
+    val vec = graft.operators.TopK.global(
+        cand.select(col("vec_id"), col("sim_r")),
+        Seq(col("sim_r").desc, col("vec_id").asc), 50)
+      .select(col("vec_id").as("doc_id"), col("rk").as("vec_rank"))
+    val fused = lex.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_r", round(
+        coalesce(lit(1.0) / (lit(60.0) + col("lex_rank").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("vec_rank").cast("double")), lit(0.0)),
+        6))
+    graft.operators.TopK.global(fused,
+        Seq(col("rrf_r").desc, col("doc_id")), 20)
+      .select(col("rk").as("rnk"), col("doc_id"), col("lex_rank"),
+        col("vec_rank"), col("rrf_r"))
+      .orderBy("rnk")
+  }
+
   // -- semantic dedup: near-dup pairs → components → survivor per cluster -----
   // The full embedding-level dedup decision, composed from the verified
   // pieces: sign-code-blocked near-dup pairs (s_dedup_embedding), pointer-
@@ -807,6 +856,7 @@ object Similarity {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "s_search_served"   -> (searchServed _),
     "s_pack_semantic"   -> (packSemantic _),
     "s_hard_negatives"  -> (hardNegatives _),
     "s_contrastive_pairs" -> (contrastivePairs _),
@@ -897,6 +947,59 @@ object Similarity {
        |qd AS (SELECT vec_id AS q_id, m, k, dist2 AS qdist2 FROM d WHERE vec_id < 10)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "s_search_served" -> {
+      val ts = graft.queries.TextOps.bmTerms
+      s"""WITH d AS (SELECT doc_id,
+         |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+         |dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM d),
+         |stats AS (SELECT count(*)::BIGINT AS n_docs, SUM(dl)::BIGINT AS sum_dl
+         |  FROM dl),
+         |tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+         |  WHERE tok IN (${ts.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY 1, 2),
+         |dft AS (SELECT tok, count(*)::BIGINT AS df_docs FROM tf GROUP BY 1),
+         |w AS (SELECT tf.doc_id, tf.tok,
+         |    (((n_docs::DOUBLE - df_docs::DOUBLE) + 0.5) / (df_docs::DOUBLE + 0.5)) *
+         |    ((tf::DOUBLE * 2.2) / (tf::DOUBLE + 1.2 * (0.25 + 0.75 *
+         |      (dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE))))) AS w
+         |  FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id), stats),
+         |p AS (SELECT doc_id,
+         |    ${ts.zipWithIndex.map { case (t, i) =>
+              s"COALESCE(MAX(CASE WHEN tok = '$t' THEN w END), 0.0) AS w$i"
+            }.mkString(",\n|    ")}
+         |  FROM w GROUP BY 1),
+         |lex AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY
+         |    round(${ts.indices.map(i => s"w$i").mkString(" + ")}, 6) DESC,
+         |    doc_id)::BIGINT AS lex_rank
+         |  FROM p QUALIFY lex_rank <= 50),
+         |$vSql,
+         |c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM v WHERE vec_id < 16),
+         |sims AS (SELECT v.vec_id, v.e, v.nrm, c.c_id,
+         |    round(list_dot_product(v.e, c.ce) / (v.nrm * c.cn), 6) AS csim
+         |  FROM v, c),
+         |rankedc AS (SELECT vec_id, e, nrm, c_id AS cell, csim,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id)
+         |      AS crk FROM sims),
+         |cells AS (SELECT vec_id, e, nrm, cell FROM rankedc WHERE crk = 1),
+         |qprobes AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn, cell
+         |  FROM rankedc WHERE crk <= 2 AND vec_id = 0),
+         |cand AS (SELECT cl.vec_id,
+         |    round(list_dot_product(p.qe, cl.e) / (p.qn * cl.nrm), 6) AS sim_r
+         |  FROM qprobes p JOIN cells cl ON p.cell = cl.cell
+         |  WHERE p.q_id != cl.vec_id),
+         |vec AS (SELECT vec_id AS doc_id, ROW_NUMBER() OVER (ORDER BY
+         |    sim_r DESC, vec_id)::BIGINT AS vec_rank
+         |  FROM cand QUALIFY vec_rank <= 50),
+         |fused AS (SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+         |    lex_rank, vec_rank,
+         |    round(COALESCE(1.0 / (60.0 + lex_rank::DOUBLE), 0.0) +
+         |          COALESCE(1.0 / (60.0 + vec_rank::DOUBLE), 0.0), 6) AS rrf_r
+         |  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+         |SELECT ROW_NUMBER() OVER (ORDER BY rrf_r DESC, doc_id)::BIGINT AS rnk,
+         |  doc_id, lex_rank, vec_rank, rrf_r
+         |FROM fused QUALIFY rnk <= 20 ORDER BY rnk""".stripMargin
+    },
     "s_pack_semantic" ->
       s"""WITH $vSql,
          |c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM v WHERE vec_id < 16),

@@ -2271,7 +2271,7 @@ object TextOps {
 
   /** BM25 query terms: one near-ubiquitous, one common, one rare —
     * the idf spread the saturation curve is about. */
-  private val bmTerms = Seq("spark", "key", "dup")
+  private[queries] val bmTerms = Seq("spark", "key", "dup")
 
   // -- keyword relevance: BM25-shaped scoring ---------------------------------
   // tf-saturation × doc-length normalization × idf (k1 = 1.2, b = 0.75).
@@ -2402,7 +2402,10 @@ object TextOps {
   // integer tf/df/dl); the per-term weights pivot to FIXED columns before
   // the final sum so the score is a fixed expression tree, never an
   // order-dependent float SUM. Top-10 via the bounded-heap global top-k.
-  private def searchBm25(s: SparkSession, dir: String): DataFrame = {
+  /** Served BM25 scores (doc_id, score_r) for the fixed audit query over a
+    * freshly built TermIndex — shared by the top-10 gate query and the
+    * served hybrid stack (one spelling, so the two cannot drift). */
+  private[queries] def searchBm25Scores(s: SparkSession, dir: String): DataFrame = {
     val idx = java.nio.file.Files.createTempDirectory("graft-search-idx")
       .toString + "/idx"
     graft.operators.TermIndex.build(s, docs(s, dir), idx)
@@ -2428,14 +2431,17 @@ object TextOps {
               (col("dl").cast("double") / col("avgdl"))))))
     val pivots = bmTerms.map(t =>
       coalesce(max(when(col("tok") === t, col("w"))), lit(0.0)).as(s"w_$t"))
-    val perDoc = w.groupBy("doc_id").agg(pivots.head, pivots.tail: _*)
+    w.groupBy("doc_id").agg(pivots.head, pivots.tail: _*)
       .withColumn("score_r",
         round(bmTerms.map(t => col(s"w_$t")).reduce(_ + _), 6))
-    graft.operators.TopK.global(perDoc,
+      .select("doc_id", "score_r")
+  }
+
+  private def searchBm25(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TopK.global(searchBm25Scores(s, dir),
         Seq(col("score_r").desc, col("doc_id").asc), 10)
       .select(col("rk").cast("long").as("rnk"), col("doc_id"), col("score_r"))
       .orderBy("rnk")
-  }
 
   // -- sequence packing (concat-and-split) -------------------------------------
   // GPT-style training batches: documents are concatenated in a fixed order

@@ -30,6 +30,7 @@ object ExplainCheck {
     "d_dsir_weight", "d_quantile_sketch", // n/thr scalars + 4-row targets
     "d_sample_estimate", // two 1-row stats frames joined scalar-style
     "d_search_bm25", // 1-row (n_docs, sum_dl) stats attach onto posting rows
+    "s_search_served", // same stats attach + broadcast centroid assignment
     "d_distinct_overlap", // six 1-row sketch/exact scalars assembled
     "q11_important_stock", "q22_idle_balance", "q_ntile_global", "q_share",
     "q_quantiles_exact", "q_skew_advisor",
