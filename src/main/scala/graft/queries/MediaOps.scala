@@ -376,6 +376,29 @@ object MediaOps {
       .orderBy("doc_id")
   }
 
+  // -- per-video motion profile -------------------------------------------------
+  // The clip-selection signal a video pipeline computes before sampling:
+  // total/mean inter-frame motion and the cut count per clip. Reuses the
+  // ONE shotFrames spelling (so "motion" and "shot" cannot drift); the
+  // motion sum folds the per-doc delta list in frame order — deltas that
+  // involve the partial tail frame are non-dyadic doubles, so a plain
+  // SUM() would be partial-agg-order-dependent and hash-flaky.
+  private def motionProfile(s: SparkSession, dir: String): DataFrame =
+    shotFrames(s, dir)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("is_cut").cast("long")).as("n_cuts"),
+        expr("aggregate(array_sort(collect_list(struct(frame_idx, delta))), " +
+          "cast(0.0 as double), (a, x) -> a + " +
+          "if(x.delta is null, cast(0.0 as double), abs(x.delta)))")
+          .as("motion_sum"))
+      .select(col("doc_id"), col("n_frames"), col("n_cuts"),
+        round(col("motion_sum"), 6).as("motion_sum_r"),
+        round(col("motion_sum") / (col("n_frames") - 1).cast("double"), 6)
+          .as("mean_motion_r"))
+      .filter(col("n_frames") > 1)
+      .orderBy("doc_id")
+
   // -- loudness normalization (integer gain) -----------------------------------
   // The audio-preprocessing gain stage: every clip is scaled so its mean
   // level hits the target (80), spelled entirely in integer arithmetic —
@@ -445,7 +468,8 @@ object MediaOps {
     "m_keyframes"      -> (videoKeyframes _),
     "m_clip_filter"    -> (clipFilter _),
     "m_image_entropy"  -> (imageEntropy _),
-    "m_audio_gain"     -> (audioGain _)
+    "m_audio_gain"     -> (audioGain _),
+    "m_motion_profile" -> (motionProfile _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -607,6 +631,29 @@ object MediaOps {
          | list_sum(list_transform(generate_series(1, len(patch)),
          |   i -> ascii(substr(patch, i::INT, 1))))::DOUBLE / len(patch)::DOUBLE AS mean_level
          |FROM p ORDER BY doc_id, patch_row, patch_col""".stripMargin,
+    "m_motion_profile" ->
+      s"""WITH f AS (SELECT doc_id, fi, substr(text, (fi * $ShotFrame + 1)::INT, $ShotFrame) AS fr
+         |  FROM documents,
+         |   unnest(generate_series(0, len(text) // $ShotFrame)) AS t(fi)
+         |  WHERE doc_id % 3 = 2),
+         |lv AS (SELECT doc_id, fi::BIGINT AS frame_idx,
+         |   list_sum(list_transform(generate_series(1, len(fr)),
+         |     i -> ascii(substr(fr, i::INT, 1))))::DOUBLE / len(fr)::DOUBLE AS mean_level
+         |  FROM f WHERE len(fr) > 0),
+         |d AS (SELECT doc_id, frame_idx, mean_level,
+         |   mean_level - lag(mean_level) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS delta
+         |  FROM lv),
+         |a AS (SELECT doc_id, COUNT(*)::BIGINT AS n_frames,
+         |   SUM(CASE WHEN delta IS NULL OR abs(delta) >= $ShotCut
+         |     THEN 1 ELSE 0 END)::BIGINT AS n_cuts,
+         |   list_reduce(list_prepend(0.0, list(
+         |     CASE WHEN delta IS NULL THEN 0.0 ELSE abs(delta) END
+         |     ORDER BY frame_idx)), (x, y) -> x + y) AS motion_sum
+         |  FROM d GROUP BY 1)
+         |SELECT doc_id, n_frames, n_cuts,
+         |  round(motion_sum, 6) AS motion_sum_r,
+         |  round(motion_sum / (n_frames - 1)::DOUBLE, 6) AS mean_motion_r
+         |FROM a WHERE n_frames > 1 ORDER BY doc_id""".stripMargin,
     "m_shot_boundaries" ->
       s"""WITH f AS (SELECT doc_id, fi, substr(text, (fi * $ShotFrame + 1)::INT, $ShotFrame) AS fr
          |  FROM documents,

@@ -77,7 +77,8 @@ object StressProbe {
         "d_search_bm25", "d_phrase_kwic", "q_ivm_rollup",
         "d_fuzzy_term", "d_search_bool", "d_search_near", "q_resample",
         "d_jsonl_roundtrip", "d_csv_roundtrip",
-        "d_quality_classifier", "m_audio_gain", "d_fim_split")) {
+        "d_quality_classifier", "m_audio_gain", "d_fim_split",
+        "s_search_served", "m_motion_profile")) {
       val t0 = System.nanoTime()
       try {
         val n = graft.SparkEntry.queries(name)(spark, dir).count()
