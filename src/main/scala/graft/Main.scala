@@ -428,7 +428,12 @@ object Main {
   private def runIndex(spark: SparkSession, a: Args): Unit = {
     val docs = spark.read.parquet(a.required("in"))
     val out = a.required("out")
-    if (a.bool("append")) {
+    if (a.bool("append") && !new java.io.File(out).isDirectory) {
+      // appending into nothing = the initial build; a raw path-not-found
+      // from the growth-report read would be the user's first clue otherwise
+      System.err.println(s"[index] no index at $out — building instead")
+      graft.operators.TermIndex.build(spark, docs, out)
+    } else if (a.bool("append")) {
       val report = graft.operators.TermIndex.append(spark, out, docs)
       val grown = report.filter(
         org.apache.spark.sql.functions.col("n_added") > 0).count()

@@ -45,12 +45,30 @@ object TermIndex {
         (graft.functions.Md5BitsFunctions.md5Bits(col("tok"), 1, 8) % nBuckets)
           .as("bucket"))
 
+  /** The bucket count rides along as a tiny sibling artifact (the IvfIndex
+    * `.centroids` pattern): append and search derive it from the index
+    * itself, so a caller-supplied mismatch — postings written mod 32 but
+    * probed mod 64, silently missing results — is impossible. */
+  private def writeMeta(spark: SparkSession, indexDir: String,
+      nBuckets: Int): Unit = {
+    import spark.implicits._
+    Seq(nBuckets).toDF("n_buckets").coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir.meta")
+  }
+
+  /** The artifact's recorded bucket count, if present. */
+  def bucketsOf(spark: SparkSession, indexDir: String): Option[Int] =
+    if (!new java.io.File(s"$indexDir.meta").isDirectory) None
+    else Some(spark.read.parquet(s"$indexDir.meta").head().getInt(0))
+
   /** Tokenize `docs` and write the positional postings partitioned by term
     * bucket. */
   def build(spark: SparkSession, docs: DataFrame, indexDir: String,
-      nBuckets: Int = DefaultBuckets): Unit =
+      nBuckets: Int = DefaultBuckets): Unit = {
     postingsOf(docs, nBuckets)
       .write.mode("overwrite").partitionBy("bucket").parquet(indexDir)
+    writeMeta(spark, indexDir, nBuckets)
+  }
 
   /** Incremental index maintenance: tokenize ONLY the delta docs and
     * parquet-append their postings into the affected bucket partitions
@@ -64,11 +82,15 @@ object TermIndex {
     */
   def append(spark: SparkSession, indexDir: String, delta: DataFrame,
       nBuckets: Int = DefaultBuckets): DataFrame = {
+    // the artifact's own recorded bucket count wins over the parameter —
+    // a disagreement would scatter delta postings into buckets the prune
+    // never reads (silently incomplete search results)
+    val nb = bucketsOf(spark, indexDir).getOrElse(nBuckets)
     val before = spark.read.parquet(indexDir)
       .groupBy(col("bucket").cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_before"))
       .localCheckpoint(true)
-    val postings = postingsOf(delta, nBuckets).persist()
+    val postings = postingsOf(delta, nb).persist()
     try {
       postings.write.mode("append").partitionBy("bucket").parquet(indexDir)
       val added = postings.groupBy("bucket").agg(count(lit(1)).as("n_added"))
@@ -89,10 +111,13 @@ object TermIndex {
     * rewrite instead of a double-append — exactly-once without a manifest.
     */
   def writeBatch(docs: DataFrame, indexDir: String, batchId: Long,
-      nBuckets: Int = DefaultBuckets): Unit =
-    postingsOf(docs, nBuckets)
+      nBuckets: Int = DefaultBuckets): Unit = {
+    val meta = bucketsOf(docs.sparkSession, indexDir)
+    postingsOf(docs, meta.getOrElse(nBuckets))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$indexDir/batch=$batchId")
+    if (meta.isEmpty) writeMeta(docs.sparkSession, indexDir, nBuckets)
+  }
 
   /** Small-file compaction — the consumer of append's growth report: long
     * append streams leave each bucket holding one file per delta, and scan
@@ -109,18 +134,31 @@ object TermIndex {
       else if (p.isDirectory) p.listFiles().toSeq.flatMap(parquetFiles)
       else if (p.getName.endsWith(".parquet")) Seq(p) else Nil
     val dir = new java.io.File(indexDir)
+    val oldF = new java.io.File(indexDir + ".old")
+    // crash recovery: a previous compact that died between its two renames
+    // left the live data stranded in .old and nothing at indexDir — swap
+    // it back before doing anything else, so readers (and this run) see
+    // the pre-compaction index rather than failing forever
+    if (!dir.exists() && oldF.exists())
+      require(oldF.renameTo(dir), s"cannot recover $indexDir from .old")
     val before = parquetFiles(dir).size.toLong
     val tmp = indexDir + ".compacting"
-    spark.read.parquet(indexDir)
+    val df = spark.read.parquet(indexDir)
+    // a streamed index (StreamingIndexer) carries a batch partition level;
+    // fold every batch into the reserved batch=-1 directory so the layout
+    // depth is preserved and future micro-batches (ids are never negative)
+    // can keep landing beside it without a conflicting-structure error
+    val streamed = df.columns.contains("batch")
+    val compacted = df.drop("batch")
       .repartition(col("bucket"))
       .sortWithinPartitions("bucket", "tok", "doc_id", "pos")
-      .write.mode("overwrite").option("maxRecordsPerFile", 0)
-      .partitionBy("bucket").parquet(tmp)
-    val old = indexDir + ".old"
-    new java.io.File(old).delete()
-    require(dir.renameTo(new java.io.File(old)), s"cannot swap out $indexDir")
+    compacted.write.mode("overwrite")
+      .partitionBy("bucket")
+      .parquet(if (streamed) s"$tmp/batch=-1" else tmp)
+    deleteRecursively(oldF) // a leftover .old would make the rename fail
+    require(dir.renameTo(oldF), s"cannot swap out $indexDir")
     require(new java.io.File(tmp).renameTo(dir), s"cannot swap in $tmp")
-    deleteRecursively(new java.io.File(old))
+    deleteRecursively(oldF)
     (before, parquetFiles(dir).size.toLong)
   }
 
@@ -130,12 +168,17 @@ object TermIndex {
   }
 
   /** Phrase terms table: one row per (phrase, word, offset) plus the phrase
-    * length — broadcast against postings by both search paths. */
+    * length — broadcast against postings by both search paths. The phrase
+    * is normalized with the SAME rule the index tokenizes with (lowercase,
+    * alnum runs), so cased or oddly-spaced CLI input matches instead of
+    * silently returning nothing; the emitted `phrase` label is the
+    * normalized form. */
   def termsOf(spark: SparkSession, phrases: Seq[String]): DataFrame = {
     import spark.implicits._
     phrases.flatMap { p =>
-      val ws = p.split(" ")
-      ws.zipWithIndex.map { case (w, i) => (p, w, i.toLong, ws.length.toLong) }
+      val ws = p.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val norm = ws.mkString(" ")
+      ws.zipWithIndex.map { case (w, i) => (norm, w, i.toLong, ws.length.toLong) }
     }.toDF("phrase", "tok", "off", "plen")
   }
 
@@ -172,8 +215,10 @@ object TermIndex {
     */
   def phraseSearch(spark: SparkSession, indexDir: String,
       phrases: Seq[String], nBuckets: Int = DefaultBuckets): DataFrame = {
-    val buckets = phrases.flatMap(_.split(" ")).distinct
-      .map(bucketOf(_, nBuckets))
+    val nb = bucketsOf(spark, indexDir).getOrElse(nBuckets)
+    val buckets = phrases
+      .flatMap(_.toLowerCase.split("[^a-z0-9]+")).filter(_.nonEmpty)
+      .distinct.map(bucketOf(_, nb))
     val postings = spark.read.parquet(indexDir)
       .filter(col("bucket").isin(buckets: _*))
     matchPhrases(postings, termsOf(spark, phrases))

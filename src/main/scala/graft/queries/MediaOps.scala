@@ -439,7 +439,10 @@ object MediaOps {
 
   private def imageEntropy(s: SparkSession, dir: String): DataFrame =
     graft.queries.t(s, dir, "documents")
-      .filter(expr("doc_id % 3 = 0"))
+      // the empty guard matters: Spark's sequence(1, 0) is the DESCENDING
+      // [1, 0], which would fabricate a 2-row histogram for a 0-byte
+      // payload where the oracle's generate_series(1, 0) emits nothing
+      .filter(expr("doc_id % 3 = 0 AND length(text) > 0"))
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)))")).as("v"))
       .groupBy("doc_id", "v").agg(count(lit(1)).as("c"))

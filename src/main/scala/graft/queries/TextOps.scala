@@ -2887,7 +2887,7 @@ object TextOps {
   }
 
   private val CsvHostileText =
-    "comma, \"quote\" and\nnewline \\ backslash"
+    " comma, \"quote\" and\nnewline \\ backslash "
 
   private def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
@@ -2897,11 +2897,19 @@ object TextOps {
       lit(CsvHostileText.length.toLong).as("n_chars"))
     val tmp = java.nio.file.Files.createTempDirectory("graft-csv")
       .toString + "/docs"
+    // ignore*WhiteSpace default TRUE on the CSV WRITER (reader defaults
+    // false) — without pinning them, edge whitespace is silently trimmed
+    // on write and the "byte-for-byte" contract is a lie; the hostile row
+    // carries leading AND trailing spaces to keep this honest
     d.unionByName(hostile).write.mode("overwrite")
       .option("quote", "\"").option("escape", "\"")
+      .option("ignoreLeadingWhiteSpace", false)
+      .option("ignoreTrailingWhiteSpace", false)
       .csv(tmp)
     s.read.schema(d.schema)
       .option("quote", "\"").option("escape", "\"").option("multiLine", true)
+      .option("ignoreLeadingWhiteSpace", false)
+      .option("ignoreTrailingWhiteSpace", false)
       .csv(tmp)
       .select(col("doc_id"), md5(col("text")).as("text_md5"), col("lang"),
         col("source"), col("n_chars"))
@@ -3849,8 +3857,8 @@ object TextOps {
       """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     "d_csv_roundtrip" ->
-      """WITH h0 AS (SELECT 'comma, "quote" and' || chr(10) ||
-        |    'newline \ backslash' AS text),
+      """WITH h0 AS (SELECT ' comma, "quote" and' || chr(10) ||
+        |    'newline \ backslash ' AS text),
         |all_docs AS (
         |  SELECT doc_id, text, lang, source, n_chars FROM documents
         |  UNION ALL

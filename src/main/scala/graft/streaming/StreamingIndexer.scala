@@ -14,8 +14,11 @@ import graft.operators.TermIndex
   * through the ordinary [[TermIndex.phraseSearch]] on the index root —
   * parquet partition discovery sees both levels (batch, then bucket) and
   * the bucket prune still applies, so a query reads only its terms'
-  * buckets of each batch. Periodic compaction folding old batches is
-  * the same compaction story as the batch index.
+  * buckets of each batch. [[TermIndex.compact]] folds all batches into
+  * the reserved `batch=-1` directory (stream batch ids are never
+  * negative, so future drains land beside it) — run it only between
+  * drains: AvailableNow commits the checkpoint before returning, so no
+  * committed batch can be re-delivered into the folded index.
   *
   * Scale: per micro-batch the work is tokenize + one bucket-partitioned
   * write of the BATCH (state is never read or shuffled — the index is

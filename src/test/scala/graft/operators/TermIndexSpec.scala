@@ -78,6 +78,49 @@ class TermIndexSpec extends SparkSpecBase {
       Seq("table zzzunseen")).count() == 0)
   }
 
+  test("query phrases normalize like the index tokenizer (case, spacing)") {
+    val canonical = TermIndex.phraseSearch(spark, indexDir, Seq("table hash"))
+      .collect().toSeq
+    assert(canonical.nonEmpty)
+    // cased + double-spaced CLI input must match, not silently return zero
+    val sloppy = TermIndex.phraseSearch(spark, indexDir, Seq("Table  Hash"))
+      .collect().toSeq
+    assert(sloppy == canonical)
+  }
+
+  test("a non-default bucket count is recorded in the artifact and honored") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("term-nb")
+      .toString + "/idx"
+    TermIndex.build(spark, docs, dir, nBuckets = 32)
+    assert(TermIndex.bucketsOf(spark, dir).contains(32))
+    // search with the DEFAULT parameter must still prune to the right
+    // buckets (the recorded count wins — a mismatch would silently miss)
+    val got = TermIndex.phraseSearch(spark, dir, phrases).collect().toSeq
+    val expected = TermIndex.phraseSearch(spark, indexDir, phrases)
+      .collect().toSeq
+    assert(got == expected && got.nonEmpty)
+    // and appends keep writing into the recorded bucket space
+    TermIndex.append(spark, dir, docs.limit(0))
+    assert(spark.read.parquet(dir)
+      .agg(org.apache.spark.sql.functions.max("bucket"))
+      .head().getInt(0) < 32)
+  }
+
+  test("compact recovers from a crash between its two renames") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet").limit(100)
+    val dir = java.nio.file.Files.createTempDirectory("term-crash")
+      .toString + "/idx"
+    TermIndex.build(spark, docs, dir)
+    val pre = TermIndex.phraseSearch(spark, dir, phrases).collect().toSeq
+    // simulate the torn state: live data stranded in .old, nothing at dir
+    assert(new java.io.File(dir).renameTo(new java.io.File(dir + ".old")))
+    val (_, after) = TermIndex.compact(spark, dir)
+    assert(after > 0)
+    assert(!new java.io.File(dir + ".old").exists())
+    assert(TermIndex.phraseSearch(spark, dir, phrases).collect().toSeq == pre)
+  }
+
   test("build(base) + append(delta) is search-identical to a full rebuild") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val base = docs.filter(col("doc_id") % 5 =!= 0)

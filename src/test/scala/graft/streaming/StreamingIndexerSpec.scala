@@ -48,6 +48,27 @@ class StreamingIndexerSpec extends SparkSpecBase {
     assert(spark.read.parquet(idx).count() == once)
   }
 
+  test("compaction folds batches and the stream can keep appending after") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "text")
+    val idx = tmp("sidx-fold") + "/idx"
+    TermIndex.writeBatch(docs.filter(col("doc_id") % 3 === 0), idx, 0)
+    TermIndex.writeBatch(docs.filter(col("doc_id") % 3 === 1), idx, 1)
+    val pre = TermIndex.phraseSearch(spark, idx, phrases).collect().toSeq
+    val (before, after) = TermIndex.compact(spark, idx)
+    assert(after < before, s"no fold: $before -> $after")
+    assert(TermIndex.phraseSearch(spark, idx, phrases).collect().toSeq == pre)
+    // the folded index must accept the NEXT micro-batch without a
+    // conflicting-directory-structure error, and serve the union
+    TermIndex.writeBatch(docs.filter(col("doc_id") % 3 === 2), idx, 2)
+    val full = {
+      val dirAll = tmp("sidx-fold-all") + "/idx"
+      TermIndex.build(spark, docs, dirAll)
+      TermIndex.phraseSearch(spark, dirAll, phrases).collect().toSeq
+    }
+    assert(TermIndex.phraseSearch(spark, idx, phrases).collect().toSeq == full)
+  }
+
   test("bucket pruning survives the nested batch layout") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
       .select("doc_id", "text")
