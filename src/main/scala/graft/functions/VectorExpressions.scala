@@ -169,6 +169,35 @@ object VectorFunctions {
   def vecNorm(a: Column): Column =
     ColumnBridge.column(VecNorm(ColumnBridge.expression(a)))
 
+  /** Fold a required-literal argument, or raise a clean analysis error
+    * naming the contract — without the foldability check a column argument
+    * (e.g. md5_bits(s, 1, n_col)) escaped the builder as a raw
+    * ClassCastException/NullPointerException. */
+  private def literalValue(args: Seq[Expression], i: Int, fn: String,
+      name: String): Any = {
+    val e = args(i)
+    val v = if (e.foldable) e.eval() else null
+    if (v == null)
+      throw new org.apache.spark.sql.AnalysisException(
+        "INTERNAL_ERROR",
+        Map("message" ->
+          (s"$fn requires a non-null literal for argument '$name' " +
+            s"(position ${i + 1}); got: ${e.sql}")))
+    v
+  }
+
+  private def literalInt(args: Seq[Expression], i: Int, fn: String,
+      name: String): Int = literalValue(args, i, fn, name) match {
+    case n: Number => n.intValue()
+    case other => throw new org.apache.spark.sql.AnalysisException(
+      "INTERNAL_ERROR",
+      Map("message" -> (s"$fn argument '$name' must be an integer " +
+        s"literal; got: $other")))
+  }
+
+  private def literalString(args: Seq[Expression], i: Int, fn: String,
+      name: String): String = literalValue(args, i, fn, name).toString
+
   private[functions] val descriptions: Seq[
       (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("vec_dot"),
@@ -179,18 +208,20 @@ object VectorFunctions {
       (args: Seq[Expression]) => VecNorm(args.head)),
     // md5_bits(s, start, n) — start/n must be int literals (folded here so
     // the expression carries plain ints; usable inside SQL lambdas, where
-    // the Column API can't reach)
+    // the Column API can't reach). Foldability is checked so a column
+    // argument raises a clean analysis error naming the contract instead
+    // of a raw ClassCastException out of the builder.
     (FunctionIdentifier("md5_bits"),
       new ExpressionInfo(classOf[Md5BitsExpr].getName, "md5_bits"),
       (args: Seq[Expression]) => Md5BitsExpr(args(0),
-        args(1).eval().asInstanceOf[Number].intValue(),
-        args(2).eval().asInstanceOf[Number].intValue())),
+        literalInt(args, 1, "md5_bits", "start"),
+        literalInt(args, 2, "md5_bits", "n"))),
     // text_norm(s, 'NFC'|'NFD'|'NFKC'|'NFKD'|'STRIP_ACCENTS') — mode must
     // be a string literal (folded here, same contract as md5_bits)
     (FunctionIdentifier("text_norm"),
       new ExpressionInfo(classOf[TextNormExpr].getName, "text_norm"),
       (args: Seq[Expression]) => TextNormExpr(args(0),
-        TextNorm.modeOf(args(1).eval().toString))),
+        TextNorm.modeOf(literalString(args, 1, "text_norm", "mode")))),
     (FunctionIdentifier("strip_accents"),
       new ExpressionInfo(classOf[TextNormExpr].getName, "strip_accents"),
       (args: Seq[Expression]) => TextNormExpr(args.head,

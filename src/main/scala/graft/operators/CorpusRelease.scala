@@ -60,8 +60,22 @@ object CorpusRelease {
     * manifest (also written as JSON next to the corpus) as a local
     * relation — already computed, safe to collect.
     */
+  /** Writes into a read path destroy the inputs before the lazy frames
+    * reading them materialize (persist() is not an execution barrier) —
+    * an in-place refresh would delete prevDir/corpus mid-plan. Refuse
+    * up front; release to a fresh dir and rotate, like DeployRotate. */
+  private def requireDistinctDirs(readDir: String, writeDir: String,
+      what: String): Unit =
+    require(
+      new java.io.File(readDir).getCanonicalPath !=
+        new java.io.File(writeDir).getCanonicalPath,
+      s"$what: output dir must differ from the input dir " +
+        s"(mode(overwrite) deletes the input before the lazy read " +
+        s"materializes); write to a fresh dir and rotate")
+
   def run(spark: SparkSession, inDir: String, outDir: String,
       minTokens: Long = 50L, strict: Boolean = false): DataFrame = {
+    requireDistinctDirs(inDir, outDir, "corpus release")
     val docs = spark.read.parquet(s"$inDir/documents.parquet")
     if (strict) enforce(docs, "input")
     val gated = graft.queries.TextOps.releaseGated(docs, minTokens)
@@ -95,6 +109,8 @@ object CorpusRelease {
   def applyDelta(spark: SparkSession, prevDir: String, deltaDir: String,
       outDir: String, minTokens: Long = 50L,
       strict: Boolean = false): DataFrame = {
+    requireDistinctDirs(prevDir, outDir, "corpus delta")
+    requireDistinctDirs(deltaDir, outDir, "corpus delta")
     val state = spark.read.parquet(s"$prevDir/state")
     val prev = spark.read.parquet(s"$prevDir/corpus")
     val upserts = spark.read.parquet(s"$deltaDir/documents.parquet")

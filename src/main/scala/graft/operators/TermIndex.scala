@@ -56,10 +56,25 @@ object TermIndex {
       .write.mode("overwrite").parquet(s"$indexDir.meta")
   }
 
+  /** Crash recovery for [[compact]]'s swap window: a compact that died
+    * between its two renames leaves the live data stranded at `.old` and
+    * nothing at `indexDir`. Every entry point (read or write) runs this
+    * first, so one crashed compact heals on the next touch of the index
+    * instead of failing every reader until someone re-runs compact().
+    */
+  private def recoverIfNeeded(indexDir: String): Unit = {
+    val dir = new java.io.File(indexDir)
+    val oldF = new java.io.File(indexDir + ".old")
+    if (!dir.exists() && oldF.exists())
+      require(oldF.renameTo(dir), s"cannot recover $indexDir from .old")
+  }
+
   /** The artifact's recorded bucket count, if present. */
-  def bucketsOf(spark: SparkSession, indexDir: String): Option[Int] =
+  def bucketsOf(spark: SparkSession, indexDir: String): Option[Int] = {
+    recoverIfNeeded(indexDir)
     if (!new java.io.File(s"$indexDir.meta").isDirectory) None
     else Some(spark.read.parquet(s"$indexDir.meta").head().getInt(0))
+  }
 
   /** Tokenize `docs` and write the positional postings partitioned by term
     * bucket. */
@@ -122,9 +137,12 @@ object TermIndex {
   /** Small-file compaction — the consumer of append's growth report: long
     * append streams leave each bucket holding one file per delta, and scan
     * cost becomes file-count-bound instead of byte-bound. Rewrite the index
-    * to one file per bucket partition (atomically: write to a fresh
-    * directory, then swap — readers never see a half-compacted index), and
-    * return (n_files_before, n_files_after). Postings are re-sorted by
+    * to one file per bucket partition (write to a fresh directory, then
+    * swap). The swap is two renames, NOT atomic: between them `indexDir`
+    * does not exist, so compact assumes a single writer and no concurrent
+    * readers during the swap window; a crash inside the window heals on
+    * the next call of ANY entry point (recoverIfNeeded). Returns
+    * (n_files_before, n_files_after). Postings are re-sorted by
     * (tok, doc_id, pos) inside each bucket so row-group stats tighten the
     * residual tok filter after the partition prune.
     */
@@ -133,14 +151,9 @@ object TermIndex {
       if (!p.exists()) Nil
       else if (p.isDirectory) p.listFiles().toSeq.flatMap(parquetFiles)
       else if (p.getName.endsWith(".parquet")) Seq(p) else Nil
+    recoverIfNeeded(indexDir)
     val dir = new java.io.File(indexDir)
     val oldF = new java.io.File(indexDir + ".old")
-    // crash recovery: a previous compact that died between its two renames
-    // left the live data stranded in .old and nothing at indexDir — swap
-    // it back before doing anything else, so readers (and this run) see
-    // the pre-compaction index rather than failing forever
-    if (!dir.exists() && oldF.exists())
-      require(oldF.renameTo(dir), s"cannot recover $indexDir from .old")
     val before = parquetFiles(dir).size.toLong
     val tmp = indexDir + ".compacting"
     val df = spark.read.parquet(indexDir)

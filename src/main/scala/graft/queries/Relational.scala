@@ -1623,10 +1623,9 @@ object Relational {
     def rollup(df: DataFrame): DataFrame = df
       .groupBy(expr("ts div 3600000000000").as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sv"))
-    val viewDir = java.nio.file.Files.createTempDirectory("graft-ivm")
-      .toString + "/view"
-    rollup(ev.filter(col("ts") < IvmCutNs))
-      .write.mode("overwrite").parquet(viewDir)
+    val viewDir = graft.queries.FixtureArtifacts.cached("ivm", dir)(
+      rollup(ev.filter(col("ts") < IvmCutNs))
+        .write.mode("overwrite").parquet(_))
     val base = s.read.parquet(viewDir)
       .select(col("hour"), col("event_type"),
         col("n").as("bn"), col("sv").as("bs"))

@@ -276,8 +276,8 @@ object Similarity {
   // cell id and the probe is a partition-pruned scan — the 100 TB path,
   // value-gated against the same oracle as the on-the-fly plan.
   private def annIvfIndexed(s: SparkSession, dir: String): DataFrame = {
-    val idx = java.nio.file.Files.createTempDirectory("ivf-index").toString + "/idx"
-    graft.operators.IvfIndex.build(s, t(s, dir, "embeddings"), idx)
+    val idx = FixtureArtifacts.cached("ivf-index", dir)(
+      graft.operators.IvfIndex.build(s, t(s, dir, "embeddings"), _))
     graft.operators.IvfIndex.search(s, idx,
       t(s, dir, "embeddings").filter(col("vec_id") < 10))
   }
@@ -291,27 +291,32 @@ object Similarity {
   // unrolled k-means in DuckDB (bit-exact: vec_id-ordered sequential float
   // sums, float-quantized centroids each round).
   private def annIvfKmeans(s: SparkSession, dir: String): DataFrame = {
-    val idx = java.nio.file.Files.createTempDirectory("ivf-kmeans").toString + "/idx"
     val corpus = t(s, dir, "embeddings")
-    val cents = graft.operators.IvfIndex.kmeansCentroids(corpus, 16, 2)
-    graft.operators.IvfIndex.build(s, corpus, idx, centroids = Some(cents))
+    val idx = FixtureArtifacts.cached("ivf-kmeans", dir) { p =>
+      val cents = graft.operators.IvfIndex.kmeansCentroids(corpus, 16, 2)
+      graft.operators.IvfIndex.build(s, corpus, p, centroids = Some(cents))
+    }
     graft.operators.IvfIndex.search(s, idx, corpus.filter(col("vec_id") < 10))
   }
 
-  // Bench-only A/B partner: the fleet-tier hash-partial-avg update step
-  // (exact = false). Deliberately NO oracle entry — the fold-vs-avg swap
-  // drifts last-ulp sums, and pinning its output to the bit-exact DuckDB
-  // unroll would make the gate flake on rounding boundaries; IvfIndexSpec
-  // gates 1e-6 centroid agreement + identical assignments instead. What
-  // this buys at scale: bounded per-group state in the update aggregate
-  // (no collect_list of a hot cell's members).
+  // A/B partner of s_ann_ivf_kmeans: the fleet-tier hash-partial-avg
+  // update step (exact = false) — bounded per-group state in the update
+  // aggregate, no collect_list of a hot cell's members. Oracle-gateable
+  // output contract: the CELL ASSIGNMENTS, not the centroid floats. The
+  // fold-vs-avg swap drifts centroid sums by last-ulp amounts, but the
+  // assignment rule ranks on 6-dp-ROUNDED cosine (ties to lowest cell), so
+  // the drift is absorbed before any decision is made — IvfIndexSpec pins
+  // fast-vs-exact assignments identical, which makes the exact-path DuckDB
+  // unroll a valid oracle for the fast path's assignments. (csim itself is
+  // deliberately NOT emitted: its 6th decimal can sit on a rounding
+  // boundary between the two centroid spellings.)
   private def annIvfKmeansFast(s: SparkSession, dir: String): DataFrame = {
-    val idx = java.nio.file.Files.createTempDirectory("ivf-kmfast").toString + "/idx"
     val corpus = t(s, dir, "embeddings")
     val cents = graft.operators.IvfIndex.kmeansCentroids(corpus, 16, 2,
       exact = false)
-    graft.operators.IvfIndex.build(s, corpus, idx, centroids = Some(cents))
-    graft.operators.IvfIndex.search(s, idx, corpus.filter(col("vec_id") < 10))
+    graft.operators.IvfIndex.assign(corpus, cents)
+      .select(col("vec_id"), col("cell"))
+      .orderBy("vec_id")
   }
 
   // -- per-cluster corpus profile ---------------------------------------------
@@ -438,11 +443,16 @@ object Similarity {
           col("n_vecs").cast("double")))
     val q0 = q.filter(col("vec_id") === 0)
       .select(col("pos").as("q0_pos"), col("q").as("q0"))
+    // rounding spelled as floor(x*1e6 + 0.5)/1e6 — every op in that tree is
+    // IEEE exactly-rounded, so the result is bit-identical across engines
+    // and library versions (round(x, 6) is library-defined and was the one
+    // op here that could flip last-digit hashes between engines).
+    def r6(c: org.apache.spark.sql.Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
     stats.join(broadcast(q0), col("pos") === col("q0_pos"))
       .select(col("pos"), col("n_vecs"), col("sum_q"), col("sumsq_q"),
-        round(col("mean_d"), 6).as("mean_r"),
-        round(col("std_d"), 6).as("std_r"),
-        round((col("q0").cast("double") - col("mean_d")) / col("std_d"), 6)
+        r6(col("mean_d")).as("mean_r"),
+        r6(col("std_d")).as("std_r"),
+        r6((col("q0").cast("double") - col("mean_d")) / col("std_d"))
           .as("z0_r"))
       .orderBy("pos")
   }
@@ -1185,8 +1195,9 @@ object Similarity {
         |      / CAST(n_vecs AS DOUBLE)) AS std_d
         |  FROM st)
         |SELECT m.pos, n_vecs, sum_q, sumsq_q,
-        |  round(mean_d, 6) AS mean_r, round(std_d, 6) AS std_r,
-        |  round((CAST(q.q AS DOUBLE) - mean_d) / std_d, 6) AS z0_r
+        |  floor(mean_d * 1e6 + 0.5) / 1e6 AS mean_r,
+        |  floor(std_d * 1e6 + 0.5) / 1e6 AS std_r,
+        |  floor((CAST(q.q AS DOUBLE) - mean_d) / std_d * 1e6 + 0.5) / 1e6 AS z0_r
         |FROM m JOIN q ON q.pos = m.pos AND q.vec_id = 0
         |ORDER BY m.pos""".stripMargin,
     "s_cosine_mrl" ->
@@ -1399,6 +1410,22 @@ object Similarity {
          |  FROM cand)
          |SELECT q_id, rnk::BIGINT AS rnk, neighbor_id, sim_r, cell FROM r
          |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // exact-path unroll adjudicates the fast path's assignments: the
+    // hash-partial-avg centroids agree with the exact fold's to <1e-6 per
+    // component (IvfIndexSpec), and assignment ranks on 6-dp-rounded
+    // cosine, so both spellings decide every vector identically.
+    "s_ann_ivf_kmeans_fast" ->
+      s"""WITH $vSql,
+         |c0 AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM v WHERE vec_id < 16),
+         |${kmeansIterSql(1, "c0")},
+         |${kmeansIterSql(2, "c1")},
+         |sims AS (SELECT v.vec_id, c.c_id,
+         |    round(list_dot_product(v.e, c.ce) / (v.nrm * c.cn), 6) AS csim
+         |  FROM v, c2 c)
+         |SELECT vec_id, c_id AS cell FROM (
+         |  SELECT vec_id, c_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS crk
+         |  FROM sims) WHERE crk = 1 ORDER BY vec_id""".stripMargin,
     "s_ann_graph_expand" ->
       s"""WITH $vSql,
          |$codedSql,

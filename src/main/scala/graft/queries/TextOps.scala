@@ -2350,9 +2350,8 @@ object TextOps {
   // chain, no second corpus pass — and the boolean predicate is a filter
   // over the pivot. At 100 TB the cost is the three posting lists.
   private def searchBool(s: SparkSession, dir: String): DataFrame = {
-    val idx = java.nio.file.Files.createTempDirectory("graft-bool-idx")
-      .toString + "/idx"
-    graft.operators.TermIndex.build(s, docs(s, dir), idx)
+    val idx = FixtureArtifacts.cached("bool-idx", dir)(
+      graft.operators.TermIndex.build(s, docs(s, dir), _))
     val buckets = bmTerms.map(t => graft.operators.TermIndex.bucketOf(t)).distinct
     s.read.parquet(idx)
       .filter(col("bucket").isin(buckets: _*))
@@ -2406,9 +2405,8 @@ object TextOps {
     * freshly built TermIndex — shared by the top-10 gate query and the
     * served hybrid stack (one spelling, so the two cannot drift). */
   private[queries] def searchBm25Scores(s: SparkSession, dir: String): DataFrame = {
-    val idx = java.nio.file.Files.createTempDirectory("graft-search-idx")
-      .toString + "/idx"
-    graft.operators.TermIndex.build(s, docs(s, dir), idx)
+    val idx = FixtureArtifacts.cached("search-idx", dir)(
+      graft.operators.TermIndex.build(s, docs(s, dir), _))
     val dl = docs(s, dir)
       .select(col("doc_id"), size(tokensExpr).cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
@@ -2567,10 +2565,16 @@ object TextOps {
           "struct(turn, turn_render))), x -> x.turn_render), '')"))
           .as("rendered_md5"),
         sum(length(col("turn_render")).cast("long")).as("n_chars"),
-        expr("transform(filter(array_sort(collect_list(struct(turn, c_start," +
-          " c_end))), x -> x.turn % 2 = 1), x -> x.c_start)").as("mask_starts"),
-        expr("transform(filter(array_sort(collect_list(struct(turn, c_start," +
-          " c_end))), x -> x.turn % 2 = 1), x -> x.c_end)").as("mask_ends"),
+        // comma-joined rather than ARRAY<BIGINT>: the information is
+        // unchanged (a tokenizer-side consumer split(',')s it back), and a
+        // flat string is hashable by any downstream row-sorting harness —
+        // the r7 driver's pandas lexsort crashed on the array column.
+        expr("array_join(transform(filter(array_sort(collect_list(struct(" +
+          "turn, c_start, c_end))), x -> x.turn % 2 = 1)," +
+          " x -> cast(x.c_start as string)), ',')").as("mask_starts"),
+        expr("array_join(transform(filter(array_sort(collect_list(struct(" +
+          "turn, c_start, c_end))), x -> x.turn % 2 = 1)," +
+          " x -> cast(x.c_end as string)), ',')").as("mask_ends"),
         sum(when(col("turn") % 2 === 1, length(col("text")).cast("long"))
           .otherwise(0L)).as("loss_chars"))
       .orderBy("source", "lang", "conv_no")
@@ -2859,9 +2863,8 @@ object TextOps {
   // matcher; the gate runs both against the same oracle, the spec pins
   // the partition pruning.
   private def phraseIndexed(s: SparkSession, dir: String): DataFrame = {
-    val idx = java.nio.file.Files.createTempDirectory("graft-term-index")
-      .toString + "/idx"
-    graft.operators.TermIndex.build(s, docs(s, dir), idx)
+    val idx = FixtureArtifacts.cached("term-index", dir)(
+      graft.operators.TermIndex.build(s, docs(s, dir), _))
     graft.operators.TermIndex.phraseSearch(s, idx, Phrases)
   }
 
@@ -2877,9 +2880,8 @@ object TextOps {
   // let a broken quoting config pass.
   private def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl")
-      .toString + "/docs"
-    d.write.mode("overwrite").json(tmp)
+    val tmp = FixtureArtifacts.cached("jsonl", dir)(
+      d.write.mode("overwrite").json(_))
     s.read.schema(d.schema).json(tmp)
       .select(col("doc_id"), md5(col("text")).as("text_md5"), col("lang"),
         col("source"), col("n_chars"))
@@ -2895,17 +2897,16 @@ object TextOps {
       lit(CsvHostileText).as("text"), lit("en").as("lang"),
       lit("src0").as("source"),
       lit(CsvHostileText.length.toLong).as("n_chars"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft-csv")
-      .toString + "/docs"
     // ignore*WhiteSpace default TRUE on the CSV WRITER (reader defaults
     // false) — without pinning them, edge whitespace is silently trimmed
     // on write and the "byte-for-byte" contract is a lie; the hostile row
     // carries leading AND trailing spaces to keep this honest
-    d.unionByName(hostile).write.mode("overwrite")
-      .option("quote", "\"").option("escape", "\"")
-      .option("ignoreLeadingWhiteSpace", false)
-      .option("ignoreTrailingWhiteSpace", false)
-      .csv(tmp)
+    val tmp = FixtureArtifacts.cached("csv", dir)(
+      d.unionByName(hostile).write.mode("overwrite")
+        .option("quote", "\"").option("escape", "\"")
+        .option("ignoreLeadingWhiteSpace", false)
+        .option("ignoreTrailingWhiteSpace", false)
+        .csv(_))
     s.read.schema(d.schema)
       .option("quote", "\"").option("escape", "\"").option("multiLine", true)
       .option("ignoreLeadingWhiteSpace", false)
@@ -3759,8 +3760,8 @@ object TextOps {
         |SELECT source, lang, conv_no, min(doc_id) AS conv_id, COUNT(*)::BIGINT AS n_turns,
         |  md5(string_agg(turn_render, '' ORDER BY turn)) AS rendered_md5,
         |  SUM(length(turn_render))::BIGINT AS n_chars,
-        |  list(prev_cum + length(marker) ORDER BY turn) FILTER (WHERE turn % 2 = 1) AS mask_starts,
-        |  list(prev_cum + length(marker) + length(text) ORDER BY turn) FILTER (WHERE turn % 2 = 1) AS mask_ends,
+        |  array_to_string(list(prev_cum + length(marker) ORDER BY turn) FILTER (WHERE turn % 2 = 1), ',') AS mask_starts,
+        |  array_to_string(list(prev_cum + length(marker) + length(text) ORDER BY turn) FILTER (WHERE turn % 2 = 1), ',') AS mask_ends,
         |  SUM(length(text)) FILTER (WHERE turn % 2 = 1)::BIGINT AS loss_chars
         |FROM o GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
     "d_phrase_search" -> phraseSearchSql,

@@ -34,6 +34,27 @@ class Md5BitsSpec extends SparkSpecBase with TableDrivenPropertyChecks {
     chainVsFused(strings, 1, 8)
   }
 
+  test("SQL registry rejects non-literal start/n/mode with an analysis error") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val df = Seq(("abc", 3)).toDF("s", "n")
+    // a column where a literal is required must surface as a clean
+    // AnalysisException naming the contract, not a raw ClassCastException
+    // out of the function builder
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.selectExpr("md5_bits(s, 1, n)").collect()
+    }
+    assert(e1.getMessage.contains("md5_bits"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.selectExpr("text_norm(s, s)").collect()
+    }
+    assert(e2.getMessage.contains("text_norm"))
+    // the literal path still works through the same guard
+    assert(df.selectExpr("md5_bits(s, 1, 8)").head().getLong(0) ==
+      df.selectExpr("cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint)")
+        .head().getLong(0))
+  }
+
   test("null input stays null; codegen and interpreted agree") {
     import spark.implicits._
     val df = Seq(Some("abc"), None).toDF("s")

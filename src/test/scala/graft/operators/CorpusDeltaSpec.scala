@@ -149,4 +149,30 @@ class CorpusDeltaSpec extends SparkSpecBase {
     // nothing was written before the failure
     assert(!new java.io.File(s"$out/corpus").exists())
   }
+
+  test("in-place refresh is refused before anything is deleted") {
+    // mode(overwrite) deletes the read path before the lazy frames
+    // materialize — an in-place run/applyDelta would destroy the previous
+    // release mid-write, so both refuse up front
+    val rel = tmp("graft-inplace")
+    CorpusRelease.run(spark, rawDir, rel, MinTokens)
+    val preState = spark.read.parquet(s"$rel/state").count()
+    val delta = tmp("graft-inplace-delta")
+    writeDelta(delta)
+    val e1 = intercept[IllegalArgumentException] {
+      CorpusRelease.applyDelta(spark, rel, delta, rel, MinTokens)
+    }
+    assert(e1.getMessage.contains("output dir must differ"))
+    val e2 = intercept[IllegalArgumentException] {
+      CorpusRelease.applyDelta(spark, rel, delta, delta, MinTokens)
+    }
+    assert(e2.getMessage.contains("output dir must differ"))
+    val e3 = intercept[IllegalArgumentException] {
+      CorpusRelease.run(spark, rawDir, rawDir, MinTokens)
+    }
+    assert(e3.getMessage.contains("output dir must differ"))
+    // the previous release is untouched by the refused calls
+    assert(spark.read.parquet(s"$rel/state").count() == preState)
+    assert(spark.read.parquet(s"$rel/corpus").count() > 0)
+  }
 }

@@ -121,6 +121,25 @@ class TermIndexSpec extends SparkSpecBase {
     assert(TermIndex.phraseSearch(spark, dir, phrases).collect().toSeq == pre)
   }
 
+  test("readers and append heal a crashed compact, not just the next compact") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet").limit(100)
+    val dir = java.nio.file.Files.createTempDirectory("term-crash-read")
+      .toString + "/idx"
+    TermIndex.build(spark, docs, dir)
+    val pre = TermIndex.phraseSearch(spark, dir, phrases).collect().toSeq
+    // torn swap window: live data stranded in .old, nothing at dir — a
+    // plain reader must recover it instead of failing until someone
+    // happens to re-run compact()
+    assert(new java.io.File(dir).renameTo(new java.io.File(dir + ".old")))
+    assert(TermIndex.phraseSearch(spark, dir, phrases).collect().toSeq == pre)
+    assert(new java.io.File(dir).isDirectory)
+    assert(!new java.io.File(dir + ".old").exists())
+    // and append on a torn index recovers before writing
+    assert(new java.io.File(dir).renameTo(new java.io.File(dir + ".old")))
+    TermIndex.append(spark, dir, docs.limit(0))
+    assert(TermIndex.phraseSearch(spark, dir, phrases).collect().toSeq == pre)
+  }
+
   test("build(base) + append(delta) is search-identical to a full rebuild") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val base = docs.filter(col("doc_id") % 5 =!= 0)

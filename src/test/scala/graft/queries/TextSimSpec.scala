@@ -458,8 +458,13 @@ class TextSimSpec extends SparkSpecBase {
     assert(out.nonEmpty)
     out.foreach { r =>
       val n = r.getAs[Long]("n_chars")
-      val starts = r.getSeq[Long](r.fieldIndex("mask_starts"))
-      val ends = r.getSeq[Long](r.fieldIndex("mask_ends"))
+      // mask columns ship comma-joined (driver-hashable) — split them back
+      def spans(fld: String): Seq[Long] = {
+        val s0 = r.getAs[String](fld)
+        if (s0.isEmpty) Seq.empty else s0.split(',').toSeq.map(_.toLong)
+      }
+      val starts = spans("mask_starts")
+      val ends = spans("mask_ends")
       assert(starts.length == ends.length)
       assert(r.getAs[Long]("n_turns") % 2 == 0, "conversations end on assistant")
       assert(starts.length * 2 == r.getAs[Long]("n_turns"),
