@@ -1,10 +1,18 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Per-round benchmark main: times SparkEntry.benchQueries on
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line for the driver.
-  * Queries are fully materialized via the noop sink (no driver collect).
+/** Per-round benchmark main: times the OSM import phases and
+  * SparkEntry.benchQueries on SPARK_GRAFT_SF_DIR. Queries are fully
+  * materialized via the noop sink (no driver collect).
+  *
+  * Output contract: the LAST stdout line is a SHORT JSON summary (totals
+  * + OSM phases + per-rep arrays) sized to survive any tail buffer; the
+  * full per-query record is printed on the line before it for humans and
+  * the archive. The OSM phases run FIRST — before the ~10-minute query
+  * list — so the recorded import time measures the plan, not whatever
+  * heap/page-cache state the query window leaves behind.
   */
 object Bench {
 
@@ -50,6 +58,9 @@ object Bench {
     pool.shutdown()
   }
 
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to every core (local[32] on the target box) — a silent
@@ -77,6 +88,193 @@ object Bench {
     // JVM/Catalyst warmup outside the timed region.
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    // phase hygiene: queries leave persisted frames (e.g. the minhash
+    // signature cache) and old-gen garbage behind; measured +60% on the
+    // scale import when they stay resident. Each phase starts clean.
+    def resetCaches(): Unit = {
+      spark.catalog.clearCache()
+      System.gc()
+    }
+
+    // ======================= OSM phases (FIRST) =============================
+    // The scale import reps run before the query list ON PURPOSE: three
+    // rounds running, the driver's import record diverged from idle-box
+    // re-runs of identical code because the reps inherited the heap and
+    // page-cache state of an ~11-minute 78-query window plus whatever box
+    // contention it attracted. First-in-JVM, the record measures the plan.
+
+    // pipeline-level benchmark: full Monaco PBF import (decode, match,
+    // way/relation assembly, geometry build) against BASELINE.md's
+    // elements/s target; skipped if the fixture is absent.
+    val monaco = "/root/reference/vendor/github.com/omniscale/go-osm/parser/pbf/monaco-20150428.osm.pbf"
+    val osmResult =
+      if (sys.env.get("SPARK_GRAFT_BENCH_OSM").contains("0") ||
+        !new java.io.File(monaco).exists()) Seq.empty
+      else try {
+        val t0 = System.nanoTime()
+        val mapping = new graft.mapping.CompiledMapping(
+          graft.mapping.MappingConf.fromFile("/root/reference/test/complete_db_mapping.json"))
+        val pipeline = new ImportPipeline(spark, mapping)
+        val tables = pipeline.run(graft.sources.OsmPbf.read(spark, monaco))
+        sinkAll(pipeline, tables, eagerStages = false)
+        pipeline.unpersistAll()
+        Seq("osm_import_monaco" -> (System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] osm_import_monaco failed: ${e.getMessage}")
+        Seq.empty
+      }
+    resetCaches()
+    // scale-representative import bench (BASELINE.md ~350k elem/s target):
+    // ~100 MB of PBF — N translated Monaco copies — so fixed stage-scheduling
+    // overhead (the whole story at 270 KB) amortizes below ~20% of wall time.
+    // Stage split: parse = blob decode into the cached element frames;
+    // import = match + way/relation assembly + geometry build + noop sink.
+    // per-rep phase times, surfaced in the JSON line so the recorded
+    // bench shows min + spread (one-look adjudication of environment
+    // noise vs plan regressions)
+    var osmReps: Option[String] = None
+    val synthResult =
+      if (sys.env.get("SPARK_GRAFT_BENCH_OSM").contains("0") ||
+        sys.env.get("SPARK_GRAFT_BENCH_OSM_SCALE").contains("0") ||
+        !new java.io.File(monaco).exists()) Seq.empty
+      else try {
+        val copies = sys.env.getOrElse("SPARK_GRAFT_PBF_COPIES", "400").toInt
+        val synthDir = sys.env.getOrElse("SPARK_GRAFT_PBF_DIR",
+          "/root/repo/target/bench-pbf")
+        val nElems = graft.sources.OsmPbfSynth.synthesize(
+          spark, monaco, synthDir, copies)
+        val mapping = new graft.mapping.CompiledMapping(
+          graft.mapping.MappingConf.fromFile("/root/reference/test/complete_db_mapping.json"))
+        // A5 import statistics: observe-based per-kind counters audit the
+        // elem/s claim from inside the query (stats/stats.go analog)
+        val stats = graft.operators.ImportStats.attach(spark)
+        // Phase times are min-of-N (default 3): a single run is hostage to
+        // transient cache-eviction / page-fault storms that swing one phase
+        // 4.8s↔190s on identical code; the min across reps measures what
+        // the code can do, which is what the 2×-of-baseline criterion asks.
+        val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+        val phaseRuns = (1 to reps).map { rep =>
+          val t0 = System.nanoTime()
+          // the reference's reader applies the tag prefilter during parse
+          // (mapping/filter.go via reader/reader.go:124) — so do we
+          val bundle = graft.operators.ImportStats.instrument(
+            graft.sources.OsmPbf.read(spark, synthDir,
+              Some(graft.sources.TagFilters(mapping))))
+          val parsed = bundle.coords.count() + bundle.ways.count() +
+            bundle.relations.count()
+          val tParse = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          val pipeline = new ImportPipeline(spark, mapping)
+          val tables = pipeline.run(bundle)
+          sinkAll(pipeline, tables, eagerStages = true)
+          val tImport = (System.nanoTime() - t1) / 1e9
+          // generalized tables are part of the reference's 7h30m planet
+          // figure (postgis.go:236-362 runs inside the import) — timed as
+          // their own entry so the stage split stays visible.
+          // Gen reads ONLY freshly-written DISK_ONLY copies of its source
+          // tables (materialized untimed off the warm stage caches, which
+          // are then dropped): disk blocks can't be evicted, so the phase
+          // time no longer depends on how much executor memory the import
+          // left behind.
+          val genSources = mapping.conf.generalizedTables.values.map(_.source).toSet
+          val stable = tables.filter { case (n, _) => genSources(n) }
+          stable.values.foreach(
+            _.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+          stable.values.foreach(_.count())
+          pipeline.unpersistAll()
+          val t2 = System.nanoTime()
+          graft.operators.Generalize(spark, mapping, tables).values
+            .foreach(_.write.format("noop").mode("overwrite").save())
+          val tGen = (System.nanoTime() - t2) / 1e9
+          stable.values.foreach(_.unpersist())
+          resetCaches()
+          System.err.println(
+            f"[bench] osm_scale rep $rep/$reps copies=$copies elems=$parsed/$nElems " +
+              f"parse=$tParse%.1fs (${parsed / tParse}%.0f elem/s) " +
+              f"import=$tImport%.1fs gen=$tGen%.1fs " +
+              f"total=${tParse + tImport + tGen}%.1fs " +
+              f"(${parsed / (tParse + tImport + tGen)}%.0f elem/s end-to-end)")
+          (parsed, tParse, tImport, tGen)
+        }
+        val parsed = phaseRuns.head._1
+        val tParse = phaseRuns.map(_._2).min
+        val tImport = phaseRuns.map(_._3).min
+        val tGen = phaseRuns.map(_._4).min
+        System.err.println(
+          f"[bench] osm_scale min-of-$reps parse=$tParse%.1fs import=$tImport%.1fs " +
+            f"gen=$tGen%.1fs (${parsed / (tParse + tImport + tGen)}%.0f elem/s end-to-end)")
+        System.err.println(s"[bench] stats ${stats.report()}")
+        graft.operators.ImportStats.detach(spark, stats)
+
+        // -- bucketed-element-store A/B (SURVEY §13 candidate): the same
+        // import with J1's ref→coord lookup joining a PRE-BUCKETED store
+        // (WayAssembly.resolveStored) instead of the in-pipeline AQE
+        // shuffle. The store write (both sides bucketed+sorted by id) is
+        // timed inside the import but also reported separately — it is the
+        // paid-once cost the layout amortizes over repeated reads (diff
+        // reruns), exactly the reference's ID-sorted cache trade
+        // (cache/delta.go:12-35).
+        val bucketed =
+          if (sys.env.get("SPARK_GRAFT_BENCH_BUCKETED").contains("0")) Seq.empty
+          else try {
+            val bReps = math.min(2, reps)
+            val runsB = (1 to bReps).map { rep =>
+              val bundle = graft.operators.ImportStats.instrument(
+                graft.sources.OsmPbf.read(spark, synthDir,
+                  Some(graft.sources.TagFilters(mapping))))
+              // parse untimed here (same phase as above; priming the
+              // element caches keeps the import number comparable)
+              bundle.coords.count(); bundle.ways.count(); bundle.relations.count()
+              var tBucketize = 0.0
+              val storedAssembler: (DataFrame, DataFrame) => DataFrame =
+                (ways, coords) => {
+                  val tb = System.nanoTime()
+                  val exploded = ways.select(col("id").as("way_id"),
+                    size(col("refs")).as("nrefs"),
+                    posexplode(col("refs")).as(Seq("pos", "id")))
+                  graft.operators.Bucketing.writeBucketed(
+                    exploded, "graft_bench_wayrefs", "id", nBuckets = cpus.toInt)
+                  graft.operators.Bucketing.writeBucketed(
+                    coords, "graft_bench_coords", "id", nBuckets = cpus.toInt)
+                  tBucketize = (System.nanoTime() - tb) / 1e9
+                  graft.operators.WayAssembly.resolveStored(
+                    spark.table("graft_bench_wayrefs"),
+                    spark.table("graft_bench_coords"))
+                }
+              val t1 = System.nanoTime()
+              val pipeline = new ImportPipeline(spark, mapping,
+                assembler = storedAssembler)
+              val tables = pipeline.run(bundle)
+              sinkAll(pipeline, tables, eagerStages = true)
+              val tImportB = (System.nanoTime() - t1) / 1e9
+              pipeline.unpersistAll()
+              resetCaches()
+              System.err.println(
+                f"[bench] osm_scale_bucketed rep $rep/$bReps " +
+                  f"import=$tImportB%.1fs (bucketize=$tBucketize%.1fs inside)")
+              (tImportB, tBucketize)
+            }
+            Seq(s"osm_import_synth${copies}_bucketed" -> runsB.map(_._1).min,
+              s"osm_bucketize_synth$copies" -> runsB.map(_._2).min)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] osm_import_bucketed failed: ${e.getMessage}")
+            Seq.empty
+          }
+
+        def repArr(f: ((Long, Double, Double, Double)) => Double) =
+          phaseRuns.map(r => fmt(f(r))).mkString("[", ",", "]")
+        osmReps = Some(
+          s"""{"parse":${repArr(_._2)},"import":${repArr(_._3)},"gen":${repArr(_._4)}}""")
+        Seq(s"osm_parse_synth$copies" -> tParse,
+          s"osm_import_synth$copies" -> tImport,
+          s"osm_generalize_synth$copies" -> tGen) ++ bucketed
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] osm_import_synth failed: ${e.getMessage}")
+        Seq.empty
+      }
+    resetCaches()
+
+    // ======================= query list =====================================
     val names = {
       if (sys.env.get("SPARK_GRAFT_BENCH_QUERIES").contains("0")) Seq.empty
       else {
@@ -136,141 +334,45 @@ object Bench {
       name -> (if (times.isEmpty) 0.0 else times.min)
     }
 
-    // phase hygiene: queries leave persisted frames (e.g. the minhash
-    // signature cache) and old-gen garbage behind; measured +60% on the
-    // scale import when they stay resident. Each phase starts clean.
-    def resetCaches(): Unit = {
-      spark.catalog.clearCache()
-      System.gc()
-    }
-    resetCaches()
-
-    // pipeline-level benchmark: full Monaco PBF import (decode, match,
-    // way/relation assembly, geometry build) against BASELINE.md's
-    // elements/s target; skipped if the fixture is absent.
-    val monaco = "/root/reference/vendor/github.com/omniscale/go-osm/parser/pbf/monaco-20150428.osm.pbf"
-    val osmResult =
-      if (sys.env.get("SPARK_GRAFT_BENCH_OSM").contains("0") ||
-        !new java.io.File(monaco).exists()) Seq.empty
+    // retrieval serving latency: the `search -idx` CLI path end-to-end —
+    // index open (meta read) → partition-pruned postings scan → matcher →
+    // collect — over an index built UNTIMED from the sf dir's documents.
+    // The correctness gates pin the pruning (TermIndexSpec numFiles); this
+    // entry gives the served path a wall-clock trend beside them.
+    val serveResult =
+      if (names.isEmpty) Seq.empty
       else try {
-        val t0 = System.nanoTime()
-        val mapping = new graft.mapping.CompiledMapping(
-          graft.mapping.MappingConf.fromFile("/root/reference/test/complete_db_mapping.json"))
-        val pipeline = new ImportPipeline(spark, mapping)
-        val tables = pipeline.run(graft.sources.OsmPbf.read(spark, monaco))
-        sinkAll(pipeline, tables, eagerStages = false)
-        pipeline.unpersistAll()
-        Seq("osm_import_monaco" -> (System.nanoTime() - t0) / 1e9)
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] osm_import_monaco failed: ${e.getMessage}")
-        Seq.empty
-      }
-    resetCaches()
-    // scale-representative import bench (BASELINE.md ~350k elem/s target):
-    // ~100 MB of PBF — N translated Monaco copies — so fixed stage-scheduling
-    // overhead (the whole story at 270 KB) amortizes below ~20% of wall time.
-    // Stage split: parse = blob decode into the cached element frames;
-    // import = match + way/relation assembly + geometry build + noop sink.
-    // per-rep phase times, surfaced in the JSON line so the recorded
-    // bench shows min + spread (one-look adjudication of environment
-    // noise vs plan regressions)
-    var osmReps: Option[String] = None
-    val synthResult =
-      if (sys.env.get("SPARK_GRAFT_BENCH_OSM").contains("0") ||
-        sys.env.get("SPARK_GRAFT_BENCH_OSM_SCALE").contains("0") ||
-        !new java.io.File(monaco).exists()) Seq.empty
-      else try {
-        val copies = sys.env.getOrElse("SPARK_GRAFT_PBF_COPIES", "400").toInt
-        val synthDir = sys.env.getOrElse("SPARK_GRAFT_PBF_DIR",
-          "/root/repo/target/bench-pbf")
-        val nElems = graft.sources.OsmPbfSynth.synthesize(
-          spark, monaco, synthDir, copies)
-        val mapping = new graft.mapping.CompiledMapping(
-          graft.mapping.MappingConf.fromFile("/root/reference/test/complete_db_mapping.json"))
-        // A5 import statistics: observe-based per-kind counters audit the
-        // elem/s claim from inside the query (stats/stats.go analog)
-        val stats = graft.operators.ImportStats.attach(spark)
-        // Phase times are min-of-N (default 3): a single run is hostage to
-        // transient cache-eviction / page-fault storms that swing one phase
-        // 4.8s↔190s on identical code; the min across reps measures what
-        // the code can do, which is what the 2×-of-baseline criterion asks.
-        // Three reps because the first run also pays page-cache + codegen
-        // warmup and rep 2 often still carries eviction churn (measured
-        // 72s → 31s → 24s on an idle box) — the per-rep array in the JSON
-        // shows the spread either way.
-        val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-        val phaseRuns = (1 to reps).map { rep =>
+        val idx = java.nio.file.Files.createTempDirectory("bench-term-idx")
+          .toString + "/idx"
+        graft.operators.TermIndex.build(spark,
+          spark.read.parquet(s"$sfDir/documents.parquet"), idx)
+        val times = (1 to math.max(qReps, 3)).map { _ =>
           val t0 = System.nanoTime()
-          // the reference's reader applies the tag prefilter during parse
-          // (mapping/filter.go via reader/reader.go:124) — so do we
-          val bundle = graft.operators.ImportStats.instrument(
-            graft.sources.OsmPbf.read(spark, synthDir,
-              Some(graft.sources.TagFilters(mapping))))
-          val parsed = bundle.coords.count() + bundle.ways.count() +
-            bundle.relations.count()
-          val tParse = (System.nanoTime() - t0) / 1e9
-          val t1 = System.nanoTime()
-          val pipeline = new ImportPipeline(spark, mapping)
-          val tables = pipeline.run(bundle)
-          sinkAll(pipeline, tables, eagerStages = true)
-          val tImport = (System.nanoTime() - t1) / 1e9
-          // generalized tables are part of the reference's 7h30m planet
-          // figure (postgis.go:236-362 runs inside the import) — timed as
-          // their own entry so the stage split stays visible.
-          // Gen reads ONLY freshly-written DISK_ONLY copies of its source
-          // tables (materialized untimed off the warm stage caches, which
-          // are then dropped): disk blocks can't be evicted, so the phase
-          // time no longer depends on how much executor memory the import
-          // left behind.
-          val genSources = mapping.conf.generalizedTables.values.map(_.source).toSet
-          val stable = tables.filter { case (n, _) => genSources(n) }
-          stable.values.foreach(
-            _.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
-          stable.values.foreach(_.count())
-          pipeline.unpersistAll()
-          val t2 = System.nanoTime()
-          graft.operators.Generalize(spark, mapping, tables).values
-            .foreach(_.write.format("noop").mode("overwrite").save())
-          val tGen = (System.nanoTime() - t2) / 1e9
-          stable.values.foreach(_.unpersist())
-          resetCaches()
-          System.err.println(
-            f"[bench] osm_scale rep $rep/$reps copies=$copies elems=$parsed/$nElems " +
-              f"parse=$tParse%.1fs (${parsed / tParse}%.0f elem/s) " +
-              f"import=$tImport%.1fs gen=$tGen%.1fs " +
-              f"total=${tParse + tImport + tGen}%.1fs " +
-              f"(${parsed / (tParse + tImport + tGen)}%.0f elem/s end-to-end)")
-          (parsed, tParse, tImport, tGen)
+          graft.operators.TermIndex.phraseSearch(spark, idx,
+            Seq("table hash")).collect()
+          (System.nanoTime() - t0) / 1e9
         }
-        val parsed = phaseRuns.head._1
-        val tParse = phaseRuns.map(_._2).min
-        val tImport = phaseRuns.map(_._3).min
-        val tGen = phaseRuns.map(_._4).min
-        System.err.println(
-          f"[bench] osm_scale min-of-$reps parse=$tParse%.1fs import=$tImport%.1fs " +
-            f"gen=$tGen%.1fs (${parsed / (tParse + tImport + tGen)}%.0f elem/s end-to-end)")
-        System.err.println(s"[bench] stats ${stats.report()}")
-        graft.operators.ImportStats.detach(spark, stats)
-        def repArr(f: ((Long, Double, Double, Double)) => Double) =
-          phaseRuns
-            .map(r => String.format(java.util.Locale.ROOT, "%.2f",
-              Double.box(f(r))))
-            .mkString("[", ",", "]")
-        osmReps = Some(
-          s"""{"parse":${repArr(_._2)},"import":${repArr(_._3)},"gen":${repArr(_._4)}}""")
-        Seq(s"osm_parse_synth$copies" -> tParse,
-          s"osm_import_synth$copies" -> tImport,
-          s"osm_generalize_synth$copies" -> tGen)
+        Seq("retrieval_serve_phrase" -> times.min)
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] osm_import_synth failed: ${e.getMessage}")
+        System.err.println(s"[bench] retrieval_serve failed: ${e.getMessage}")
         Seq.empty
       }
-    val all = results ++ osmResult ++ synthResult
+
+    // ======================= output =========================================
+    val all = osmResult ++ synthResult ++ results ++ serveResult
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = all.map(_._2).sum
     val repsField = osmReps.map(r => s""","osm_reps":$r""").getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$repsField}""")
+    // full per-query record (archive/humans) — NOT the contract line
+    println(s"""{"metric":"queries_detail","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // the LAST stdout line is the machine-readable record: short enough to
+    // survive any tail buffer (the full line above was truncated mid-line
+    // by the driver every round, leaving "parsed": null)
+    val osmShort = (osmResult ++ synthResult ++ serveResult)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString(",")
+    val sep = if (osmShort.isEmpty) "" else ","
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{$osmShort$sep"queries_all":${fmt(results.map(_._2).sum)}},"n_queries":${results.size},"sf":"$sfDir"$repsField}""")
     spark.stop()
   }
 }

@@ -24,7 +24,13 @@ final class ImportPipeline(
     srid: Int = 3857,
     limit: Option[graft.operators.Limitto] = None,
     storage: org.apache.spark.storage.StorageLevel =
-      ImportPipeline.defaultStorage) extends Serializable {
+      ImportPipeline.defaultStorage,
+    // J1 strategy hook: (filtered ways, projected coords) => assembled
+    // frame. Default is the in-pipeline AQE shuffle join; the bench's
+    // bucketed A/B injects WayAssembly.resolveStored over a pre-bucketed
+    // element store (the reference's ID-sorted cache layout analog).
+    assembler: (DataFrame, DataFrame) => DataFrame = WayAssembly.resolve)
+    extends Serializable {
 
   import spark.implicits._
 
@@ -192,8 +198,8 @@ final class ImportPipeline(
     // no .distinct(): left_semi dedups the probe side by construction, so
     // a distinct here would only add a shuffle over every way id
     val assembleIds = matchedWayIds.union(memberWayIds)
-    val assembled = tracked(WayAssembly
-      .resolve(bundle.ways.join(assembleIds, Seq("id"), "left_semi"), coords), wave = 1)
+    val assembled = tracked(
+      assembler(bundle.ways.join(assembleIds, Seq("id"), "left_semi"), coords), wave = 1)
 
     val wayIdCol = (if (single) -col("id") else col("id")).cast(LongType)
     // ONE join + ONE cache for both line and polygon flavors (two separate

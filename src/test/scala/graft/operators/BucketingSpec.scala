@@ -65,4 +65,57 @@ class BucketingSpec extends SparkSpecBase {
     // coordinate store (the J1 completeness rule)
     assert(joined.count() == refs.count() && refs.count() > 0)
   }
+
+  test("full import over the bucketed store equals the shuffle-join import") {
+    // the bench's osm_import_bucketed A/B is only meaningful if the
+    // injected resolveStored assembler is semantics-identical to the
+    // default in-pipeline join — pin table-for-table row equality on the
+    // real fixture
+    val monaco = "/root/reference/vendor/github.com/omniscale/go-osm/" +
+      "parser/pbf/monaco-20150428.osm.pbf"
+    assume(new java.io.File(monaco).exists(), "Monaco fixture not present")
+    val mapping = new graft.mapping.CompiledMapping(
+      graft.mapping.MappingConf.fromFile(
+        "/root/reference/test/complete_db_mapping.json"))
+    val bundle = graft.sources.OsmPbf.read(spark, monaco)
+    def tablesWith(assembler: Option[(org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame])
+        : Map[String, Seq[String]] = {
+      val p = assembler match {
+        case Some(a) => new graft.ImportPipeline(spark, mapping, assembler = a)
+        case None => new graft.ImportPipeline(spark, mapping)
+      }
+      val out = p.run(bundle).map { case (n, df) =>
+        // binary (WKB geometry) columns compare by object identity in Row
+        // — hash them to strings so row equality means value equality
+        val comparable = df.schema.fields.map { f =>
+          if (f.dataType == org.apache.spark.sql.types.BinaryType)
+            md5(col(f.name)).as(f.name)
+          else col(f.name)
+        }
+        n -> df.select(comparable.toSeq: _*)
+          .collect().map(_.mkString("|")).toSeq.sorted
+      }
+      p.unpersistAll()
+      out
+    }
+    val stored: (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame =
+      (ways, coords) => {
+        val exploded = ways.select(col("id").as("way_id"),
+          size(col("refs")).as("nrefs"),
+          posexplode(col("refs")).as(Seq("pos", "id")))
+        Bucketing.writeBucketed(exploded, "imp_wayrefs_bkt", "id")
+        Bucketing.writeBucketed(coords, "imp_coords_bkt", "id")
+        WayAssembly.resolveStored(
+          spark.table("imp_wayrefs_bkt"), spark.table("imp_coords_bkt"))
+      }
+    val base = tablesWith(None)
+    val viaStore = tablesWith(Some(stored))
+    assert(base.keySet == viaStore.keySet)
+    base.foreach { case (n, rows) =>
+      assert(rows == viaStore(n), s"table $n diverged under the bucketed store")
+    }
+    assert(base.values.map(_.size).sum > 0)
+  }
 }
