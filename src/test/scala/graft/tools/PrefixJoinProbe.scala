@@ -36,14 +36,25 @@ object PrefixJoinProbe {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
     val prefix = joined.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= expr("nss - (7 * nss + 9) DIV 10 + 1"))
+      .filter(col("rk") <= expr("nss - (7 * nss + 9) DIV 10 + 2"))
       .select(col("doc_id"), col("s")).persist()
     timed("prefix rank+filter")(prefix.count())
     val cand = prefix.select(col("doc_id").as("a_id"), col("s"))
       .join(prefix.select(col("doc_id").as("b_id"), col("s")), Seq("s"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("c_pfx"))
+      .persist()
     timed("candidate pairs")(cand.count())
+    val survivors = cand.filter(col("c_pfx") >= 2).select("a_id", "b_id")
+      .persist()
+    timed("survivors (c_pfx>=2)")(survivors.count())
+    val verified = survivors
+      .join(d.select(col("doc_id").as("a_id"), col("ss").as("a_ss")), Seq("a_id"))
+      .join(d.select(col("doc_id").as("b_id"), col("ss").as("b_ss")), Seq("b_id"))
+      .withColumn("c", size(array_intersect(col("a_ss"), col("b_ss"))).cast("long"))
+      .withColumn("u", (size(col("a_ss")) + size(col("b_ss"))).cast("long") - col("c"))
+      .filter(col("c").cast("double") / col("u").cast("double") >= 0.7)
+    timed("verify (arrays)")(verified.count())
     spark.stop()
   }
 }
