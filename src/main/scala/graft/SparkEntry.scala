@@ -48,6 +48,9 @@ object SparkEntry {
     "m_phash_dedup", "d_batch_buckets", "s_bitext_mine", "d_decontam_fuzzy",
     "q_hierarchy", "d_phrase_search", "m_clip_filter", "m_image_entropy",
     "d_watermark_detect", "s_pack_semantic", "d_phrase_indexed",
-    "d_search_bm25", "q_ivm_rollup", "s_search_served"
+    "d_search_bm25", "q_ivm_rollup", "s_search_served",
+    // the lossless set-sim join, trended since its r8 positional-filter
+    // fix (80s → ~14s at sf0.1)
+    "d_dedup_ngram_prefix"
   )
 }
