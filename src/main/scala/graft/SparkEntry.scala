@@ -51,6 +51,6 @@ object SparkEntry {
     "d_search_bm25", "q_ivm_rollup", "s_search_served",
     // the lossless set-sim join, trended since its r8 positional-filter
     // fix (80s → ~14s at sf0.1)
-    "d_dedup_ngram_prefix"
+    "d_dedup_ngram_prefix", "s_ann_pq_trained"
   )
 }

@@ -671,19 +671,22 @@ object Similarity {
     * per-query distance table (q_id, qm, qk, qdist2) the ADC step looks
     * codes up in. See annPq's header for the float-determinism contract.
     */
-  private def pqPieces(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val dist2Chain = (1 to 8).map { i =>
-      s"(cast(element_at(sub, $i) as double) - cast(element_at(csub, $i) as double)) * " +
-        s"(cast(element_at(sub, $i) as double) - cast(element_at(csub, $i) as double))"
-    }.mkString(" + ")
-    val subs = t(s, dir, "embeddings")
+  private val pqDist2Chain = (1 to 8).map { i =>
+    s"(cast(element_at(sub, $i) as double) - cast(element_at(csub, $i) as double)) * " +
+      s"(cast(element_at(sub, $i) as double) - cast(element_at(csub, $i) as double))"
+  }.mkString(" + ")
+
+  /** (vec_id, m, sub): the corpus cut into 8 8-dim subvectors. */
+  private[queries] def pqSubs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
       .select(col("vec_id"), posexplode(expr(
         "transform(sequence(0, 7), m -> slice(embedding, m * 8 + 1, 8))"))
         .as(Seq("m", "sub")))
-    val cb = subs.filter(col("vec_id") < 16)
-      .select(col("m"), col("vec_id").as("k"), col("sub").as("csub"))
+
+  /** Encode + query-distance table against a given (m, k, csub) codebook. */
+  private def pqEncQd(subs: DataFrame, cb: DataFrame): (DataFrame, DataFrame) = {
     val d = subs.join(broadcast(cb), Seq("m"))
-      .withColumn("dist2", expr(dist2Chain))
+      .withColumn("dist2", expr(pqDist2Chain))
     val enc = d.groupBy(col("vec_id"), col("m"))
       .agg(min(struct(col("dist2"), col("k"))).as("mk"))
       .select(col("vec_id"), col("m"), col("mk.k").as("code"))
@@ -691,6 +694,74 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("m").as("qm"),
         col("k").as("qk"), col("dist2").as("qdist2"))
     (enc, qd)
+  }
+
+  private def pqPieces(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val subs = pqSubs(s, dir)
+    val cb = subs.filter(col("vec_id") < 16)
+      .select(col("m"), col("vec_id").as("k"), col("sub").as("csub"))
+    pqEncQd(subs, cb)
+  }
+
+  /** Per-subspace Lloyd-trained PQ codebook: 2 rounds of squared-L2
+    * assignment (ties to lowest codeword) + component-mean update,
+    * quantized back to float each round (what a stored codebook holds) —
+    * empty codewords keep their previous centroid. All 8 subspaces train
+    * in ONE DataFrame program keyed by `m`: the assignment is the same
+    * vectors×codebook broadcast join encoding costs anyway (O(n·M·K))
+    * and the update is one (m, k, j) hash agg whose float sums fold in
+    * vec_id order — bit-identical to the DuckDB unroll, like
+    * IvfIndex.kmeansCentroids' exact tier.
+    */
+  private[queries] def pqTrainedCodebook(subs: DataFrame): DataFrame = {
+    var cb = subs.filter(col("vec_id") < 16)
+      .select(col("m"), col("vec_id").as("k"), col("sub").as("csub"))
+    for (_ <- 1 to 2) {
+      val assigned = subs.join(broadcast(cb), Seq("m"))
+        .withColumn("dist2", expr(pqDist2Chain))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("dist2"), col("k"))).as("mk"))
+        .select(col("vec_id"), col("m"), col("mk.k").as("k"))
+      val comp = assigned.join(subs, Seq("vec_id", "m"))
+        .select(col("m"), col("k"), col("vec_id"),
+          posexplode(col("sub")).as(Seq("j", "vv")))
+        .groupBy("m", "k", "j")
+        .agg(expr("aggregate(array_sort(collect_list(struct(vec_id, vv))), " +
+          "cast(0 as double), (a, x) -> a + cast(x.vv as double)) / count(1)")
+          .as("cv"))
+      val fresh = comp.groupBy("m", "k")
+        .agg(expr("transform(array_sort(collect_list(struct(j, cv))), " +
+          "x -> cast(x.cv as float))").as("csub_new"))
+      cb = cb.select(col("m"), col("k"), col("csub").as("csub_old"))
+        .join(fresh, Seq("m", "k"), "left")
+        .select(col("m"), col("k"),
+          coalesce(col("csub_new"), col("csub_old")).as("csub"))
+    }
+    // 128 rows — materialize eagerly, truncating the per-round lineage
+    cb.localCheckpoint()
+  }
+
+  // -- trained product quantization -------------------------------------------
+  // s_ann_pq's codebook is a deterministic stand-in (the first 16
+  // vectors' subvectors); this is PQ as shipped: codebooks Lloyd-trained
+  // per subspace, then the identical encode + ADC ranking. Gate: the
+  // oracle unrolls the per-subspace k-means (vec_id-ordered float sums,
+  // float-quantized each round) and the full ADC — every distance is a
+  // shared left-associated IEEE tree, so scores are bit-identical; the
+  // rounding is the version-proof floor(x·1e6+0.5)/1e6 spelling.
+  private def annPqTrained(s: SparkSession, dir: String): DataFrame = {
+    val subs = pqSubs(s, dir)
+    val (enc, qd) = pqEncQd(subs, pqTrainedCodebook(subs))
+    val adc = adcSum(enc
+      .join(broadcast(qd), col("m") === col("qm") && col("code") === col("qk"))
+      .filter(col("q_id") =!= col("vec_id")),
+      Seq(col("q_id"), col("vec_id")))
+    graft.operators.TopK.perKey(adc, Seq(col("q_id")),
+        Seq(col("dist").asc, col("vec_id").asc), 5)
+      .withColumnRenamed("rk", "rnk")
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        (floor(col("dist") * lit(1e6) + lit(0.5)) / lit(1e6)).as("adc_r"))
+      .orderBy("q_id", "rnk")
   }
 
   /** ADC fold in m order over a (…, m, qdist2) frame grouped by `keys`. */
@@ -873,6 +944,7 @@ object Similarity {
     "s_hamming_topk"    -> (hammingTopK _),
     "s_ann_rerank"      -> (annRerank _),
     "s_ann_pq"          -> (annPq _),
+    "s_ann_pq_trained"  -> (annPqTrained _),
     "s_ann_ivfpq"       -> (annIvfPq _),
     "s_quantize_int8"   -> (quantizeInt8 _),
     "s_standardize"     -> (standardize _),
@@ -940,6 +1012,29 @@ object Similarity {
 
   private val pqDist2Sql = (1 to 8).map(i =>
     s"(s.sub[$i] - cb.csub[$i]) * (s.sub[$i] - cb.csub[$i])").mkString(" + ")
+
+  /** One unrolled per-subspace Lloyd round (expects `subs` in scope):
+    * assign each (vec, m) subvector to its nearest `prev` codeword
+    * (squared L2, ties to lowest k), recompute codeword components as a
+    * vec_id-ordered sequential mean fold, quantize to float, keep the
+    * previous codeword for empty cells — the PQ mirror of kmeansIterSql.
+    */
+  private def pqKmeansIterSql(i: Int, prev: String): String =
+    s"""pa$i AS (SELECT vec_id, m, k FROM (
+       |    SELECT s.vec_id, s.m, cb.k,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY $pqDist2Sql, cb.k) AS rn
+       |    FROM subs s JOIN $prev cb ON s.m = cb.m) WHERE rn = 1),
+       |px$i AS (SELECT a.m, a.k, s.vec_id, t.j, s.sub[t.j] AS vv
+       |  FROM pa$i a JOIN subs s ON s.vec_id = a.vec_id AND s.m = a.m,
+       |       generate_series(1, 8) AS t(j)),
+       |pm$i AS (SELECT m, k, j,
+       |    list_reduce(list_prepend(0.0, list(vv ORDER BY vec_id)), (x, y) -> x + y) / count(*) AS cv
+       |  FROM px$i GROUP BY m, k, j),
+       |pn$i AS (SELECT m, k, list(cv::FLOAT ORDER BY j)::DOUBLE[] AS csub
+       |  FROM pm$i GROUP BY m, k),
+       |pc$i AS (SELECT p.m, p.k, coalesce(n.csub, p.csub) AS csub
+       |  FROM $prev p LEFT JOIN pn$i n ON n.m = p.m AND n.k = p.k)""".stripMargin
 
   /** PQ CTE chain (expects a `v(vec_id, e DOUBLE[])` CTE in scope):
     * subspace slices, codebook, distance table, codes, query distances.
@@ -1079,6 +1174,32 @@ object Similarity {
          |r AS (SELECT q_id, vec_id, cell, dist,
          |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rnk FROM adc)
          |SELECT q_id, rnk, vec_id AS neighbor_id, cell, round(dist, 6) AS adc_r
+         |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "s_ann_pq_trained" ->
+      s"""WITH $vSql,
+         |subs AS (SELECT vec_id, m, list_slice(e, m * 8 + 1, m * 8 + 8) AS sub
+         |  FROM v, unnest(generate_series(0, 7)) AS t(m)),
+         |pc0 AS (SELECT m, vec_id AS k, sub AS csub FROM subs WHERE vec_id < 16),
+         |${pqKmeansIterSql(1, "pc0")},
+         |${pqKmeansIterSql(2, "pc1")},
+         |d AS (SELECT s.vec_id, s.m, cb.k, $pqDist2Sql AS dist2
+         |  FROM subs s JOIN pc2 cb ON s.m = cb.m),
+         |md AS (SELECT vec_id, m, MIN(dist2) AS mind FROM d GROUP BY 1, 2),
+         |enc AS (SELECT d.vec_id, d.m, MIN(d.k) AS code
+         |  FROM d JOIN md ON d.vec_id = md.vec_id AND d.m = md.m AND d.dist2 = md.mind
+         |  GROUP BY 1, 2),
+         |qd AS (SELECT vec_id AS q_id, m, k, dist2 AS qdist2 FROM d WHERE vec_id < 10),
+         |parts AS (SELECT qd.q_id, enc.vec_id, list(qd.qdist2 ORDER BY enc.m) AS ds
+         |  FROM enc JOIN qd ON enc.m = qd.m AND enc.code = qd.k
+         |  WHERE qd.q_id <> enc.vec_id
+         |  GROUP BY 1, 2),
+         |adc AS (SELECT q_id, vec_id,
+         |  ds[1] + ds[2] + ds[3] + ds[4] + ds[5] + ds[6] + ds[7] + ds[8] AS dist
+         |  FROM parts),
+         |r AS (SELECT q_id, vec_id, dist,
+         |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rnk FROM adc)
+         |SELECT q_id, rnk, vec_id AS neighbor_id,
+         |  floor(dist * 1e6 + 0.5) / 1e6 AS adc_r
          |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "s_ann_pq" ->
       s"""WITH $vSql,
