@@ -109,17 +109,28 @@ object CorpusRelease {
   def applyDelta(spark: SparkSession, prevDir: String, deltaDir: String,
       outDir: String, minTokens: Long = 50L,
       strict: Boolean = false): DataFrame = {
-    requireDistinctDirs(prevDir, outDir, "corpus delta")
     requireDistinctDirs(deltaDir, outDir, "corpus delta")
-    val state = spark.read.parquet(s"$prevDir/state")
-    val prev = spark.read.parquet(s"$prevDir/corpus")
     val upserts = spark.read.parquet(s"$deltaDir/documents.parquet")
-    if (strict) enforce(upserts, "delta")
     val deletesPath = new java.io.File(s"$deltaDir/deletes.parquet")
     val deletes =
       if (deletesPath.exists)
         spark.read.parquet(deletesPath.getPath).select("doc_id")
       else spark.emptyDataFrame.withColumn("doc_id", lit(0L)).limit(0)
+    applyDeltaFrames(spark, prevDir, upserts, deletes, outDir, minTokens,
+      strict)
+  }
+
+  /** [[applyDelta]] with the delta supplied as frames instead of a
+    * directory — the entry point the streaming release maintenance
+    * (streaming/StreamingRelease) drives per micro-batch.
+    */
+  def applyDeltaFrames(spark: SparkSession, prevDir: String,
+      upserts: DataFrame, deletes: DataFrame, outDir: String,
+      minTokens: Long = 50L, strict: Boolean = false): DataFrame = {
+    requireDistinctDirs(prevDir, outDir, "corpus delta")
+    val state = spark.read.parquet(s"$prevDir/state")
+    val prev = spark.read.parquet(s"$prevDir/corpus")
+    if (strict) enforce(upserts, "delta")
 
     // delete-then-insert: an upserted id's old row is removed first
     val removed = deletes.union(upserts.select("doc_id")).distinct()
