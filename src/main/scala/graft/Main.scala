@@ -67,6 +67,8 @@ object Main {
       |  run
       |  query-cache
       |  corpus
+      |  index
+      |  search
       |  version""".stripMargin)
 
   /** Minimal `-flag value` / `-flag` parser; anything not starting with
@@ -404,7 +406,24 @@ object Main {
     */
   private def runCorpus(spark: SparkSession, a: Args): Unit = {
     // `corpus -in RAW -out R1` = batch release;
-    // `corpus -prev R1 -delta DIR -out R2` = incremental maintenance
+    // `corpus -prev R1 -delta DIR -out R2` = incremental maintenance;
+    // `corpus -prev R1 -stream DIR -out ROOT` = continuous maintenance
+    // (drains available delta files into release generations, then stops —
+    // the `imposm run` analog for corpora; re-invoke to catch up again)
+    a.str("stream") match {
+      case Some(streamDir) =>
+        val outRoot = a.required("out")
+        val q = graft.streaming.StreamingRelease.start(spark, streamDir,
+          a.required("prev"), outRoot, a.long("min-tokens", 50L),
+          availableNow = true)
+        q.awaitTermination()
+        val gen = graft.streaming.StreamingRelease.headGeneration(outRoot)
+        println(s"[corpus] stream drained; HEAD gen=$gen at " +
+          graft.streaming.StreamingRelease.currentRelease(
+            outRoot, a.required("prev")))
+        return
+      case None => ()
+    }
     val manifest = a.str("delta") match {
       case Some(delta) => graft.operators.CorpusRelease.applyDelta(spark,
         a.required("prev"), delta, a.required("out"),

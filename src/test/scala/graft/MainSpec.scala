@@ -155,6 +155,35 @@ class MainSpec extends SparkSpecBase {
     assert(misassigned.count() == 0)
   }
 
+  test("corpus -stream drains delta files into release generations") {
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft-cli-srel-base").toString
+    Main.run(Array("corpus", "-in", sf001, "-out", base, "-min-tokens", "20"))
+    val raw = spark.read.parquet(s"$sf001/documents.parquet")
+    val streamDir = Files.createTempDirectory("graft-cli-srel-in").toString
+    val d = raw.filter(col("doc_id") % 9 === 4)
+      .withColumn("text", concat(lit("cli-edit: "), col("text")))
+      .withColumn("deleted", lit(false))
+    val one = Files.createTempDirectory("graft-cli-srel-d0").toString
+    d.coalesce(1).write.mode("overwrite").parquet(one)
+    val part = new java.io.File(one).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    require(part.renameTo(new java.io.File(streamDir, "delta-0.parquet")))
+    val outRoot = Files.createTempDirectory("graft-cli-srel-out").toString
+    Main.run(Array("corpus", "-prev", base, "-stream", streamDir,
+      "-out", outRoot, "-min-tokens", "20"))
+    assert(graft.streaming.StreamingRelease.headGeneration(outRoot) == 0L)
+    val head = graft.streaming.StreamingRelease.currentRelease(outRoot, base)
+    // the edited docs' new hashes are in the HEAD corpus
+    val edited = spark.read.parquet(s"$head/corpus")
+      .filter(col("doc_id") % 9 === 4).count()
+    assert(edited > 0)
+    // re-invoking on a drained stream is a no-op catch-up
+    Main.run(Array("corpus", "-prev", base, "-stream", streamDir,
+      "-out", outRoot, "-min-tokens", "20"))
+    assert(graft.streaming.StreamingRelease.headGeneration(outRoot) == 0L)
+  }
+
   test("index and search commands build and serve the inverted index") {
     val idx = Files.createTempDirectory("graft-cli-idx").toString + "/idx"
     Main.run(Array("index", "-in", s"$sf001/documents.parquet", "-out", idx))
