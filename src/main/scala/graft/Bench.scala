@@ -352,7 +352,22 @@ object Bench {
             Seq("table hash")).collect()
           (System.nanoTime() - t0) / 1e9
         }
-        Seq("retrieval_serve_phrase" -> times.min)
+        // symmetric vector-serve entry: probe-pruned IVF top-k against a
+        // prebuilt index (partition-pruned scan + bounded-heap top-k)
+        val ivfDir = java.nio.file.Files.createTempDirectory("bench-ivf-idx")
+          .toString + "/idx"
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        graft.operators.IvfIndex.build(spark, emb, ivfDir)
+        val qv = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+          .localCheckpoint()
+        val vTimes = (1 to math.max(qReps, 3)).map { _ =>
+          val t0 = System.nanoTime()
+          graft.operators.IvfIndex.search(spark, ivfDir, qv)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        Seq("retrieval_serve_phrase" -> times.min,
+          "ann_serve_topk" -> vTimes.min)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] retrieval_serve failed: ${e.getMessage}")
         Seq.empty
