@@ -1743,6 +1743,41 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // -- distribution drift between snapshots (chi-square divergence) ------------
+  // The release-monitoring companion of d_snapshot_diff: row-level diffs
+  // say WHAT changed, this says whether the corpus SHAPE drifted — the
+  // signal that triggers re-mixing/re-training decisions. Documents bucket
+  // by token count (width 25); the per-bucket drift contribution is the
+  // chi-square divergence term (p−q)²/(p+q) between the two snapshots'
+  // bucket proportions. Chi-square rather than the usual PSI/KL ON
+  // PURPOSE: ln() is the one op whose last bit varies across libms (the
+  // DSIR rationale), while this is division/multiplication of doubles
+  // derived from exact integer counts — one shared IEEE tree, hash-exact
+  // on both engines, rounded with the version-proof floor spelling. The
+  // two snapshots are the doc_id-parity halves of the one test corpus (a
+  // deterministic stand-in for consecutive releases). Plan: one narrow
+  // scan + one bucket-sized hash agg + a 1-row totals broadcast — nothing
+  // corpus-sized moves.
+  private def driftChi2(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(
+      expr("size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) div 25")
+        .cast("long").as("bucket"),
+      (col("doc_id") % 2 === 0).as("in_a"))
+    val counts = d.groupBy("bucket").agg(
+      sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"))
+    val totals = counts.agg(
+      sum(col("n_a")).as("t_a"), sum(col("n_b")).as("t_b"))
+    def r6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    counts.crossJoin(broadcast(totals))
+      .withColumn("p", col("n_a").cast("double") / col("t_a").cast("double"))
+      .withColumn("q", col("n_b").cast("double") / col("t_b").cast("double"))
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        r6((col("p") - col("q")) * (col("p") - col("q")) /
+          (col("p") + col("q"))).as("chi2_r"))
+      .orderBy("bucket")
+  }
+
   // -- bigram-coverage quality score -------------------------------------------
   // The log-free stand-in for LM-based quality scoring: what fraction of a
   // document's adjacent bigrams are corpus-frequent (count ≥ 5)? Natural
@@ -3065,6 +3100,7 @@ object TextOps {
     "d_domain_cap"        -> (domainCap _),
     "d_curriculum"        -> (curriculum _),
     "d_snapshot_diff"     -> (snapshotDiff _),
+    "d_drift_chi2"        -> (driftChi2 _),
     "d_sample_weighted"   -> (sampleWeighted _),
     "d_quality_gate_rel"  -> (qualityGateRel _),
     "d_sample_pps"        -> (samplePps _),
@@ -4100,6 +4136,23 @@ object TextOps {
         |       WHEN v1.fp != v2.fp THEN 'changed' ELSE 'same' END AS status
         |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "d_drift_chi2" ->
+      """WITH d AS (SELECT
+        |    (len(regexp_extract_all(lower(text), '[a-z0-9]+')) // 25)::BIGINT AS bucket,
+        |    doc_id % 2 = 0 AS in_a
+        |  FROM documents),
+        |counts AS (SELECT bucket,
+        |    SUM(CASE WHEN in_a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    SUM(CASE WHEN in_a THEN 0 ELSE 1 END)::BIGINT AS n_b
+        |  FROM d GROUP BY 1),
+        |t AS (SELECT SUM(n_a)::BIGINT AS t_a, SUM(n_b)::BIGINT AS t_b FROM counts),
+        |pq AS (SELECT bucket, n_a, n_b,
+        |    CAST(n_a AS DOUBLE) / CAST(t_a AS DOUBLE) AS p,
+        |    CAST(n_b AS DOUBLE) / CAST(t_b AS DOUBLE) AS q
+        |  FROM counts, t)
+        |SELECT bucket, n_a, n_b,
+        |  floor((p - q) * (p - q) / (p + q) * 1e6 + 0.5) / 1e6 AS chi2_r
+        |FROM pq ORDER BY bucket""".stripMargin,
     "d_sparse_cosine" ->
       """WITH tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM (
         |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok

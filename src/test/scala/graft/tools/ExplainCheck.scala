@@ -29,6 +29,7 @@ object ExplainCheck {
     "d_sparse_cosine_frac", "d_top_terms", "d_vocab", "d_quantile_norm",
     "d_dsir_weight", "d_quantile_sketch", // n/thr scalars + 4-row targets
     "d_sample_estimate", // two 1-row stats frames joined scalar-style
+    "d_drift_chi2", // 1-row snapshot totals attached onto bucket counts
     "d_search_bm25", // 1-row (n_docs, sum_dl) stats attach onto posting rows
     "s_search_served", // same stats attach + broadcast centroid assignment
     "d_distinct_overlap", // six 1-row sketch/exact scalars assembled
