@@ -342,8 +342,9 @@ object Bench {
     val serveResult =
       if (names.isEmpty) Seq.empty
       else try {
-        val idx = java.nio.file.Files.createTempDirectory("bench-term-idx")
-          .toString + "/idx"
+        // fixed location under target/ (mode-overwrite writers): reused
+        // across runs instead of leaking one temp dir per bench invocation
+        val idx = "/root/repo/target/bench-term-idx/idx"
         graft.operators.TermIndex.build(spark,
           spark.read.parquet(s"$sfDir/documents.parquet"), idx)
         val times = (1 to math.max(qReps, 3)).map { _ =>
@@ -354,8 +355,7 @@ object Bench {
         }
         // symmetric vector-serve entry: probe-pruned IVF top-k against a
         // prebuilt index (partition-pruned scan + bounded-heap top-k)
-        val ivfDir = java.nio.file.Files.createTempDirectory("bench-ivf-idx")
-          .toString + "/idx"
+        val ivfDir = "/root/repo/target/bench-ivf-idx/idx"
         val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
         graft.operators.IvfIndex.build(spark, emb, ivfDir)
         val qv = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
