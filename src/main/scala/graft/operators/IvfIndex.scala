@@ -89,8 +89,14 @@ object IvfIndex {
     out
   }
 
+  // floor(x*1e6 + 0.5)/1e6, NOT round(x, 6): every op in the floor tree is
+  // IEEE exactly-rounded, so the ranking an assignment argmax is decided on
+  // is bit-identical across engines/library versions (a library-rounded
+  // last digit landing on a 6-dp boundary could otherwise flip an argmax
+  // between Spark and a DuckDB oracle).
   private val centroidSim =
-    round(vecDot(col("e"), col("ce")) / (col("nrm") * col("cn")), 6)
+    floor(vecDot(col("e"), col("ce")) / (col("nrm") * col("cn"))
+      * lit(1e6) + lit(0.5)) / lit(1e6)
 
   /** Rank each input vector's cells by centroid similarity, keep top `n`
     * (custom TopKPerKeyExec: bounded heap, no partition sort). */

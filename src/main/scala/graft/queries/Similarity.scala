@@ -132,8 +132,9 @@ object Similarity {
     // nearest-cell assignment for every corpus vector (top-2 via the heap)
     val simToCent = v.select(col("vec_id"), col("e").as("qe"), col("nrm").as("qn"), col("e"), col("nrm"))
       .crossJoin(broadcast(cents))
-      .withColumn("csim", round(
-        vecDot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+      .withColumn("csim",
+        floor(vecDot(col("qe"), col("ce")) / (col("qn") * col("cn"))
+          * lit(1e6) + lit(0.5)) / lit(1e6))
     val assigned = graft.operators.TopK.perKey(simToCent, Seq(col("vec_id")),
         Seq(col("csim").desc, col("c_id").asc), 2)
       .withColumnRenamed("rk", "crk")
@@ -237,8 +238,9 @@ object Similarity {
     val simToCent = v.select(col("vec_id"), col("e").as("qe"),
         col("nrm").as("qn"), col("e"), col("nrm"))
       .crossJoin(broadcast(cents))
-      .withColumn("csim", round(
-        vecDot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+      .withColumn("csim",
+        floor(vecDot(col("qe"), col("ce")) / (col("qn") * col("cn"))
+          * lit(1e6) + lit(0.5)) / lit(1e6))
     val cells = graft.operators.TopK.perKey(simToCent, Seq(col("vec_id")),
         Seq(col("csim").desc, col("c_id").asc), 1)
       .select(col("vec_id"), col("e"), col("nrm"), col("c_id").as("cell"))
@@ -448,8 +450,14 @@ object Similarity {
     // and library versions (round(x, 6) is library-defined and was the one
     // op here that could flip last-digit hashes between engines).
     def r6(c: org.apache.spark.sql.Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    // The integer sums travel as STRINGS: a DECIMAL(38,0) survives the hash
+    // gate only if both engines' writers agree on precision/scale metadata,
+    // which is exactly the representation detail that can disagree between
+    // Spark-parquet and an arrow dump. The digits are the value; emit them.
     stats.join(broadcast(q0), col("pos") === col("q0_pos"))
-      .select(col("pos"), col("n_vecs"), col("sum_q"), col("sumsq_q"),
+      .select(col("pos"), col("n_vecs"),
+        col("sum_q").cast("string").as("sum_q"),
+        col("sumsq_q").cast("string").as("sumsq_q"),
         r6(col("mean_d")).as("mean_r"),
         r6(col("std_d")).as("std_r"),
         r6((col("q0").cast("double") - col("mean_d")) / col("std_d"))
@@ -534,8 +542,9 @@ object Similarity {
     val simToCent = v.select(col("vec_id"), col("e").as("qe"),
         col("nrm").as("qn"), col("e"), col("nrm"))
       .crossJoin(broadcast(cents))
-      .withColumn("csim", round(
-        vecDot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+      .withColumn("csim",
+        floor(vecDot(col("qe"), col("ce")) / (col("qn") * col("cn"))
+          * lit(1e6) + lit(0.5)) / lit(1e6))
     val ranked = graft.operators.TopK.perKey(simToCent, Seq(col("vec_id")),
         Seq(col("csim").desc, col("c_id").asc), 2)
       .withColumnRenamed("rk", "crk")
@@ -800,8 +809,9 @@ object Similarity {
       .select(col("vec_id").as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
     val simToCent = v.select(col("vec_id"), col("e").as("qe"), col("nrm").as("qn"))
       .crossJoin(broadcast(cents))
-      .withColumn("csim", round(
-        vecDot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+      .withColumn("csim",
+        floor(vecDot(col("qe"), col("ce")) / (col("qn") * col("cn"))
+          * lit(1e6) + lit(0.5)) / lit(1e6))
     val assigned = graft.operators.TopK.perKey(simToCent, Seq(col("vec_id")),
         Seq(col("csim").desc, col("c_id").asc), 2)
       .withColumnRenamed("rk", "crk")
@@ -915,8 +925,9 @@ object Similarity {
       .select(col("vec_id").as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
     val simToCent = v.select(col("vec_id"), col("e").as("qe"), col("nrm").as("qn"))
       .crossJoin(broadcast(cents))
-      .withColumn("csim", round(
-        vecDot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+      .withColumn("csim",
+        floor(vecDot(col("qe"), col("ce")) / (col("qn") * col("cn"))
+          * lit(1e6) + lit(0.5)) / lit(1e6))
     val cells = graft.operators.TopK.perKey(simToCent, Seq(col("vec_id")),
         Seq(col("csim").desc, col("c_id").asc), 1)
       .select(col("vec_id").as("doc_id"), col("c_id").as("cell"))
@@ -998,7 +1009,7 @@ object Similarity {
     s"""a$i AS (SELECT vec_id, cell FROM (
        |    SELECT v.vec_id, c.c_id AS cell,
        |      row_number() OVER (PARTITION BY v.vec_id
-       |        ORDER BY round(list_dot_product(v.e, c.ce) / (v.nrm * c.cn), 6) DESC, c.c_id) AS rn
+       |        ORDER BY floor(list_dot_product(v.e, c.ce) / (v.nrm * c.cn) * 1e6 + 0.5) / 1e6 DESC, c.c_id) AS rn
        |    FROM v, $prev c) WHERE rn = 1),
        |x$i AS (SELECT a$i.cell, v.vec_id, t.i, v.e[t.i] AS vv
        |  FROM a$i JOIN v USING (vec_id), generate_series(1, 64) AS t(i)),
@@ -1081,7 +1092,7 @@ object Similarity {
          |$vSql,
          |c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM v WHERE vec_id < 16),
          |sims AS (SELECT v.vec_id, v.e, v.nrm, c.c_id,
-         |    round(list_dot_product(v.e, c.ce) / (v.nrm * c.cn), 6) AS csim
+         |    floor(list_dot_product(v.e, c.ce) / (v.nrm * c.cn) * 1e6 + 0.5) / 1e6 AS csim
          |  FROM v, c),
          |rankedc AS (SELECT vec_id, e, nrm, c_id AS cell, csim,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id)
@@ -1109,7 +1120,7 @@ object Similarity {
       s"""WITH $vSql,
          |c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM v WHERE vec_id < 16),
          |sims AS (SELECT v.vec_id, c.c_id,
-         |    round(list_dot_product(v.e, c.ce) / (v.nrm * c.cn), 6) AS csim
+         |    floor(list_dot_product(v.e, c.ce) / (v.nrm * c.cn) * 1e6 + 0.5) / 1e6 AS csim
          |  FROM v, c),
          |cells AS (SELECT vec_id AS doc_id, c_id AS cell FROM (
          |  SELECT vec_id, c_id, ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -1153,7 +1164,7 @@ object Similarity {
       s"""WITH $vSql,
          |c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM v WHERE vec_id < 16),
          |sims AS (SELECT v.vec_id, c.c_id,
-         |    round(list_dot_product(v.e, c.ce) / (v.nrm * c.cn), 6) AS csim
+         |    floor(list_dot_product(v.e, c.ce) / (v.nrm * c.cn) * 1e6 + 0.5) / 1e6 AS csim
          |  FROM v, c),
          |ranked AS (SELECT vec_id, c_id AS cell, csim,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS crk
@@ -1315,7 +1326,9 @@ object Similarity {
         |      (CAST(sum_q AS DOUBLE)/CAST(n_vecs AS DOUBLE)) * CAST(sum_q AS DOUBLE))
         |      / CAST(n_vecs AS DOUBLE)) AS std_d
         |  FROM st)
-        |SELECT m.pos, n_vecs, sum_q, sumsq_q,
+        |SELECT m.pos, n_vecs,
+        |  CAST(sum_q AS VARCHAR) AS sum_q,
+        |  CAST(sumsq_q AS VARCHAR) AS sumsq_q,
         |  floor(mean_d * 1e6 + 0.5) / 1e6 AS mean_r,
         |  floor(std_d * 1e6 + 0.5) / 1e6 AS std_r,
         |  floor((CAST(q.q AS DOUBLE) - mean_d) / std_d * 1e6 + 0.5) / 1e6 AS z0_r
@@ -1416,7 +1429,7 @@ object Similarity {
          |${kmeansIterSql(1, "c0")},
          |${kmeansIterSql(2, "c1")},
          |sims AS (SELECT v.vec_id, c.c_id,
-         |    round(list_dot_product(v.e, c.ce) / (v.nrm * c.cn), 6) AS csim
+         |    floor(list_dot_product(v.e, c.ce) / (v.nrm * c.cn) * 1e6 + 0.5) / 1e6 AS csim
          |  FROM v, c2 c),
          |ranked AS (SELECT vec_id, c_id AS cell, csim,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS crk
@@ -1493,7 +1506,7 @@ object Similarity {
       s"""WITH $vSql,
          |c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM v WHERE vec_id < 16),
          |sims AS (SELECT v.vec_id, v.e, v.nrm, c.c_id,
-         |    round(list_dot_product(v.e, c.ce) / (v.nrm * c.cn), 6) AS csim
+         |    floor(list_dot_product(v.e, c.ce) / (v.nrm * c.cn) * 1e6 + 0.5) / 1e6 AS csim
          |  FROM v, c),
          |ranked AS (SELECT vec_id, e, nrm, c_id AS cell, csim,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS crk
@@ -1515,7 +1528,7 @@ object Similarity {
          |${kmeansIterSql(1, "c0")},
          |${kmeansIterSql(2, "c1")},
          |sims AS (SELECT v.vec_id, v.e, v.nrm, c.c_id,
-         |    round(list_dot_product(v.e, c.ce) / (v.nrm * c.cn), 6) AS csim
+         |    floor(list_dot_product(v.e, c.ce) / (v.nrm * c.cn) * 1e6 + 0.5) / 1e6 AS csim
          |  FROM v, c2 c),
          |ranked AS (SELECT vec_id, e, nrm, c_id AS cell, csim,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS crk
@@ -1541,7 +1554,7 @@ object Similarity {
          |${kmeansIterSql(1, "c0")},
          |${kmeansIterSql(2, "c1")},
          |sims AS (SELECT v.vec_id, c.c_id,
-         |    round(list_dot_product(v.e, c.ce) / (v.nrm * c.cn), 6) AS csim
+         |    floor(list_dot_product(v.e, c.ce) / (v.nrm * c.cn) * 1e6 + 0.5) / 1e6 AS csim
          |  FROM v, c2 c)
          |SELECT vec_id, c_id AS cell FROM (
          |  SELECT vec_id, c_id,
@@ -1563,7 +1576,7 @@ object Similarity {
          |    ORDER BY sim_r DESC, b_id) AS rnk FROM gsc) WHERE rnk <= 3),
          |ctr AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM v WHERE vec_id < 16),
          |csims AS (SELECT v.vec_id, v.e, v.nrm, ctr.c_id,
-         |    round(list_dot_product(v.e, ctr.ce) / (v.nrm * ctr.cn), 6) AS csim
+         |    floor(list_dot_product(v.e, ctr.ce) / (v.nrm * ctr.cn) * 1e6 + 0.5) / 1e6 AS csim
          |  FROM v, ctr),
          |cells AS (SELECT vec_id, e, nrm, c_id AS cell FROM (
          |  SELECT vec_id, e, nrm, c_id, csim, ROW_NUMBER() OVER (
@@ -1595,7 +1608,7 @@ object Similarity {
       s"""WITH $vSql,
          |c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM v WHERE vec_id < 16),
          |sims AS (SELECT v.vec_id, v.e, v.nrm, c.c_id,
-         |    round(list_dot_product(v.e, c.ce) / (v.nrm * c.cn), 6) AS csim
+         |    floor(list_dot_product(v.e, c.ce) / (v.nrm * c.cn) * 1e6 + 0.5) / 1e6 AS csim
          |  FROM v, c),
          |ranked AS (SELECT vec_id, e, nrm, c_id AS cell, csim,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS crk
