@@ -1570,8 +1570,23 @@ object TextOps {
   // Gate: the oracle is the UNCAPPED exact all-pairs truth, so any lost
   // pair fails the round; ZipfCorpusSpec pins losslessness on power-law
   // vocabulary too.
-  private def dedupNgramPrefix(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select(col("doc_id"), shingleExpr.as("ss")).persist()
+  private def dedupNgramPrefix(s: SparkSession, dir: String): DataFrame =
+    prefixJoinBody(docs(s, dir))
+
+  // -- the same lossless PPJoin, gated on POWER-LAW document frequencies ------
+  // The sf* corpus has ~31 words/lang, so the d_dedup_ngram_prefix row only
+  // ever measures the all-stop-shingles corner. This row runs the identical
+  // body over the fixed-path ZipfGateFixture corpus (5k docs, 20k-word
+  // Zipfian vocabulary, planted near/exact dups), whose oracle mirrors the
+  // prefix + positional + length filters in DuckDB over the SAME parquet —
+  // the hard gate finally sees realistic df skew (r8 verdict, missing #2).
+  // Losslessness against uncapped truth is pinned separately by
+  // ZipfCorpusSpec; this row pins cross-engine exactness of every filter.
+  private def dedupPrefixZipf(s: SparkSession, dir: String): DataFrame =
+    prefixJoinBody(graft.sources.ZipfGateFixture.docs(s))
+
+  private def prefixJoinBody(docs0: DataFrame): DataFrame = {
+    val d = docs0.select(col("doc_id"), shingleExpr.as("ss")).persist()
     val inv = d.select(col("doc_id"), explode(col("ss")).as("s"))
     val dfs = inv.groupBy("s").agg(count(lit(1)).as("df"))
     // rare-first rank within each doc; keep rk ≤ |x| − ⌈0.7|x|⌉ + 2
@@ -3060,6 +3075,7 @@ object TextOps {
     "d_dedup_fingerprint" -> (dedupFingerprint _),
     "d_dedup_ngram"       -> (dedupNgram _),
     "d_dedup_ngram_prefix" -> (dedupNgramPrefix _),
+    "d_dedup_prefix_zipf" -> (dedupPrefixZipf _),
     "d_dedup_minhash"     -> (dedupMinHash _),
     "d_dedup_simhash"     -> (dedupSimHash _),
     "d_dedup_clusters"    -> (dedupClusters _),
@@ -3280,6 +3296,40 @@ object TextOps {
          |inv AS (SELECT doc_id, unnest(ss) AS s FROM sh),
          |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id),
+         |scored AS (SELECT a_id, b_id,
+         |  len(list_intersect(sa.ss, sb.ss))::BIGINT AS n_common,
+         |  (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)))::BIGINT AS n_union
+         |  FROM cand JOIN sh sa ON cand.a_id = sa.doc_id
+         |            JOIN sh sb ON cand.b_id = sb.doc_id)
+         |SELECT a_id, b_id, n_common, n_union,
+         |  n_common::DOUBLE / n_union::DOUBLE AS jaccard
+         |FROM scored WHERE n_common::DOUBLE / n_union::DOUBLE >= 0.7
+         |ORDER BY a_id, b_id""".stripMargin,
+    // Exact DuckDB mirror of the PPJoin pipeline (rare-first prefix, length
+    // filter, positional filter, exact verify) over the fixed-path Zipf
+    // fixture — read directly via read_parquet: the Verify run materializes
+    // the corpus there BEFORE the driver's DuckDB pass starts, and the path
+    // is parameter-keyed + content-deterministic. rk ties cannot happen
+    // ((df, s) is unique within a doc: shingles are distinct per doc), so
+    // row_number is deterministic on both engines.
+    "d_dedup_prefix_zipf" ->
+      s"""WITH zdocs AS (SELECT doc_id, text FROM
+         |    read_parquet('${graft.sources.ZipfGateFixture.parquetGlob}')),
+         |sh AS MATERIALIZED (SELECT doc_id, $shingleSql AS ss FROM zdocs),
+         |inv AS MATERIALIZED (SELECT doc_id, unnest(ss) AS s FROM sh),
+         |dfs AS (SELECT s, COUNT(*) AS df FROM inv GROUP BY s),
+         |pfx AS MATERIALIZED (SELECT doc_id, s, rk, nss FROM (
+         |  SELECT i.doc_id, i.s, len(sh.ss)::BIGINT AS nss,
+         |    row_number() OVER (PARTITION BY i.doc_id ORDER BY d.df, i.s)::BIGINT AS rk
+         |  FROM inv i JOIN dfs d USING (s) JOIN sh USING (doc_id))
+         |  WHERE rk <= nss - (7 * nss + 9) // 10 + 2),
+         |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM pfx a JOIN pfx b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  WHERE 10 * least(a.nss, b.nss) >= 7 * greatest(a.nss, b.nss)
+         |  GROUP BY 1, 2
+         |  HAVING 17 * (count(*) +
+         |      least(max(a.nss) - max(a.rk), max(b.nss) - max(b.rk))) >=
+         |    7 * (max(a.nss) + max(b.nss))),
          |scored AS (SELECT a_id, b_id,
          |  len(list_intersect(sa.ss, sb.ss))::BIGINT AS n_common,
          |  (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)))::BIGINT AS n_union
