@@ -36,7 +36,10 @@ object SparkEntry {
     "d_dedup_minhash", "d_dedup_simhash", "d_token_stats", "d_chunks",
     "d_chunks_cdc", "d_corpus_pipeline", "d_mix_weighted", "d_bm25",
     "d_pack_sequences", "d_shuffle", "d_budget_select", "d_bpe_merges",
-    "d_sparse_cosine", "d_mix_temperature",
+    // d_sparse_cosine is gate-only since r9: its absolute-df cap makes the
+    // candidate volume sf-dependent, so its trend line was noise; the
+    // frequency-sensitive perf trend lives in d_dedup_prefix_zipf instead
+    "d_mix_temperature",
     "s_cosine_topk", "s_ann_lsh", "s_ann_lsh_probe", "s_ann_ivf_kmeans",
     "s_quantize_int8", "s_dedup_semantic", "s_ann_ivf_kmeans_fast",
     "s_hybrid_rrf", "s_hamming_topk", "s_ann_ivfpq", "s_ann_rerank",
@@ -51,6 +54,10 @@ object SparkEntry {
     "d_search_bm25", "q_ivm_rollup", "s_search_served",
     // the lossless set-sim join, trended since its r8 positional-filter
     // fix (80s → ~14s at sf0.1)
-    "d_dedup_ngram_prefix", "s_ann_pq_trained"
+    "d_dedup_ngram_prefix", "s_ann_pq_trained",
+    // the same join on POWER-LAW df (fixed-size Zipf fixture, so this
+    // trend line is sf-independent and measures the prefix filters where
+    // they matter)
+    "d_dedup_prefix_zipf"
   )
 }

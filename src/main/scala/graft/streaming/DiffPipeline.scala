@@ -50,7 +50,9 @@ object DiffPipeline {
   def init(spark: SparkSession, mapping: CompiledMapping, stateDir: String,
       bundle: Bundle, srid: Int = 3857, bucketBits: Int = 22,
       limit: Option[graft.operators.Limitto] = None,
-      startSeq: Long = 0): Map[String, DataFrame] = {
+      startSeq: Long = 0,
+      assembler: (DataFrame, DataFrame) => DataFrame =
+        graft.operators.WayAssembly.resolve): Map[String, DataFrame] = {
     val store = new StateStore(spark, stateDir)
     store.setBucketBits(bucketBits)
     // startSeq > 0 re-inits on top of an existing store (`-appendcache`):
@@ -61,7 +63,8 @@ object DiffPipeline {
     store.writeBucketed("ways", startSeq, bundle.ways, "id")
     store.writeBucketed("relations", startSeq, bundle.relations, "id")
     val stored = storedBundle(store, startSeq)
-    val pipeline = new ImportPipeline(spark, mapping, srid, limit)
+    val pipeline = new ImportPipeline(spark, mapping, srid, limit,
+      assembler = assembler)
     val tables = pipeline.run(stored)
     val gens = Generalize(spark, mapping, tables)
     (tables ++ gens).foreach { case (n, df) =>
@@ -177,15 +180,30 @@ object DiffPipeline {
       .filter(col("m.type") === 1)
       .select(col("m.id").as("id")).distinct()
     val rebuildW = depW.union(memberWayIds).distinct().cache()
+    val waysR = nw.ways.join(broadcast(rebuildW), Seq("id"), "left_semi")
+    // bucket-pruned coord resolution (the store-side J1, reference analog:
+    // random reads against the ID-sorted LevelDB coords cache,
+    // cache/delta.go:162-198): the rebuild closure needs only (a) the refs
+    // of its ways and (b) the node members of its driver relations — read
+    // ONLY those ids' buckets of the coords state instead of scanning all
+    // of it. At planet scale a minutely batch touches ~10² of ~3k buckets,
+    // so this is the difference between a full multi-billion-row coords
+    // scan per diff and an O(changed) one; the pruned read also keeps the
+    // assembly join's probe side small enough that AQE broadcasts the
+    // exploded refs.
+    val neededCoordIds = waysR.select(explode(col("refs")).as("id"))
+      .union(driverRels.select(explode(col("members")).as("m"))
+        .filter(col("m.type") === 0).select(col("m.id").as("id")))
+    val bCoord = store.bucketsOf(neededCoordIds, "id")
     // coords touched by THIS batch resolve at full precision (reference
     // LRU-bunch artifact — see ImportPipeline.projectXY)
-    val freshCoords = nw.coords.join(
+    val freshCoords = store.readBuckets("coords", next, bCoord).join(
       broadcast(chN.withColumn("fresh", lit(true))), Seq("id"), "left")
       .withColumn("fresh", coalesce(col("fresh"), lit(false)))
     val bundleR = Bundle(
       coords = freshCoords,
       nodes = nw.nodes.join(broadcast(chN), Seq("id"), "left_semi"),
-      ways = nw.ways.join(broadcast(rebuildW), Seq("id"), "left_semi"),
+      ways = waysR,
       relations = driverRels)
     // member-tag / sub-relation resolution sees the FULL maintained state
     // (reference writer/relations.go:216-251 resolves from the whole cache);
