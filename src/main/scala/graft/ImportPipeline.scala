@@ -29,7 +29,11 @@ final class ImportPipeline(
     // frame. Default is the in-pipeline AQE shuffle join; the bench's
     // bucketed A/B injects WayAssembly.resolveStored over a pre-bucketed
     // element store (the reference's ID-sorted cache layout analog).
-    assembler: (DataFrame, DataFrame) => DataFrame = WayAssembly.resolve)
+    assembler: (DataFrame, DataFrame) => DataFrame = WayAssembly.resolve,
+    // diff mode: localCheckpoint stages instead of caching them — see
+    // tracked(). Off for batch imports: the checkpoint write is pure
+    // overhead when each stage has a handful of consumers in one JVM pass.
+    truncateLineage: Boolean = false)
     extends Serializable {
 
   import spark.implicits._
@@ -51,8 +55,17 @@ final class ImportPipeline(
     * counts concurrently without two in-flight jobs recomputing a shared
     * uncached parent. */
   private def tracked(df: DataFrame, wave: Int = 0): DataFrame = {
-    persisted += wave -> df
-    df.persist(storage)
+    // truncateLineage (diff mode): checkpoint the stage instead of caching
+    // it, so every downstream frame plans against a leaf. A diff batch
+    // writes ~30 output tables whose frames otherwise each carry the WHOLE
+    // import DAG as their logical plan, and Catalyst re-analyzes that DAG
+    // once per store write — measured as the dominant cost of a small
+    // diff apply (driver-bound, ~39 s of a 57 s batch). Lazy: the wave
+    // counts in materializeStages still do the materialization in
+    // dependency order.
+    val out = if (truncateLineage) df.localCheckpoint(false) else df.persist(storage)
+    persisted += wave -> out
+    out
   }
 
   /** Release every frame run() persisted (call after sinking all tables). */

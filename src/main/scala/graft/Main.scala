@@ -199,8 +199,9 @@ object Main {
   private def mappingOf(a: Args): CompiledMapping =
     new CompiledMapping(MappingConf.fromFile(a.required("mapping")))
 
-  private def readBundle(spark: SparkSession, path: String): OsmXml.Bundle =
-    if (path.endsWith(".pbf")) OsmPbf.read(spark, path)
+  private def readBundle(spark: SparkSession, path: String,
+      coverage: Option[Limitto] = None): OsmXml.Bundle =
+    if (path.endsWith(".pbf")) OsmPbf.read(spark, path, coverage = coverage)
     else OsmXml.read(spark, path)
 
   private def schemaDirs(a: Args): (String, String, String) =
@@ -252,7 +253,9 @@ object Main {
         new Limitto(p, bufferDist = a.double("limittocachebuffer", 0.0),
           srid = a.long("srid", 3857).toInt))
       val readPath = a.required("read")
-      var bundle = readBundle(spark, readPath)
+      // -limitto also prunes whole out-of-coverage PBF blobs at the source
+      // (header-bbox vs buffered coverage) before the per-element filters
+      var bundle = readBundle(spark, readPath, limit)
       if (startSeq > 0) // append: merge over the committed state
         bundle = mergeBundles(DiffPipeline.storedBundleAt(spark, cachedir, existingSeq), bundle)
       // -store PREFIX: resolve J1 through a Spark-bucketed element store

@@ -57,6 +57,24 @@ final class Limitto(path: String, bufferDist: Double = 0.0, srid: Int = 3857)
   def containsPointBuffered(x: Double, y: Double): Boolean =
     preparedBuffered.intersects(pointFactory.createPoint(new Coordinate(x, y)))
 
+  /** Blob/file-level prune test: does a lon/lat envelope intersect the
+    * BUFFERED coverage? Mercator is monotone per axis, so the projected
+    * corners bound the projected envelope exactly; latitudes are clamped
+    * to the projection's valid band. Used by the PBF source to skip whole
+    * out-of-coverage blobs before any decode. */
+  def intersectsEnvelopeLonLat(minLon: Double, minLat: Double,
+      maxLon: Double, maxLat: Double): Boolean = {
+    def clampLat(lat: Double): Double = math.max(-85.06, math.min(85.06, lat))
+    val (x0, y0) =
+      if (srid == 3857) Geom.wgsToMerc(minLon, clampLat(minLat))
+      else (minLon, minLat)
+    val (x1, y1) =
+      if (srid == 3857) Geom.wgsToMerc(maxLon, clampLat(maxLat))
+      else (maxLon, maxLat)
+    val env = pointFactory.toGeometry(new Envelope(x0, x1, y0, y1))
+    preparedBuffered.intersects(env)
+  }
+
   /** J5: clip one geometry; empty result = drop the element. */
   def clip(g: Geometry): Seq[Geometry] = {
     if (g == null) return Seq.empty

@@ -26,8 +26,12 @@ import graft.sources.OsmXml.Bundle
   */
 object OsmPbf {
 
-  /** One OSMData blob: byte range within `path` (offset of the Blob msg). */
-  final case class BlobRange(path: String, offset: Long, length: Int)
+  /** One OSMData blob: byte range within `path` (offset of the Blob msg).
+    * `bbox` is the containing FILE's OSMHeader HeaderBBox as
+    * (minLon, minLat, maxLon, maxLat) when the header carries one — the
+    * coverage-prune key for `read(coverage = ...)`. */
+  final case class BlobRange(path: String, offset: Long, length: Int,
+      bbox: Option[(Double, Double, Double, Double)] = None)
 
   // ---- public API -----------------------------------------------------------
 
@@ -39,17 +43,29 @@ object OsmPbf {
   def read(spark: SparkSession, path: String,
       filters: Option[TagFilters] = None,
       storage: org.apache.spark.storage.StorageLevel =
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): Bundle =
-    OsmXml.bundleOf(readElements(spark, path, filters).toDF().persist(storage))
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
+      coverage: Option[graft.operators.Limitto] = None): Bundle =
+    OsmXml.bundleOf(
+      readElements(spark, path, filters, coverage = coverage)
+        .toDF().persist(storage))
 
   /** `includeMetadata` is the reference's IncludeMetadata analog
     * (parser/pbf/parser.go:17): version/timestamp/changeset/uid/user decode
     * only when asked — the planet-scale default never materializes them. */
+  /** `coverage` drops whole blobs whose file's header bbox is disjoint
+    * from the BUFFERED limitto coverage before any byte of them is read —
+    * the reference drops out-of-coverage elements at parse
+    * (reader/reader.go:215-227); at blob granularity the I/O saved scales
+    * with (1 − coverage fraction) on spatially-partitioned inputs. Blobs
+    * without a header bbox always decode (prune is advisory, never lossy
+    * beyond the limitto contract: everything pruned here is outside the
+    * buffered coverage, which the pipeline's P6/J5 filters drop anyway). */
   def readElements(spark: SparkSession, path: String,
       filters: Option[TagFilters] = None,
-      includeMetadata: Boolean = false): Dataset[RawElement] = {
+      includeMetadata: Boolean = false,
+      coverage: Option[graft.operators.Limitto] = None): Dataset[RawElement] = {
     import spark.implicits._
-    val index = blobIndex(spark, path)
+    val index = prunedIndex(blobIndex(spark, path), coverage)
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val parallelism = math.max(spark.sparkContext.defaultParallelism, 1)
     val tf = filters // local: don't capture the session in the task closure
@@ -79,7 +95,9 @@ object OsmPbf {
     case _ => if (e.tags.isEmpty) e else e.copy(tags = f.relations.filter(e.tags))
   }
 
-  /** Header-only scan: returns the byte ranges of all OSMData blobs. */
+  /** Header-only scan: returns the byte ranges of all OSMData blobs, each
+    * tagged with its file's OSMHeader bbox when present (the one extra
+    * read is the tiny header blob itself, once per file). */
   def blobIndex(spark: SparkSession, path: String): Seq[BlobRange] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -92,6 +110,7 @@ object OsmPbf {
       val len = fs.getFileStatus(f).getLen
       val in = fs.open(f)
       val out = Seq.newBuilder[BlobRange]
+      var fileBBox: Option[(Double, Double, Double, Double)] = None
       try {
         var pos = 0L
         val lenBuf = new Array[Byte](4)
@@ -104,14 +123,50 @@ object OsmPbf {
           in.readFully(headerBuf)
           val (blobType, dataSize) = decodeBlobHeader(headerBuf)
           val dataOffset = pos + 4 + headerLen
-          if (blobType == "OSMData")
-            out += BlobRange(f.toString, dataOffset, dataSize)
+          if (blobType == "OSMHeader") {
+            val blob = new Array[Byte](dataSize)
+            in.readFully(blob)
+            fileBBox = decodeHeaderBBox(inflateBlob(blob))
+          } else if (blobType == "OSMData")
+            out += BlobRange(f.toString, dataOffset, dataSize, fileBBox)
           pos = dataOffset + dataSize
         }
       } finally in.close()
       out.result()
     }
   }
+
+  /** HeaderBlock field 1 (HeaderBBox: left/right/top/bottom, sint64
+    * nanodegrees) → (minLon, minLat, maxLon, maxLat). */
+  private def decodeHeaderBBox(
+      headerBlock: Array[Byte]): Option[(Double, Double, Double, Double)] = {
+    val pb = new Pb(headerBlock, 0, headerBlock.length)
+    while (pb.hasMore) pb.readTag() match {
+      case 1 =>
+        val bb = pb.readSlice()
+        var left, right, top, bottom = 0L
+        while (bb.hasMore) bb.readTag() match {
+          case 1 => left = bb.readZigzag()
+          case 2 => right = bb.readZigzag()
+          case 3 => top = bb.readZigzag()
+          case 4 => bottom = bb.readZigzag()
+          case _ => bb.skip()
+        }
+        return Some((left * 1e-9, bottom * 1e-9, right * 1e-9, top * 1e-9))
+      case _ => pb.skip()
+    }
+    None
+  }
+
+  /** Coverage prune over a blob index (exposed so tests and tooling can
+    * observe the decoded-blob count drop). */
+  def prunedIndex(index: Seq[BlobRange],
+      coverage: Option[graft.operators.Limitto]): Seq[BlobRange] =
+    coverage match {
+      case None => index
+      case Some(lim) => index.filter(_.bbox.forall(b =>
+        lim.intersectsEnvelopeLonLat(b._1, b._2, b._3, b._4)))
+    }
 
   // ---- protobuf wire reader -------------------------------------------------
 

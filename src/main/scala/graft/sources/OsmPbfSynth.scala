@@ -159,8 +159,22 @@ object OsmPbfSynth {
     out.toBytes
   }
 
-  private def headerBlock(): Array[Byte] = {
+  private def headerBlock(elements: Seq[RawElement]): Array[Byte] = {
     val h = new Wb()
+    // HeaderBBox (field 1: left/right/top/bottom sint64 nanodegrees) from
+    // the nodes — what real extract tools write, and what the source's
+    // blob-level coverage prune keys on
+    val lons = elements.flatMap(_.lon)
+    val lats = elements.flatMap(_.lat)
+    if (lons.nonEmpty) {
+      val bb = new Wb()
+      def nano(d: Double): Long = math.round(d * 1e9)
+      bb.writeTag(1, 0); bb.writeZigzag(nano(lons.min))
+      bb.writeTag(2, 0); bb.writeZigzag(nano(lons.max))
+      bb.writeTag(3, 0); bb.writeZigzag(nano(lats.max))
+      bb.writeTag(4, 0); bb.writeZigzag(nano(lats.min))
+      h.writeMsg(1, bb)
+    }
     h.writeBytes(4, "OsmSchema-V0.6".getBytes("UTF-8"))
     h.writeBytes(4, "DenseNodes".getBytes("UTF-8"))
     frameBlob("OSMHeader", h.toBytes)
@@ -170,7 +184,7 @@ object OsmPbfSynth {
     * type ordering) into one .pbf byte stream. */
   def encodePbf(elements: Seq[RawElement]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    out.write(headerBlock())
+    out.write(headerBlock(elements))
     for (kind <- Seq(Kind.Node, Kind.Way, Kind.Relation)) {
       elements.filter(_.kind == kind).grouped(BlockSize).foreach { chunk =>
         out.write(frameBlob("OSMData", encodeBlock(chunk)))

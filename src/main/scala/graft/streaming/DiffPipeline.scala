@@ -43,33 +43,60 @@ object DiffPipeline {
   private val ElementTables = Seq("coords", "nodes", "ways", "relations")
   private def tbl(name: String): String = s"tbl_$name"
 
+  /** Run independent store writes concurrently. A diff batch touches every
+    * output table, and each bucketed-delta write is a small Spark job —
+    * run sequentially, a minutely batch pays ~30 job latencies end to end
+    * (measured 82 s for a ~900-node batch against a 2M-element store;
+    * fixed scheduling overhead, not data). The writes land in disjoint
+    * `<table>/v<seq>` dirs, so they compose like any multi-sink drain; the
+    * shared rebuild caches are forced once before draining. */
+  private def drainConcurrently(tasks: Seq[() => Unit], par: Int = 8): Unit = {
+    if (tasks.isEmpty) return
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(par, math.max(1, tasks.size)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try Await.result(Future.sequence(tasks.map(t => Future(t()))), Duration.Inf)
+    finally pool.shutdown()
+  }
+
   /** Initial import: write element state + all output tables as v0, all
-    * range-bucketed by id so later diffs rewrite only touched buckets.
-    * `bucketBits` fixes the bucket span (id >> bits) for the store's life;
-    * 22 ⇒ ~4M ids per bucket ⇒ ~3k buckets over planet node ids. */
+    * hash-bucketed by id so later diffs rewrite only touched buckets.
+    * `nBuckets` is fixed for the store's life; size it so a bucket is
+    * file-sized (a diff rewrites touched buckets WHOLE, so per-batch write
+    * amplification is touched-buckets × bucket-size — at planet scale
+    * ~64k buckets keeps that ∝ the change count, not the store size). */
   def init(spark: SparkSession, mapping: CompiledMapping, stateDir: String,
-      bundle: Bundle, srid: Int = 3857, bucketBits: Int = 22,
+      bundle: Bundle, srid: Int = 3857, nBuckets: Int = 1024,
       limit: Option[graft.operators.Limitto] = None,
       startSeq: Long = 0,
       assembler: (DataFrame, DataFrame) => DataFrame =
         graft.operators.WayAssembly.resolve): Map[String, DataFrame] = {
     val store = new StateStore(spark, stateDir)
-    store.setBucketBits(bucketBits)
+    store.setHashBuckets(nBuckets)
     // startSeq > 0 re-inits on top of an existing store (`-appendcache`):
     // writing a NEW version while the merged bundle lazily reads the old
-    // one keeps the read and write paths disjoint
-    store.writeBucketed("coords", startSeq, bundle.coords, "id")
-    store.writeBucketed("nodes", startSeq, bundle.nodes, "id")
-    store.writeBucketed("ways", startSeq, bundle.ways, "id")
-    store.writeBucketed("relations", startSeq, bundle.relations, "id")
+    // one keeps the read and write paths disjoint.
+    // All four element writes read the one cached raw-element frame, so
+    // they drain concurrently without duplicating the parse
+    drainConcurrently(Seq(
+      () => store.writeBucketed("coords", startSeq, bundle.coords, "id"),
+      () => store.writeBucketed("nodes", startSeq, bundle.nodes, "id"),
+      () => store.writeBucketed("ways", startSeq, bundle.ways, "id"),
+      () => store.writeBucketed("relations", startSeq, bundle.relations, "id")))
     val stored = storedBundle(store, startSeq)
     val pipeline = new ImportPipeline(spark, mapping, srid, limit,
       assembler = assembler)
     val tables = pipeline.run(stored)
     val gens = Generalize(spark, mapping, tables)
-    (tables ++ gens).foreach { case (n, df) =>
-      store.writeBucketed(tbl(n), startSeq, df, idColFor(mapping, n))
-    }
+    // force the shared stage caches once, then drain the ~30 output-table
+    // writes concurrently (same reasoning as applyDiff's drain: each write
+    // is a small job and sequential writes pay one job latency per table)
+    pipeline.materializeStages()
+    drainConcurrently((tables ++ gens).toSeq.map { case (n, df) =>
+      () => store.writeBucketed(tbl(n), startSeq, df, idColFor(mapping, n))
+    })
     pipeline.unpersistAll()
     store.commit(startSeq)
     readTables(spark, mapping, stateDir)
@@ -119,49 +146,60 @@ object DiffPipeline {
     val seq = from.getOrElse(store.currentSeq)
     require(seq >= 0, s"no committed state in $stateDir — run init first")
     val next = seq + 1
+    // per-phase wall-clock on stderr when SPARK_GRAFT_DIFF_TIMING=1 — the
+    // apply is a fixed pipeline of small jobs, and which phase dominates is
+    // invisible from outside (the bench only sees the total)
+    val timing = sys.env.get("SPARK_GRAFT_DIFF_TIMING").contains("1")
+    var tPrev = System.nanoTime()
+    def mark(phase: String): Unit = if (timing) {
+      val now = System.nanoTime()
+      System.err.println(f"[diff] $phase ${(now - tPrev) / 1e9}%.1fs")
+      tPrev = now
+    }
 
     val d = diff.cache()
-    val chN = d.filter(col("kind") === Kind.Node).select("id").distinct().cache()
-    val chW = d.filter(col("kind") === Kind.Way).select("id").distinct().cache()
-    val chR = d.filter(col("kind") === Kind.Relation).select("id").distinct().cache()
+    // the changed-id sets are localCheckpoint'd, not cached: every store
+    // write below embeds them (broadcast anti-joins), and a checkpointed
+    // leaf keeps those 30+ per-write plans shallow — with .cache() each
+    // write re-pays Catalyst analysis of the id sets' full lineage
+    val chN = d.filter(col("kind") === Kind.Node).select("id").distinct()
+      .localCheckpoint()
+    val chW = d.filter(col("kind") === Kind.Way).select("id").distinct()
+      .localCheckpoint()
+    val chR = d.filter(col("kind") === Kind.Relation).select("id").distinct()
+      .localCheckpoint()
 
-    // -- 1. element tables: delete-then-insert, bucket-pruned -----------------
-    // a changed element's insert row has the same id as its delete, so the
-    // touched buckets are exactly the changed ids' buckets: read only those,
-    // anti-join the change set, append inserts, write only those buckets
-    val bN = store.bucketsOf(chN, "id")
-    val bW = store.bucketsOf(chW, "id")
-    val bR = store.bucketsOf(chR, "id")
-    def keptIn(name: String, ch: DataFrame, bs: Set[Long]): DataFrame =
-      store.readBuckets(name, seq, bs).join(broadcast(ch), Seq("id"), "left_anti")
+    // -- 1. element tables: delete-then-insert as a merge-on-read SEGMENT ----
+    // write ONLY the batch's insert rows + delete-id tombstones (always
+    // delete, even for Create — the reference's idempotency trick, ST2);
+    // the store folds segments newest-wins at read time, so the version
+    // step's write volume is the batch itself, never a bucket rewrite
     val insN = d.filter(col("kind") === Kind.Node && col("op") =!= Op.Delete)
-    store.writeBucketedDelta("coords", next, seq,
-      keptIn("coords", chN, bN).unionByName(insN.select("id", "lon", "lat")),
-      "id", bN)
-    store.writeBucketedDelta("nodes", next, seq,
-      keptIn("nodes", chN, bN).unionByName(
-        insN.filter(size(col("tags")) > 0).select("id", "lon", "lat", "tags")),
-      "id", bN)
-    store.writeBucketedDelta("ways", next, seq,
-      keptIn("ways", chW, bW).unionByName(
+    drainConcurrently(Seq(
+      () => store.writeDelta("coords", next, seq,
+        insN.select("id", "lon", "lat"), chN, "id"),
+      () => store.writeDelta("nodes", next, seq,
+        insN.filter(size(col("tags")) > 0).select("id", "lon", "lat", "tags"),
+        chN, "id"),
+      () => store.writeDelta("ways", next, seq,
         d.filter(col("kind") === Kind.Way && col("op") =!= Op.Delete)
-          .select("id", "refs", "tags")),
-      "id", bW)
-    store.writeBucketedDelta("relations", next, seq,
-      keptIn("relations", chR, bR).unionByName(
+          .select("id", "refs", "tags"),
+        chW, "id"),
+      () => store.writeDelta("relations", next, seq,
         d.filter(col("kind") === Kind.Relation && col("op") =!= Op.Delete)
           .select(col("id"),
             expr("transform(members, m -> struct(m.id as id, m.mtype as type, m.role as role))")
               .as("members"),
-            col("tags"))),
-      "id", bR)
+            col("tags")),
+        chR, "id")))
+    mark("element-writes")
     val nw = storedBundle(store, next) // short lineage for the joins below
 
     // -- 2. dependency closure (J4) -------------------------------------------
     val depW = nw.ways
       .select(col("id"), explode(col("refs")).as("ref"))
       .join(broadcast(chN.withColumnRenamed("id", "ref")), Seq("ref"), "left_semi")
-      .select("id").union(chW).distinct().cache()
+      .select("id").union(chW).distinct().localCheckpoint()
     val mem = nw.relations
       .select(col("id").as("rid"), explode(col("members")).as("m"))
     val relsViaNodes = mem.filter(col("m.type") === 0)
@@ -171,7 +209,7 @@ object DiffPipeline {
       .join(depW.withColumnRenamed("id", "mid"), col("m.id") === col("mid"), "left_semi")
     val depR = relsViaNodes.select(col("rid").as("id"))
       .union(relsViaWays.select(col("rid").as("id")))
-      .union(chR).distinct().cache()
+      .union(chR).distinct().localCheckpoint()
 
     // -- 3. rebuild the closure through the shared import pipeline ------------
     val driverRels = nw.relations.join(broadcast(depR), Seq("id"), "left_semi")
@@ -179,7 +217,7 @@ object DiffPipeline {
       .select(explode(col("members")).as("m"))
       .filter(col("m.type") === 1)
       .select(col("m.id").as("id")).distinct()
-    val rebuildW = depW.union(memberWayIds).distinct().cache()
+    val rebuildW = depW.union(memberWayIds).distinct().localCheckpoint()
     val waysR = nw.ways.join(broadcast(rebuildW), Seq("id"), "left_semi")
     // bucket-pruned coord resolution (the store-side J1, reference analog:
     // random reads against the ID-sorted LevelDB coords cache,
@@ -195,6 +233,7 @@ object DiffPipeline {
       .union(driverRels.select(explode(col("members")).as("m"))
         .filter(col("m.type") === 0).select(col("m.id").as("id")))
     val bCoord = store.bucketsOf(neededCoordIds, "id")
+    mark("closure")
     // coords touched by THIS batch resolve at full precision (reference
     // LRU-bunch artifact — see ImportPipeline.projectXY)
     val freshCoords = store.readBuckets("coords", next, bCoord).join(
@@ -208,7 +247,8 @@ object DiffPipeline {
     // member-tag / sub-relation resolution sees the FULL maintained state
     // (reference writer/relations.go:216-251 resolves from the whole cache);
     // only the row-driving set is restricted to the closure.
-    val pipeline = new ImportPipeline(spark, mapping, srid)
+    val pipeline = new ImportPipeline(spark, mapping, srid,
+      truncateLineage = true)
     val delta = pipeline.run(bundleR, resolve = Some(nw))
     val genDelta = Generalize(spark, mapping, delta)
 
@@ -228,13 +268,13 @@ object DiffPipeline {
       case TableType.Relation | TableType.RelationMember => rDel
       case other => throw new IllegalArgumentException(other)
     }
-    // the rebuilt delta's ids are a subset of the delete ids by
-    // construction (rows are driven by the closure), so each table's
-    // touched buckets are the delete ids' buckets: read only those, drop
-    // mangled closure ids, append delta, write only those buckets
-    val bNDel = bN // point deletes are the changed node ids themselves
-    val bWDel = store.bucketsOf(wDel, "osm_id")
-    val bRDel = store.bucketsOf(rDel, "osm_id")
+    // each output-table version is likewise a SEGMENT: tombstones = the
+    // mangled closure ids, inserts = the rebuilt delta (a subset of the
+    // tombstoned ids by construction — rows are driven by the closure)
+    // delete-id buckets, needed only for the ST5 old-geometry read below
+    lazy val bNDel = store.bucketsOf(nDel, "osm_id")
+    lazy val bWDel = store.bucketsOf(wDel, "osm_id")
+    lazy val bRDel = store.bucketsOf(rDel, "osm_id")
     def bucketsFor(tableType: String): Set[Long] = tableType match {
       case TableType.Point => bNDel
       case TableType.LineString | TableType.Polygon => bWDel ++ bRDel
@@ -243,20 +283,23 @@ object DiffPipeline {
       case other => throw new IllegalArgumentException(other)
     }
     val expireGeoms = Seq.newBuilder[DataFrame]
+    val outWrites = Seq.newBuilder[() => Unit]
     for ((name, t) <- mapping.conf.tables) {
       val idc = idColName(t)
       val del = deleteIdsFor(t.tableType).withColumnRenamed("osm_id", idc)
-      val bs = bucketsFor(t.tableType)
-      val touched = store.readBuckets(tbl(name), seq, bs)
-      val kept = touched.join(broadcast(del), Seq(idc), "left_anti")
-      store.writeBucketedDelta(tbl(name), next, seq,
-        kept.unionByName(delta(name)), idc, bs)
+      outWrites += (() => {
+        val tw = System.nanoTime()
+        store.writeDelta(tbl(name), next, seq, delta(name), del, idc)
+        if (timing) System.err.println(
+          f"[diff]   write $name ${(System.nanoTime() - tw) / 1e9}%.1fs")
+      })
       // ST5 inputs: OLD geometries of replaced/deleted rows (the reference
       // expires via its deleter, update/deleter.go) plus the rebuilt ones
       if (expireDir.nonEmpty && t.tableType != TableType.Relation &&
         t.tableType != TableType.RelationMember) {
         geomColName(t).foreach { gc =>
-          expireGeoms += touched.join(broadcast(del), Seq(idc), "left_semi")
+          expireGeoms += store.readBuckets(tbl(name), seq, bucketsFor(t.tableType))
+            .join(broadcast(del), Seq(idc), "left_semi")
             .select(col(gc).as("geometry"))
           expireGeoms += delta(name).select(col(gc).as("geometry"))
         }
@@ -268,12 +311,21 @@ object DiffPipeline {
       val rc = rootConf(mapping, g.source)
       val idc = idColName(rc)
       val del = deleteIdsFor(rc.tableType).withColumnRenamed("osm_id", idc)
-      val bs = bucketsFor(rc.tableType)
-      val kept = store.readBuckets(tbl(name), seq, bs)
-        .join(broadcast(del), Seq(idc), "left_anti")
-      store.writeBucketedDelta(tbl(name), next, seq,
-        kept.unionByName(genDelta(name)), idc, bs)
+      outWrites += (() => {
+        val tw = System.nanoTime()
+        store.writeDelta(tbl(name), next, seq, genDelta(name), del, idc)
+        if (timing) System.err.println(
+          f"[diff]   write gen:$name ${(System.nanoTime() - tw) / 1e9}%.1fs")
+      })
     }
+    // force the shared rebuild caches ONCE, then drain every output-table
+    // write concurrently: the writes only consume the cached stages, so
+    // concurrency can't duplicate the closure computation, and the batch
+    // stops paying one job latency per output table
+    pipeline.materializeStages()
+    mark("rebuild-stages")
+    drainConcurrently(outWrites.result())
+    mark("output-writes")
 
     // ST5: expire-tiles side output — every geometry touched by this batch
     expireDir.foreach { dir =>

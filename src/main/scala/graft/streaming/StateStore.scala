@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{col, shiftright}
+import org.apache.spark.sql.functions.{col, lit, pmod, shiftright, xxhash64}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Versioned parquet state for incremental maintenance (SURVEY.md §2 ST3/ST4).
@@ -14,20 +14,18 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   *  - plain: `dir/<name>/v<seq>` holds the whole table (full rewrite per
   *    version — fine for small stores and tests);
-  *  - bucketed: rows are range-bucketed by `id >> bucketBits`; a version
-  *    writes parquet only for the buckets its batch touched, under
-  *    `v<seq>/__b=<bucket>/`, plus a `_manifest` mapping EVERY bucket to
-  *    the version dir that last wrote it. This is the scale path: one
-  *    minutely diff of ~10⁴ clustered ids rewrites a handful of ~bucketSpan
-  *    id ranges instead of 10⁹-row tables (the mini-snapshot scheme a
-  *    Delta/Iceberg MERGE would give us on a managed lakehouse; the
-  *    reference mutates rows in place via SQL DELETE+COPY instead
-  *    (update/deleter.go, writer package) — which a columnar store can't).
-  *
-  * Range buckets (not hash): OSM ids are allocated sequentially and diffs
-  * are temporally clustered, so consecutive new ids land in the same few
-  * buckets; a hash would smear 10⁴ ids over 10⁴ distinct buckets and the
-  * pruning would be worthless.
+  *  - bucketed + merge-on-read: the BASE is hash-bucketed by id under
+  *    `v<seq>/__b=<bucket>/`; each later version appends a delta SEGMENT
+  *    (this batch's insert rows + delete-id tombstones, `v<seq>/ins|del`)
+  *    and a `_manifest` listing the base bucket map plus the ordered
+  *    segments. Reads fold newest-wins via one broadcast anti-join;
+  *    `readBuckets` file-prunes the base to the requested buckets. After
+  *    `maxSegments` a write compacts the merged view into a fresh base.
+  *    This is the LSM / lakehouse-MERGE shape: per-batch write volume is
+  *    O(changed) — the reference mutates rows in place via SQL
+  *    DELETE+COPY (update/deleter.go, writer package), which a columnar
+  *    store can't; copy-on-write bucket rewrites were measured to amplify
+  *    a spread-out 10³-element batch into a near-full store rewrite.
   *
   * A batch writes all tables at `seq+1`, then atomically commits by
   * rewriting `state.txt` — the analog of the reference's `last.state.txt`
@@ -43,6 +41,7 @@ final class StateStore(spark: SparkSession, dir: String) {
   private def statePath = new Path(root, "state.txt")
   private def tmpPath = new Path(root, ".state.txt.tmp")
   private def bitsPath = new Path(root, "bucketbits.txt")
+  private def bucketsPath = new Path(root, "buckets.txt")
 
   // ---- small control files --------------------------------------------------
 
@@ -66,15 +65,33 @@ final class StateStore(spark: SparkSession, dir: String) {
 
   // ---- bucketing ------------------------------------------------------------
 
-  /** log2 of the id-range span per bucket; fixed at init time. Arithmetic
-    * shift, not division: exact for the negative mangled way/relation ids
-    * (RelIDOffset ≈ -1e17 is far outside double precision). */
+  /** Fix the store's bucketing for its life: `n` HASH buckets
+    * (pmod(xxhash64(id), n)). Hash, not id-range shift: bucket population
+    * is then uniform for ANY id distribution — range bucketing shattered a
+    * store whose ids carried a 2^40 stride into ~75k near-empty bucket
+    * dirs (every scan paid 75k file opens; a small diff apply measured
+    * 267 s mostly in file overhead), and the same hazard exists for any
+    * sparse or mangled id space. Pruning semantics are identical: the
+    * bucket of an id is computable without a lookup, so a changed-id set
+    * still maps to ≤ min(|ids|, n) buckets. */
+  def setHashBuckets(n: Int): Unit = writeSmall(bucketsPath, s"hash:$n")
+
+  /** Legacy id-range scheme (id >> bits); kept so existing stores read. */
   def setBucketBits(bits: Int): Unit = writeSmall(bitsPath, bits.toString)
 
-  lazy val bucketBits: Int =
-    if (fs.exists(bitsPath)) readSmall(bitsPath).trim.toInt else 22
+  // Left(bits) = legacy range shift, Right(n) = hash buckets
+  private lazy val scheme: Either[Int, Int] =
+    if (fs.exists(bucketsPath))
+      Right(readSmall(bucketsPath).trim.stripPrefix("hash:").toInt)
+    else if (fs.exists(bitsPath)) Left(readSmall(bitsPath).trim.toInt)
+    else Right(1024)
 
-  def bucketOf(idCol: Column): Column = shiftright(idCol, bucketBits)
+  def bucketOf(idCol: Column): Column = scheme match {
+    // arithmetic shift, not division: exact for the negative mangled
+    // way/relation ids (RelIDOffset ≈ -1e17 is far outside double precision)
+    case Left(bits) => shiftright(idCol, bits)
+    case Right(n) => pmod(xxhash64(idCol), lit(n.toLong))
+  }
 
   /** Distinct buckets of an id frame (driver-side control plane: diff id
     * sets are ~10⁴ rows). */
@@ -125,54 +142,90 @@ final class StateStore(spark: SparkSession, dir: String) {
     * path; otherwise the version dir is the whole table. */
   def read(name: String, seq: Long): DataFrame = {
     val mp = manifestPath(name, seq)
-    if (fs.exists(mp)) {
-      val (schema, buckets) = readManifest(name, seq)
-      if (buckets.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else {
-        val base = new Path(root, name)
-        spark.read.schema(schema)
-          .parquet(buckets.values.toSeq.distinct.map(new Path(base, _).toString): _*)
-      }
-    } else spark.read.parquet(tablePath(name, seq))
+    if (fs.exists(mp)) mergedView(name, seq, None)
+    else spark.read.parquet(tablePath(name, seq))
   }
 
   // ---- bucketed layout ------------------------------------------------------
 
   /** Read ONLY the given buckets of a bucketed table — the diff path's
     * pruning: a small diff reads a handful of bucket dirs, not the table. */
-  def readBuckets(name: String, seq: Long, buckets: Set[Long]): DataFrame = {
-    val (schema, m) = readManifest(name, seq)
-    val paths = m.filter { case (b, _) => buckets(b) }.values.toSeq.distinct
-    if (paths.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else {
-      val base = new Path(root, name)
-      spark.read.schema(schema).parquet(paths.map(new Path(base, _).toString): _*)
-    }
+  def readBuckets(name: String, seq: Long, buckets: Set[Long]): DataFrame =
+    mergedView(name, seq, Some(buckets))
+
+  /** The merge-on-read fold: base buckets (file-pruned to `only` when
+    * given) unioned with every delta segment's inserts, with a row hidden
+    * when ANY LATER segment tombstones its id — one broadcast anti-join
+    * with an (id-equi + ordinal) condition; tombstones are batch-sized, so
+    * the broadcast is bounded by MaxSegments × batch size. */
+  private def mergedView(name: String, seq: Long, only: Option[Set[Long]]): DataFrame = {
+    val m = readManifest(name, seq)
+    val base = new Path(root, name)
+    def rd(schema: StructType, rel: Seq[String]): DataFrame =
+      if (rel.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.schema(schema)
+        .parquet(rel.map(r => new Path(base, r).toString): _*)
+    val bucketPaths = (only match {
+      case Some(bs) => m.buckets.filter { case (b, _) => bs(b) }
+      case None => m.buckets
+    }).values.toSeq.distinct
+    val baseDf = rd(m.schema, bucketPaths)
+    if (m.segments.isEmpty) return baseDf
+    val idCol = m.segments.head.idCol
+    import org.apache.spark.sql.functions.broadcast
+    val withOrd = (baseDf.withColumn("__ord", lit(0L)) +:
+      m.segments.zipWithIndex.map { case (s, i) =>
+        val seg = rd(m.schema, Seq(s.ins)).withColumn("__ord", lit(i + 1L))
+        only match {
+          case Some(bs) => seg.filter(bucketOf(col(idCol)).isInCollection(bs))
+          case None => seg
+        }
+      }).reduce(_ unionByName _)
+    val tombSchema = StructType(Seq(m.schema(idCol)))
+    val tombs = m.segments.zipWithIndex.map { case (s, i) =>
+      rd(tombSchema, Seq(s.del)).withColumn("__tord", lit(i + 1L))
+    }.reduce(_ unionByName _).withColumnRenamed(idCol, "__tid")
+    withOrd.join(broadcast(tombs),
+        withOrd(idCol) === tombs("__tid") && tombs("__tord") > withOrd("__ord"),
+        "left_anti")
+      .drop("__ord")
   }
 
   private def manifestPath(name: String, seq: Long): Path =
     new Path(new Path(tablePath(name, seq)), "_manifest")
 
-  /** `_manifest`: line 1 = schema JSON; then `<bucket>\t<relative dir>`. */
+  private final case class Segment(idCol: String, ins: String, del: String)
+  private final case class Manifest(schema: StructType,
+      buckets: Map[Long, String], segments: Seq[Segment])
+
+  /** `_manifest`: line 1 = schema JSON; then `<bucket>\t<relative dir>`
+    * base-map lines; then ordered `SEG\t<idCol>\t<insDir>\t<delDir>` lines
+    * (merge-on-read delta segments, oldest first). */
   private def writeManifest(name: String, seq: Long, schema: StructType,
-      buckets: Map[Long, String]): Unit = {
-    val body = schema.json +: buckets.toSeq.sortBy(_._1)
-      .map { case (b, p) => s"$b\t$p" }
+      buckets: Map[Long, String], segments: Seq[Segment] = Nil): Unit = {
+    val body = schema.json +:
+      (buckets.toSeq.sortBy(_._1).map { case (b, p) => s"$b\t$p" } ++
+        segments.map(s => s"SEG\t${s.idCol}\t${s.ins}\t${s.del}"))
     val vdir = new Path(tablePath(name, seq))
     if (!fs.exists(vdir)) fs.mkdirs(vdir)
     writeSmall(manifestPath(name, seq), body.mkString("\n"))
   }
 
-  private def readManifest(name: String, seq: Long): (StructType, Map[Long, String]) = {
+  private def readManifest(name: String, seq: Long): Manifest = {
     val lines = readSmall(manifestPath(name, seq)).split("\n").toSeq
     val schema = DataType.fromJson(lines.head).asInstanceOf[StructType]
-    val buckets = lines.tail.filter(_.nonEmpty).map { l =>
+    val (segLines, bucketLines) =
+      lines.tail.filter(_.nonEmpty).partition(_.startsWith("SEG\t"))
+    val buckets = bucketLines.map { l =>
       val Array(b, p) = l.split("\t", 2)
       b.toLong -> p
     }.toMap
-    (schema, buckets)
+    val segments = segLines.map { l =>
+      val Array(_, idCol, ins, del) = l.split("\t", 4)
+      Segment(idCol, ins, del)
+    }
+    Manifest(schema, buckets, segments)
   }
 
   /** Bucket dirs actually produced by a partitioned write. */
@@ -204,43 +257,59 @@ final class StateStore(spark: SparkSession, dir: String) {
       listBuckets(out).map(b => b -> s"v$seq/__b=$b").toMap)
   }
 
-  /** Delta write: `df` must hold the COMPLETE new content of exactly the
-    * `changed` buckets (rows of untouched buckets are carried forward by
-    * manifest pointer, never rewritten). A row outside `changed` would be
-    * silently shadowed on read, so it fails loudly instead. */
-  def writeBucketedDelta(name: String, seq: Long, prevSeq: Long, df: DataFrame,
-      idCol: String, changed: Set[Long], sortWithin: Seq[String] = Nil): Unit = {
-    val (schema, prev) = readManifest(name, prevSeq)
-    if (changed.isEmpty) {
-      writeManifest(name, seq, schema, prev)
-      return
+  /** Merge-on-read delta write — the diff path's O(changed) version step:
+    * append ONLY the batch's insert rows and delete-id tombstones as a new
+    * SEGMENT of the table; no bucket is rewritten. This is the LSM /
+    * lakehouse-MERGE shape. The copy-on-write spelling it replaces
+    * (rewrite every touched bucket whole) amplified a spread-out batch
+    * into a near-full store rewrite: 1.7k changed nodes × 1024 buckets
+    * touched ~80% of every table and measured 375 s end-to-end; with
+    * fine buckets it drowned in per-file overhead instead (75k dirs,
+    * 267 s). Write volume here is the batch itself.
+    *
+    * Delete-then-insert semantics ride on segment ORDER: a segment's
+    * tombstones hide matching ids in all EARLIER segments and the base;
+    * its own inserts survive. Re-running the same (seq, batch) overwrites
+    * the same segment dirs — idempotent, like the bucket path was.
+    *
+    * After `maxSegments` the write COMPACTS instead: the merged previous
+    * view (minus this batch's deletes, plus its inserts) is rewritten as a
+    * fresh bucketed base — read cost stays bounded while amortizing the
+    * full rewrite over maxSegments batches.
+    */
+  def writeDelta(name: String, seq: Long, prevSeq: Long, inserts: DataFrame,
+      deleteIds: DataFrame, idCol: String, sortWithin: Seq[String] = Nil,
+      maxSegments: Int = 8): Unit = {
+    import org.apache.spark.sql.functions.broadcast
+    val m = readManifest(name, prevSeq)
+    if (m.segments.size >= maxSegments) {
+      val merged = mergedView(name, prevSeq, None)
+        .join(broadcast(deleteIds.select(col(idCol))), Seq(idCol), "left_anti")
+        .unionByName(inserts)
+      writeBucketed(name, seq, merged, idCol, sortWithin)
+    } else {
+      val vdir = tablePath(name, seq)
+      val ins = if (sortWithin.isEmpty) inserts
+        else inserts.sortWithinPartitions(sortWithin.map(col): _*)
+      ins.write.mode("overwrite").parquet(s"$vdir/ins")
+      deleteIds.select(col(idCol)).write.mode("overwrite").parquet(s"$vdir/del")
+      writeManifest(name, seq, m.schema, m.buckets,
+        m.segments :+ Segment(idCol, s"v$seq/ins", s"v$seq/del"))
     }
-    val out = tablePath(name, seq)
-    val bucketed = df.withColumn("__b", bucketOf(col(idCol)))
-    val ordered =
-      if (sortWithin.isEmpty) bucketed
-      else bucketed.sortWithinPartitions(("__b" +: sortWithin).map(col): _*)
-    ordered.write.mode("overwrite").partitionBy("__b").parquet(out)
-    val written = listBuckets(out).toSet
-    require(written.subsetOf(changed),
-      s"$name v$seq: rows written to unchanged buckets ${written.diff(changed)} — " +
-        "delta ids escaped the delete set")
-    // changed buckets left with zero rows disappear from the manifest
-    writeManifest(name, seq, schema,
-      (prev -- changed) ++ written.map(b => b -> s"v$seq/__b=$b"))
   }
 
   /** Drop version dirs older than `keep` behind the committed one — except
     * dirs still referenced by the committed manifest (bucketed tables carry
-    * old bucket dirs forward indefinitely until a diff rewrites them). */
+    * old bucket dirs and delta segments forward until a compaction). */
   def vacuum(names: Seq[String], keep: Int = 1): Unit = {
     val cur = currentSeq
     for (name <- names) {
       val referenced: Set[Long] =
-        if (fs.exists(manifestPath(name, cur)))
-          readManifest(name, cur)._2.values
+        if (fs.exists(manifestPath(name, cur))) {
+          val m = readManifest(name, cur)
+          (m.buckets.values ++ m.segments.flatMap(s => Seq(s.ins, s.del)))
             .map(_.split("/")(0).stripPrefix("v").toLong).toSet
-        else Set.empty
+        } else Set.empty
       val d = new Path(root, name)
       if (fs.exists(d)) fs.listStatus(d).foreach { st =>
         val v = st.getPath.getName.stripPrefix("v")

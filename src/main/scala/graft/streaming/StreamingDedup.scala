@@ -201,19 +201,23 @@ object StreamingDedup {
     // bands are written band_hash-sorted inside each bucket so the next
     // batch's pushed IN predicate can skip row groups (stateCandidates)
     if (committed < 0) {
-      store.setBucketBits(22)
+      // hash buckets (not id-range bits): doc_ids are small and dense, so
+      // a range scheme put the whole state in ONE bucket and the delta
+      // reads never actually pruned; 256 hash buckets make a small batch
+      // touch only its own documents' buckets
+      store.setHashBuckets(256)
       store.writeBucketed("decisions", next, decisionRows, "doc_id")
       store.writeBucketed("shingles", next, newSets, "doc_id")
       store.writeBucketed("bands", next, newBands, "doc_id",
         sortWithin = Seq("band_hash"))
     } else {
+      // merge-on-read segments: each batch appends only its own rows (its
+      // doc_ids double as tombstones for replay idempotency); the store
+      // auto-compacts into a fresh bucketed base every maxSegments batches
       def delta(name: String, rows: DataFrame,
-          sortWithin: Seq[String] = Nil): Unit = {
-        val changed = store.bucketsOf(rows, "doc_id")
-        store.writeBucketedDelta(name, next, committed,
-          store.readBuckets(name, committed, changed).unionByName(rows),
-          "doc_id", changed, sortWithin)
-      }
+          sortWithin: Seq[String] = Nil): Unit =
+        store.writeDelta(name, next, committed, rows,
+          rows.select(col("doc_id")), "doc_id", sortWithin)
       delta("decisions", decisionRows)
       delta("shingles", newSets)
       delta("bands", newBands, sortWithin = Seq("band_hash"))

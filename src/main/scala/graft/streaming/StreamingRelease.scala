@@ -46,13 +46,27 @@ object StreamingRelease {
     StructField("n_chars", LongType),
     StructField("deleted", BooleanType)))
 
-  /** The committed generation id, or -1 before the first commit. */
+  /** The committed generation id, or -1 before the first commit. An
+    * unparseable HEAD (empty/torn — possible if a crash interleaved with a
+    * non-atomic rename fallback) heals to the highest `gen=<id>` dir on
+    * disk rather than failing every later entry point permanently: the
+    * generations themselves are immutable and keyed by id, so the largest
+    * one present IS the last fully-written release. */
   def headGeneration(outRoot: String): Long = {
     val f = new java.io.File(s"$outRoot/HEAD")
-    if (!f.isFile) -1L
-    else {
-      val src = scala.io.Source.fromFile(f, "UTF-8")
-      try src.mkString.trim.toLong finally src.close()
+    val parsed: Option[Long] =
+      if (!f.isFile) None
+      else {
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        try src.mkString.trim.toLongOption finally src.close()
+      }
+    parsed.getOrElse {
+      if (f.isFile) // HEAD exists but is unreadable — heal from the dirs
+        Option(new java.io.File(outRoot).listFiles()).getOrElse(Array.empty)
+          .flatMap(d => Option.when(d.isDirectory && d.getName.startsWith("gen="))(
+            d.getName.stripPrefix("gen=")).flatMap(_.toLongOption))
+          .foldLeft(-1L)(math.max)
+      else -1L
     }
   }
 
@@ -63,12 +77,17 @@ object StreamingRelease {
     if (g < 0) baseDir else s"$outRoot/gen=$g"
   }
 
-  private def commitHead(outRoot: String, gen: Long): Unit = {
+  private[streaming] def commitHead(outRoot: String, gen: Long): Unit = {
     val dir = new java.io.File(outRoot)
     if (!dir.isDirectory) dir.mkdirs()
     val tmp = new java.io.File(dir, s".HEAD.tmp.$gen")
-    val w = new java.io.FileWriter(tmp)
-    try w.write(gen.toString) finally w.close()
+    val w = new java.io.FileOutputStream(tmp)
+    // fsync before the rename: without it a crash can promote an empty tmp
+    // file to HEAD (rename is atomic for the NAME, not the CONTENT)
+    try {
+      w.write(gen.toString.getBytes("UTF-8"))
+      w.getFD.sync()
+    } finally w.close()
     val head = new java.io.File(dir, "HEAD")
     // rename-over is atomic on POSIX; fall back to delete+rename elsewhere
     if (!tmp.renameTo(head)) {
@@ -83,7 +102,17 @@ object StreamingRelease {
     */
   def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       baseDir: String, outRoot: String, minTokens: Long): Unit = {
-    if (headGeneration(outRoot) >= batchId) return // already committed
+    val head = headGeneration(outRoot)
+    if (head == batchId) return // crash-window re-delivery: already committed
+    // batchId < HEAD is NOT a re-delivery — stream batch ids only ever
+    // re-deliver the last uncommitted batch. It means the checkpoint was
+    // deleted (ids restarted at 0) or a fresh stream was pointed at an
+    // existing outRoot; silently returning would discard every delta while
+    // reporting success, so fail loudly instead.
+    require(batchId > head,
+      s"batch id $batchId regressed below committed HEAD $head in $outRoot — " +
+        "stream checkpoint was reset against an existing release root; " +
+        "start from a fresh outRoot or restore the checkpoint")
     val prev = currentRelease(outRoot, baseDir)
     val out = s"$outRoot/gen=$batchId"
     val upserts = batch.filter(!col("deleted")).drop("deleted")

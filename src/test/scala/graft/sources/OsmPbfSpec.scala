@@ -21,6 +21,45 @@ class OsmPbfSpec extends SparkSpecBase {
     assert(idx.forall(b => b.length > 0 && b.offset > 0))
   }
 
+  test("blob-level bbox pruning skips out-of-coverage files, same output tables") {
+    // 4 translated Monaco copies on the synth grid (0.6° cells): the first
+    // lands near (1.4E, 37.7N), the others 0.6° east each
+    val dir = java.nio.file.Files.createTempDirectory("graft-prune-pbf").toString
+    OsmPbfSynth.synthesize(spark, fixture, dir, 4)
+    val idx = OsmPbf.blobIndex(spark, dir)
+    assert(idx.forall(_.bbox.nonEmpty), "synth headers must carry a bbox")
+    // coverage polygon around copy 0's cell only
+    val gj = java.nio.file.Files.createTempDirectory("graft-prune-gj")
+      .resolve("cov.geojson")
+    java.nio.file.Files.writeString(gj,
+      """{"type":"FeatureCollection","features":[{"type":"Feature",
+        |"properties":{},"geometry":{"type":"Polygon","coordinates":
+        |[[[1.2,37.5],[1.7,37.5],[1.7,38.0],[1.2,38.0],[1.2,37.5]]]}}]}"""
+        .stripMargin.replace("\n", ""))
+    val lim = new graft.operators.Limitto(gj.toString, srid = 3857)
+    val pruned = OsmPbf.prunedIndex(idx, Some(lim))
+    assert(pruned.nonEmpty && pruned.size < idx.size,
+      s"pruned ${pruned.size} of ${idx.size} blobs — coverage must drop files")
+    assert(pruned.map(_.path).toSet.size == 1,
+      "only copy 0's file intersects the coverage")
+    // identical output tables: the import (with the same limitto) over the
+    // pruned read equals the one over the full read — pruning only drops
+    // what the pipeline's P6/J5 filters drop anyway
+    val mapping = new graft.mapping.CompiledMapping(
+      graft.mapping.MappingConf.fromFile("/root/reference/test/complete_db_mapping.json"))
+    def roads(cov: Option[graft.operators.Limitto]) = {
+      val p = new graft.ImportPipeline(spark, mapping, limit = Some(lim))
+      val t = p.run(OsmPbf.read(spark, dir, coverage = cov))("roads")
+        .select("osm_id", "name").collect().map(_.mkString("|")).sorted.toSeq
+      p.unpersistAll()
+      t
+    }
+    val full = roads(None)
+    val prunedT = roads(Some(lim))
+    assert(full.nonEmpty && prunedT == full,
+      s"pruned import diverged: ${prunedT.size} vs ${full.size} rows")
+  }
+
   test("decodes plausible element counts") {
     val nCoords = bundle.coords.count()
     val nNodes = bundle.nodes.count()

@@ -31,12 +31,43 @@ class BucketPruneSpec extends SparkSpecBase {
     }
   }
 
-  test("a small diff rewrites only the touched buckets") {
+  private def testStoreFold(): Unit = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-store-fold").toString
+    val store = new StateStore(spark, dir)
+    store.setHashBuckets(8)
+    store.writeBucketed("t", 0,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), "id")
+    def ins(seq: Long, rows: Seq[(Long, String)], dels: Seq[Long]): Unit =
+      store.writeDelta("t", seq, seq - 1, rows.toDF("id", "v"),
+        dels.map(Tuple1(_)).toDF("id"), "id", maxSegments = 2)
+    ins(1, Seq((2L, "B")), Seq(2L))             // update id 2
+    ins(2, Seq((4L, "d")), Seq(4L))             // insert id 4
+    def rows(seq: Long): Seq[(Long, String)] =
+      store.read("t", seq).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows(2) == Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")))
+    ins(3, Seq((1L, "A")), Seq(1L))             // third write → compaction
+    assert(rows(3) == Seq((1L, "A"), (2L, "B"), (3L, "c"), (4L, "d")))
+    val m3 = new String(Files.readAllBytes(
+      Paths.get(dir, "t", "v3", "_manifest")), "UTF-8")
+    assert(!m3.contains("SEG\t"), "compaction must fold segments into a base")
+    assert(m3.contains("v3/__b="), "compaction must write a fresh base")
+    // delete-only batch (no inserts)
+    ins(4, Seq.empty, Seq(3L))
+    assert(rows(4) == Seq((1L, "A"), (2L, "B"), (4L, "d")))
+    // bucket-pruned read folds segments for the requested ids too
+    val bs = store.bucketsOf(Seq(Tuple1(2L)).toDF("id"), "id")
+    assert(store.readBuckets("t", 4, bs).filter("id = 2")
+      .head().getString(1) == "B")
+  }
+
+  test("a small diff appends a delta segment, never rewrites base buckets") {
     val stateDir = Files.createTempDirectory("graft-bucket-prune").toString
-    // span 2^10 = 1024 ids per bucket: the fixture's id range (1000..91000)
-    // spreads over dozens of buckets, the .osc touches a handful
+    // 64 hash buckets: the fixture's ids spread over (almost) all of them,
+    // the .osc touches a handful
     DiffPipeline.init(spark, mapping, stateDir,
-      OsmXml.read(spark, "/root/reference/test/complete_db.osm"), bucketBits = 10)
+      OsmXml.read(spark, "/root/reference/test/complete_db.osm"), nBuckets = 64)
     DiffPipeline.applyDiff(spark, mapping, stateDir,
       OsmXml.readDiff(spark, "/root/reference/test/complete_db.osc").toDF())
 
@@ -46,23 +77,31 @@ class BucketPruneSpec extends SparkSpecBase {
       val v0 = bucketDirs(stateDir, table, 0)
       val v1 = bucketDirs(stateDir, table, 1)
       assert(v0.nonEmpty)
-      assert(v1.nonEmpty, s"$table: diff should touch at least one bucket")
-      assert(v1.size < v0.size,
-        s"$table: v1 rewrote ${v1.size} of ${v0.size} buckets — not pruned")
+      assert(v1.isEmpty,
+        s"$table: v1 rewrote ${v1.size} base buckets — the version step " +
+          "must be a merge-on-read segment, not a bucket rewrite")
+      assert(Files.isDirectory(Paths.get(stateDir, table, "v1", "ins")) &&
+        Files.isDirectory(Paths.get(stateDir, table, "v1", "del")),
+        s"$table: v1 must hold the batch's insert/tombstone segment")
     }
 
-    // untouched buckets must be carried forward by pointer, not copied:
-    // the committed view still reads some files physically under v0
+    // untouched base buckets must be carried forward by pointer, and the
+    // new segment must be listed after them
     val manifest = new String(Files.readAllBytes(
       Paths.get(stateDir, "coords", "v1", "_manifest")), "UTF-8")
     assert(manifest.contains("v0/__b="), "v1 manifest must reference v0 buckets")
-    assert(manifest.contains("v1/__b="), "v1 manifest must reference new buckets")
+    assert(manifest.contains("SEG\tid\tv1/ins\tv1/del"),
+      "v1 manifest must list the delta segment")
 
     // and the merged view is consistent: committed coords == v0 kept + diff
     val coords = store.read("coords", 1)
     assert(coords.count() > 0)
     assert(coords.select("id").distinct().count() == coords.count(),
       "bucket merge must not duplicate ids")
+
+    // segment fold correctness, the newest-wins contract, and compaction
+    // — directly against the store
+    testStoreFold()
 
     // vacuum must NOT delete v0 while the committed manifest references it
     store.vacuum(Seq("coords", "ways") ++

@@ -104,12 +104,30 @@ class StreamingReleaseSpec extends SparkSpecBase {
       .collect().map(_.mkString("|")).toSeq.sorted
     assert(manifest == recount)
 
-    // crash-replay contract: re-delivering an already-committed batch id
-    // must change nothing (HEAD stays, corpus stays)
+    // crash-replay contract: re-delivering the committed batch id (the
+    // only id a stream ever re-delivers — the crash window is between the
+    // HEAD commit and the checkpoint advance) must change nothing
     val before = corpusRows(head)
-    StreamingRelease.applyBatch(spark, delta1, 0L, base, outRoot, MinTokens)
+    StreamingRelease.applyBatch(spark, delta1, 2L, base, outRoot, MinTokens)
     assert(StreamingRelease.headGeneration(outRoot) == 2L)
     assert(corpusRows(StreamingRelease.currentRelease(outRoot, base)) == before)
+
+    // a batch id BELOW the committed HEAD is not a re-delivery — it means
+    // the checkpoint was reset against this outRoot, and silently dropping
+    // the delta would report success while losing data: fail loudly
+    val regress = intercept[IllegalArgumentException] {
+      StreamingRelease.applyBatch(spark, delta1, 0L, base, outRoot, MinTokens)
+    }
+    assert(regress.getMessage.contains("regressed"))
+    assert(StreamingRelease.headGeneration(outRoot) == 2L)
+
+    // a torn/empty HEAD heals to the highest generation on disk instead of
+    // failing every entry point permanently
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$outRoot/HEAD"),
+      Array.empty[Byte])
+    assert(StreamingRelease.headGeneration(outRoot) == 2L)
+    assert(StreamingRelease.currentRelease(outRoot, base) == s"$outRoot/gen=2")
+    StreamingRelease.commitHead(outRoot, 2L) // restore a clean HEAD
 
     // retention: pruning below HEAD keeps HEAD readable
     StreamingRelease.prune(outRoot, keepFrom = 2L)
