@@ -75,6 +75,13 @@ object DiffPipeline {
         graft.operators.WayAssembly.resolve): Map[String, DataFrame] = {
     val store = new StateStore(spark, stateDir)
     store.setHashBuckets(nBuckets)
+    val timing = sys.env.get("SPARK_GRAFT_DIFF_TIMING").contains("1")
+    var tPrev = System.nanoTime()
+    def mark(phase: String): Unit = if (timing) {
+      val now = System.nanoTime()
+      System.err.println(f"[init] $phase ${(now - tPrev) / 1e9}%.1fs")
+      tPrev = now
+    }
     // startSeq > 0 re-inits on top of an existing store (`-appendcache`):
     // writing a NEW version while the merged bundle lazily reads the old
     // one keeps the read and write paths disjoint.
@@ -84,7 +91,21 @@ object DiffPipeline {
       () => store.writeBucketed("coords", startSeq, bundle.coords, "id"),
       () => store.writeBucketed("nodes", startSeq, bundle.nodes, "id"),
       () => store.writeBucketed("ways", startSeq, bundle.ways, "id"),
-      () => store.writeBucketed("relations", startSeq, bundle.relations, "id")))
+      () => store.writeBucketed("relations", startSeq, bundle.relations, "id"),
+      // reverse-reference indexes (the reference's DiffCache,
+      // cache/diff.go): BUCKETED BY THE REFERENCED ID, so the dependency
+      // closure of a diff reads only the changed ids' buckets instead of
+      // scanning every way/relation per batch — the lookups become
+      // O(changed), like the reference's LevelDB reverse entries
+      () => store.writeBucketed("wayrefs", startSeq,
+        bundle.ways.select(col("id").as("way_id"),
+          explode(col("refs")).as("id")), "id"),
+      () => store.writeBucketed("relrefs", startSeq,
+        bundle.relations
+          .select(col("id").as("rel_id"), explode(col("members")).as("m"))
+          .select(col("m.id").as("id"), col("m.type").as("ref_type"),
+            col("rel_id")), "id")))
+    mark("element-writes")
     val stored = storedBundle(store, startSeq)
     val pipeline = new ImportPipeline(spark, mapping, srid, limit,
       assembler = assembler)
@@ -94,9 +115,11 @@ object DiffPipeline {
     // writes concurrently (same reasoning as applyDiff's drain: each write
     // is a small job and sequential writes pay one job latency per table)
     pipeline.materializeStages()
+    mark("stages")
     drainConcurrently((tables ++ gens).toSeq.map { case (n, df) =>
       () => store.writeBucketed(tbl(n), startSeq, df, idColFor(mapping, n))
     })
+    mark("table-writes")
     pipeline.unpersistAll()
     store.commit(startSeq)
     readTables(spark, mapping, stateDir)
@@ -175,50 +198,82 @@ object DiffPipeline {
     // the store folds segments newest-wins at read time, so the version
     // step's write volume is the batch itself, never a bucket rewrite
     val insN = d.filter(col("kind") === Kind.Node && col("op") =!= Op.Delete)
+    def timed(label: String)(task: => Unit): () => Unit = () => {
+      val tw = System.nanoTime()
+      task
+      if (timing) System.err.println(
+        f"[diff]   write $label ${(System.nanoTime() - tw) / 1e9}%.1fs")
+    }
     drainConcurrently(Seq(
-      () => store.writeDelta("coords", next, seq,
-        insN.select("id", "lon", "lat"), chN, "id"),
-      () => store.writeDelta("nodes", next, seq,
+      timed("coords")(store.writeDelta("coords", next, seq,
+        insN.select("id", "lon", "lat"), chN, "id")),
+      timed("nodes")(store.writeDelta("nodes", next, seq,
         insN.filter(size(col("tags")) > 0).select("id", "lon", "lat", "tags"),
-        chN, "id"),
-      () => store.writeDelta("ways", next, seq,
+        chN, "id")),
+      timed("ways")(store.writeDelta("ways", next, seq,
         d.filter(col("kind") === Kind.Way && col("op") =!= Op.Delete)
           .select("id", "refs", "tags"),
-        chW, "id"),
-      () => store.writeDelta("relations", next, seq,
+        chW, "id")),
+      timed("relations")(store.writeDelta("relations", next, seq,
         d.filter(col("kind") === Kind.Relation && col("op") =!= Op.Delete)
           .select(col("id"),
             expr("transform(members, m -> struct(m.id as id, m.mtype as type, m.role as role))")
               .as("members"),
             col("tags")),
-        chR, "id")))
+        chR, "id")),
+      // reverse indexes (DiffCache): bucketed by the REFERENCED id,
+      // tombstoned by the REFERRER — a changed way's old entries must
+      // vanish whichever nodes they pointed at
+      timed("wayrefs")(store.writeDelta("wayrefs", next, seq,
+        d.filter(col("kind") === Kind.Way && col("op") =!= Op.Delete)
+          .select(col("id").as("way_id"), explode(col("refs")).as("id")),
+        chW.withColumnRenamed("id", "way_id"), "id",
+        tombstoneCol = Some("way_id"))),
+      timed("relrefs")(store.writeDelta("relrefs", next, seq,
+        d.filter(col("kind") === Kind.Relation && col("op") =!= Op.Delete)
+          .select(col("id").as("rel_id"), explode(col("members")).as("m"))
+          .select(col("m.id").as("id"), col("m.mtype").as("ref_type"),
+            col("rel_id")),
+        chR.withColumnRenamed("id", "rel_id"), "id",
+        tombstoneCol = Some("rel_id")))))
     mark("element-writes")
-    val nw = storedBundle(store, next) // short lineage for the joins below
 
-    // -- 2. dependency closure (J4) -------------------------------------------
-    val depW = nw.ways
-      .select(col("id"), explode(col("refs")).as("ref"))
-      .join(broadcast(chN.withColumnRenamed("id", "ref")), Seq("ref"), "left_semi")
-      .select("id").union(chW).distinct().localCheckpoint()
-    val mem = nw.relations
-      .select(col("id").as("rid"), explode(col("members")).as("m"))
-    val relsViaNodes = mem.filter(col("m.type") === 0)
-      .join(broadcast(chN.withColumnRenamed("id", "mid")),
-        col("m.id") === col("mid"), "left_semi")
-    val relsViaWays = mem.filter(col("m.type") === 1)
-      .join(depW.withColumnRenamed("id", "mid"), col("m.id") === col("mid"), "left_semi")
-    val depR = relsViaNodes.select(col("rid").as("id"))
-      .union(relsViaWays.select(col("rid").as("id")))
+    // -- 2. dependency closure (J4) via the reverse indexes --------------------
+    // changed node → ways whose refs contain it, changed node/way →
+    // relations whose members reference them. The lookups read ONLY the
+    // changed ids' buckets of the maintained reverse indexes — O(changed)
+    // per batch, the reference's LevelDB reverse entries (cache/diff.go);
+    // before r9 this scanned every way and relation per minutely batch.
+    val bChN = store.bucketsOf(chN, "id")
+    val depW = store.readBuckets("wayrefs", next, bChN)
+      .join(broadcast(chN), Seq("id"), "left_semi")
+      .select(col("way_id").as("id"))
+      .union(chW).distinct().localCheckpoint()
+    val relsViaNodes = store.readBuckets("relrefs", next, bChN)
+      .filter(col("ref_type") === 0)
+      .join(broadcast(chN), Seq("id"), "left_semi")
+    val relsViaWays = store.readBuckets("relrefs", next,
+        store.bucketsOf(depW, "id"))
+      .filter(col("ref_type") === 1)
+      .join(broadcast(depW), Seq("id"), "left_semi")
+    val depR = relsViaNodes.select(col("rel_id").as("id"))
+      .union(relsViaWays.select(col("rel_id").as("id")))
       .union(chR).distinct().localCheckpoint()
 
     // -- 3. rebuild the closure through the shared import pipeline ------------
-    val driverRels = nw.relations.join(broadcast(depR), Seq("id"), "left_semi")
+    // element rows fetched by id through the bucketed store (random-read
+    // analog of cache/delta.go) — never a full element-table scan
+    val driverRels = store.readBuckets("relations", next,
+        store.bucketsOf(depR, "id"))
+      .join(broadcast(depR), Seq("id"), "left_semi")
     val memberWayIds = driverRels
       .select(explode(col("members")).as("m"))
       .filter(col("m.type") === 1)
       .select(col("m.id").as("id")).distinct()
     val rebuildW = depW.union(memberWayIds).distinct().localCheckpoint()
-    val waysR = nw.ways.join(broadcast(rebuildW), Seq("id"), "left_semi")
+    val waysR = store.readBuckets("ways", next,
+        store.bucketsOf(rebuildW, "id"))
+      .join(broadcast(rebuildW), Seq("id"), "left_semi")
     // bucket-pruned coord resolution (the store-side J1, reference analog:
     // random reads against the ID-sorted LevelDB coords cache,
     // cache/delta.go:162-198): the rebuild closure needs only (a) the refs
@@ -241,15 +296,24 @@ object DiffPipeline {
       .withColumn("fresh", coalesce(col("fresh"), lit(false)))
     val bundleR = Bundle(
       coords = freshCoords,
-      nodes = nw.nodes.join(broadcast(chN), Seq("id"), "left_semi"),
+      nodes = store.readBuckets("nodes", next, bChN)
+        .join(broadcast(chN), Seq("id"), "left_semi"),
       ways = waysR,
       relations = driverRels)
     // member-tag / sub-relation resolution sees the FULL maintained state
-    // (reference writer/relations.go:216-251 resolves from the whole cache);
-    // only the row-driving set is restricted to the closure.
+    // (reference writer/relations.go:216-251 resolves from the whole
+    // cache). The node side joins against the already-pruned coords, so
+    // its read is pruned to the same buckets; relations (the smallest
+    // element table) stay a full read — sub-relation members can point
+    // anywhere.
+    val resolveBundle = Bundle(
+      coords = freshCoords,
+      nodes = store.readBuckets("nodes", next, bCoord),
+      ways = waysR,
+      relations = store.read("relations", next))
     val pipeline = new ImportPipeline(spark, mapping, srid,
       truncateLineage = true)
-    val delta = pipeline.run(bundleR, resolve = Some(nw))
+    val delta = pipeline.run(bundleR, resolve = Some(resolveBundle))
     val genDelta = Generalize(spark, mapping, delta)
 
     // -- 4. output tables: delete mangled closure ids, append delta -----------

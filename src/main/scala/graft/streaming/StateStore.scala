@@ -173,6 +173,7 @@ final class StateStore(spark: SparkSession, dir: String) {
     val baseDf = rd(m.schema, bucketPaths)
     if (m.segments.isEmpty) return baseDf
     val idCol = m.segments.head.idCol
+    val tombCol = m.segments.head.tombCol
     import org.apache.spark.sql.functions.broadcast
     val withOrd = (baseDf.withColumn("__ord", lit(0L)) +:
       m.segments.zipWithIndex.map { case (s, i) =>
@@ -182,12 +183,12 @@ final class StateStore(spark: SparkSession, dir: String) {
           case None => seg
         }
       }).reduce(_ unionByName _)
-    val tombSchema = StructType(Seq(m.schema(idCol)))
+    val tombSchema = StructType(Seq(m.schema(tombCol)))
     val tombs = m.segments.zipWithIndex.map { case (s, i) =>
       rd(tombSchema, Seq(s.del)).withColumn("__tord", lit(i + 1L))
-    }.reduce(_ unionByName _).withColumnRenamed(idCol, "__tid")
+    }.reduce(_ unionByName _).withColumnRenamed(tombCol, "__tid")
     withOrd.join(broadcast(tombs),
-        withOrd(idCol) === tombs("__tid") && tombs("__tord") > withOrd("__ord"),
+        withOrd(tombCol) === tombs("__tid") && tombs("__tord") > withOrd("__ord"),
         "left_anti")
       .drop("__ord")
   }
@@ -195,18 +196,20 @@ final class StateStore(spark: SparkSession, dir: String) {
   private def manifestPath(name: String, seq: Long): Path =
     new Path(new Path(tablePath(name, seq)), "_manifest")
 
-  private final case class Segment(idCol: String, ins: String, del: String)
+  private final case class Segment(idCol: String, tombCol: String,
+      ins: String, del: String)
   private final case class Manifest(schema: StructType,
       buckets: Map[Long, String], segments: Seq[Segment])
 
   /** `_manifest`: line 1 = schema JSON; then `<bucket>\t<relative dir>`
-    * base-map lines; then ordered `SEG\t<idCol>\t<insDir>\t<delDir>` lines
-    * (merge-on-read delta segments, oldest first). */
+    * base-map lines; then ordered
+    * `SEG\t<idCol>\t<tombCol>\t<insDir>\t<delDir>` lines (merge-on-read
+    * delta segments, oldest first). */
   private def writeManifest(name: String, seq: Long, schema: StructType,
       buckets: Map[Long, String], segments: Seq[Segment] = Nil): Unit = {
     val body = schema.json +:
       (buckets.toSeq.sortBy(_._1).map { case (b, p) => s"$b\t$p" } ++
-        segments.map(s => s"SEG\t${s.idCol}\t${s.ins}\t${s.del}"))
+        segments.map(s => s"SEG\t${s.idCol}\t${s.tombCol}\t${s.ins}\t${s.del}"))
     val vdir = new Path(tablePath(name, seq))
     if (!fs.exists(vdir)) fs.mkdirs(vdir)
     writeSmall(manifestPath(name, seq), body.mkString("\n"))
@@ -222,8 +225,8 @@ final class StateStore(spark: SparkSession, dir: String) {
       b.toLong -> p
     }.toMap
     val segments = segLines.map { l =>
-      val Array(_, idCol, ins, del) = l.split("\t", 4)
-      Segment(idCol, ins, del)
+      val Array(_, idCol, tombCol, ins, del) = l.split("\t", 5)
+      Segment(idCol, tombCol, ins, del)
     }
     Manifest(schema, buckets, segments)
   }
@@ -248,10 +251,15 @@ final class StateStore(spark: SparkSession, dir: String) {
   def writeBucketed(name: String, seq: Long, df: DataFrame, idCol: String,
       sortWithin: Seq[String] = Nil): Unit = {
     val out = tablePath(name, seq)
+    // shuffle rows to their bucket BEFORE the partitioned write: without
+    // it every write task holds up to nBuckets open parquet writers at
+    // once (writer memory + one small file per task×bucket — a 30-table
+    // init measured 12 min mostly here); after it each task streams a few
+    // whole buckets sequentially and a bucket is one file
     val bucketed = df.withColumn("__b", bucketOf(col(idCol)))
+      .repartition(col("__b"))
     val ordered =
-      if (sortWithin.isEmpty) bucketed
-      else bucketed.sortWithinPartitions(("__b" +: sortWithin).map(col): _*)
+      bucketed.sortWithinPartitions(("__b" +: sortWithin).map(col): _*)
     ordered.write.mode("overwrite").partitionBy("__b").parquet(out)
     writeManifest(name, seq, df.schema,
       listBuckets(out).map(b => b -> s"v$seq/__b=$b").toMap)
@@ -279,12 +287,16 @@ final class StateStore(spark: SparkSession, dir: String) {
     */
   def writeDelta(name: String, seq: Long, prevSeq: Long, inserts: DataFrame,
       deleteIds: DataFrame, idCol: String, sortWithin: Seq[String] = Nil,
-      maxSegments: Int = 8): Unit = {
+      maxSegments: Int = 8, tombstoneCol: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions.broadcast
+    // tombstoneCol: hide-by column when it differs from the bucketing id
+    // (reverse indexes bucket by the REFERENCED id but delete by the
+    // REFERRER — e.g. wayrefs buckets by ref node id, tombstones by way_id)
+    val tc = tombstoneCol.getOrElse(idCol)
     val m = readManifest(name, prevSeq)
     if (m.segments.size >= maxSegments) {
       val merged = mergedView(name, prevSeq, None)
-        .join(broadcast(deleteIds.select(col(idCol))), Seq(idCol), "left_anti")
+        .join(broadcast(deleteIds.select(col(tc))), Seq(tc), "left_anti")
         .unionByName(inserts)
       writeBucketed(name, seq, merged, idCol, sortWithin)
     } else {
@@ -292,9 +304,9 @@ final class StateStore(spark: SparkSession, dir: String) {
       val ins = if (sortWithin.isEmpty) inserts
         else inserts.sortWithinPartitions(sortWithin.map(col): _*)
       ins.write.mode("overwrite").parquet(s"$vdir/ins")
-      deleteIds.select(col(idCol)).write.mode("overwrite").parquet(s"$vdir/del")
+      deleteIds.select(col(tc)).write.mode("overwrite").parquet(s"$vdir/del")
       writeManifest(name, seq, m.schema, m.buckets,
-        m.segments :+ Segment(idCol, s"v$seq/ins", s"v$seq/del"))
+        m.segments :+ Segment(idCol, tc, s"v$seq/ins", s"v$seq/del"))
     }
   }
 

@@ -90,7 +90,7 @@ class BucketPruneSpec extends SparkSpecBase {
     val manifest = new String(Files.readAllBytes(
       Paths.get(stateDir, "coords", "v1", "_manifest")), "UTF-8")
     assert(manifest.contains("v0/__b="), "v1 manifest must reference v0 buckets")
-    assert(manifest.contains("SEG\tid\tv1/ins\tv1/del"),
+    assert(manifest.contains("SEG\tid\tid\tv1/ins\tv1/del"),
       "v1 manifest must list the delta segment")
 
     // and the merged view is consistent: committed coords == v0 kept + diff
