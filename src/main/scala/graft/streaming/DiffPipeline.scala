@@ -455,6 +455,16 @@ object DiffPipeline {
           applyDiff(spark, mapping, stateDir, OsmXml.readDiff(spark, p).toDF(), srid,
             expireDir = expireDir, expireZoom = expireZoom)
         }
+        // retention: drop version dirs no longer referenced by the
+        // committed manifests (segments fold into a fresh base every
+        // maxSegments-th write, so old segment dirs become unreferenced
+        // in bounded time — without this a long stream accumulates one
+        // ins/del dir pair per table per batch forever)
+        if (files.nonEmpty) {
+          val store = new StateStore(spark, stateDir)
+          store.vacuum(ElementTables ++ Seq("wayrefs", "relrefs") ++
+            allTableNames(mapping).map(tbl), keep = 2)
+        }
       }
       .start()
   }

@@ -103,6 +103,29 @@ class BucketPruneSpec extends SparkSpecBase {
     // — directly against the store
     testStoreFold()
 
+    // the maintained reverse indexes must stay consistent with the
+    // element tables they index after a diff (the closure's correctness
+    // rests on this invariant, not just on output goldens)
+    {
+      import org.apache.spark.sql.functions._
+      def pairs(df: org.apache.spark.sql.DataFrame, a: String, b: String) =
+        df.select(col(a), col(b)).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ways = store.read("ways", 1)
+      val derivedWayrefs = pairs(ways.select(col("id").as("way_id"),
+        explode(col("refs")).as("id")), "way_id", "id")
+      val storedWayrefs = pairs(store.read("wayrefs", 1), "way_id", "id")
+      assert(storedWayrefs == derivedWayrefs,
+        s"wayrefs drifted: +${(storedWayrefs -- derivedWayrefs).size} " +
+          s"-${(derivedWayrefs -- storedWayrefs).size}")
+      val rels = store.read("relations", 1)
+      val derivedRelrefs = pairs(rels
+        .select(col("id").as("rel_id"), explode(col("members")).as("m"))
+        .select(col("rel_id"), col("m.id").as("id")), "rel_id", "id")
+      val storedRelrefs = pairs(store.read("relrefs", 1), "rel_id", "id")
+      assert(storedRelrefs == derivedRelrefs, "relrefs drifted")
+    }
+
     // vacuum must NOT delete v0 while the committed manifest references it
     store.vacuum(Seq("coords", "ways") ++
       (mapping.conf.tables.keys ++ mapping.conf.generalizedTables.keys).map(t => s"tbl_$t"),
