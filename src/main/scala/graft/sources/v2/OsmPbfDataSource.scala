@@ -59,22 +59,32 @@ private[v2] final class OsmPbfTable(props: Map[String, String])
     val path = Option(options.get("path")).orElse(props.get("path"))
       .getOrElse(throw new IllegalArgumentException("osmpbf: missing path"))
     val withMeta = options.getBoolean("includeMetadata", false)
-    () => new OsmPbfScan(path, withMeta)
+    // option("limitto", coverage.geojson) [+ limittobuffer degrees]:
+    // blob-level bbox prune at PLANNING time — out-of-coverage blobs never
+    // become input partitions (parity with the library path's
+    // read(coverage = ...); reference reader/reader.go:215-227 semantics
+    // at blob granularity)
+    val coverage = Option(options.get("limitto")).orElse(props.get("limitto"))
+      .map(p => new graft.operators.Limitto(p,
+        bufferDist = options.getDouble("limittobuffer", 0.0), srid = 4326))
+    () => new OsmPbfScan(path, withMeta, coverage)
   }
 }
 
 private[v2] final case class OsmPbfInputPartition(blobs: Seq[OsmPbf.BlobRange])
     extends InputPartition
 
-private[v2] final class OsmPbfScan(path: String, withMeta: Boolean)
+private[v2] final class OsmPbfScan(path: String, withMeta: Boolean,
+    coverage: Option[graft.operators.Limitto] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = OsmPbfDataSource.schema
   override def toBatch: Batch = this
-  override def description(): String = s"osmpbf $path"
+  override def description(): String =
+    s"osmpbf $path${if (coverage.nonEmpty) " (limitto-pruned)" else ""}"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
-    val index = OsmPbf.blobIndex(spark, path)
+    val index = OsmPbf.prunedIndex(OsmPbf.blobIndex(spark, path), coverage)
     if (index.isEmpty) return Array.empty
     // same sizing as the library path: ~4 blobs per split, capped by
     // cluster parallelism so a planet file fans out and Monaco doesn't

@@ -28,6 +28,26 @@ class OsmPbfV2Spec extends SparkSpecBase {
     assert(a == b, s"$a vs $b")
   }
 
+  test("limitto option prunes out-of-coverage files at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-v2-prune").toString
+    OsmPbfSynth.synthesize(spark, fixture, dir, 4)
+    val gj = java.nio.file.Files.createTempDirectory("graft-v2-gj")
+      .resolve("cov.geojson")
+    // copy 0's cell only (grid offset −6.0°: Monaco → ~1.4E, 37.7N)
+    java.nio.file.Files.writeString(gj,
+      """{"type":"FeatureCollection","features":[{"type":"Feature",
+        |"properties":{},"geometry":{"type":"Polygon","coordinates":
+        |[[[1.2,37.5],[1.7,37.5],[1.7,38.0],[1.2,38.0],[1.2,37.5]]]}}]}"""
+        .stripMargin.replace("\n", ""))
+    val all = spark.read.format("osmpbf").load(dir)
+    val pruned = spark.read.format("osmpbf")
+      .option("limitto", gj.toString).load(dir)
+    val nAll = all.count()
+    val nPruned = pruned.count()
+    assert(nPruned > 0 && nPruned * 4 == nAll,
+      s"expected exactly copy 0's elements, got $nPruned of $nAll")
+  }
+
   test("bundleOf over the v2 frame drives the normal pipeline inputs") {
     val bundle = OsmXml.bundleOf(spark.read.format("osmpbf").load(fixture))
     val r = bundle.coords.agg(min("lon"), max("lon")).collect()(0)
