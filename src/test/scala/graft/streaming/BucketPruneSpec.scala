@@ -60,6 +60,13 @@ class BucketPruneSpec extends SparkSpecBase {
     val bs = store.bucketsOf(Seq(Tuple1(2L)).toDF("id"), "id")
     assert(store.readBuckets("t", 4, bs).filter("id = 2")
       .head().getString(1) == "B")
+    // the fold's tombstone anti-join must plan as a broadcast HASH join
+    // (equi on id + the ordinal inequality as its residual) — a nested
+    // loop here would make every segmented read O(rows × tombstones)
+    val plan = store.read("t", 4).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"segment fold must be a broadcast hash anti-join:\n$plan")
   }
 
   test("a small diff appends a delta segment, never rewrites base buckets") {
