@@ -382,7 +382,48 @@ object Bench {
               f"apply=$dt%.1fs (${nChanged / dt}%.0f elem/s)")
           dt
         }
-        Seq("osm_diff_init" -> tInit, "osm_diff_apply" -> dTimes.min)
+        // mixed batch: a realistic minutely diff is not node moves alone —
+        // way re-tags pull their coord buckets through the rebuild, and
+        // relation touches drive member-way fetch + ring assembly, so the
+        // closure cost has a different shape. Same refs/members are kept
+        // (a foreign tag can't flip table membership), so reps re-apply an
+        // identical plan onto the same committed version, like above.
+        val emptyMembers =
+          expr("cast(array() as array<struct<id:bigint,mtype:tinyint,role:string>>)")
+        val wayBatch = st.ways.filter(col("id") % 89 === 0)
+          .select(lit(graft.model.Kind.Way).cast("tinyint").as("kind"),
+            col("id"), lit(null).cast("double").as("lon"),
+            lit(null).cast("double").as("lat"),
+            map_concat(col("tags"), map(lit("graft:touched"), lit("1")))
+              .as("tags"),
+            col("refs"), emptyMembers.as("members"),
+            lit(graft.model.Op.Modify).cast("tinyint").as("op"))
+        val relBatch = st.relations.filter(col("id") % 13 === 0)
+          .select(lit(graft.model.Kind.Relation).cast("tinyint").as("kind"),
+            col("id"), lit(null).cast("double").as("lon"),
+            lit(null).cast("double").as("lat"),
+            map_concat(col("tags"), map(lit("graft:touched"), lit("1")))
+              .as("tags"),
+            typedLit(Seq.empty[Long]).as("refs"),
+            expr("transform(members, m -> struct(m.id as id, m.type as mtype, m.role as role))")
+              .as("members"),
+            lit(graft.model.Op.Modify).cast("tinyint").as("op"))
+        val mixedBatch = diffBatch.unionByName(wayBatch).unionByName(relBatch)
+          .localCheckpoint()
+        val nMixed = mixedBatch.count()
+        val mTimes = (1 to dReps).map { rep =>
+          val t0 = System.nanoTime()
+          graft.streaming.DiffPipeline.applyDiff(spark, mapping, stateDir,
+            mixedBatch, from = Some(0), commit = false)
+          val dt = (System.nanoTime() - t0) / 1e9
+          resetCaches()
+          System.err.println(
+            f"[bench] osm_diff_apply_mixed rep $rep/$dReps changed=$nMixed " +
+              f"apply=$dt%.1fs (${nMixed / dt}%.0f elem/s)")
+          dt
+        }
+        Seq("osm_diff_init" -> tInit, "osm_diff_apply" -> dTimes.min,
+          "osm_diff_apply_mixed" -> mTimes.min)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] osm_diff_apply failed: ${e.getMessage}")
         Seq.empty

@@ -155,6 +155,27 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  // -- ANN recall audit ---------------------------------------------------------
+  // recall@5 of the one-shot IVF path against the exact brute-force ranking,
+  // per query — the eval every ANN deployment runs before trusting an index
+  // (the vector mirror of d_minhash_audit). Both legs reuse the gated
+  // operators VERBATIM, so the audit can never drift from what it audits;
+  // the comparison itself is a k-sized-per-query equi join + count, free at
+  // any corpus scale relative to the legs. recall_r = n_hits/k is one exact
+  // small-integer division — deterministic cross-engine.
+  private def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = cosineTopK(s, dir).select(col("q_id"), col("neighbor_id"))
+    val approx = annIvf(s, dir).select(col("q_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    exact.join(approx, Seq("q_id", "neighbor_id"), "left")
+      .groupBy("q_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+        count(lit(1)).as("k"))
+      .select(col("q_id"), col("n_hits"), col("k"),
+        (col("n_hits").cast("double") / col("k").cast("double")).as("recall_r"))
+      .orderBy("q_id")
+  }
+
   // -- embedding-cosine near-dup dedup ----------------------------------------
   // The 5th dedup flavor (besides exact/fingerprint/ngram/minhash/simhash):
   // candidate pairs meet only inside a shared LSH sign-code bucket (blocking
@@ -966,6 +987,7 @@ object Similarity {
     "s_ann_lsh"         -> (annLsh _),
     "s_ann_lsh_probe"   -> (annLshProbe _),
     "s_ann_ivf"         -> (annIvf _),
+    "s_ann_recall"      -> (annRecall _),
     "s_ann_ivf_indexed" -> (annIvfIndexed _),
     "s_ann_ivf_kmeans"  -> (annIvfKmeans _),
     "s_ann_ivf_kmeans_fast" -> (annIvfKmeansFast _),
@@ -1606,23 +1628,50 @@ object Similarity {
          |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "s_ann_ivf" ->
       s"""WITH $vSql,
-         |c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM v WHERE vec_id < 16),
-         |sims AS (SELECT v.vec_id, v.e, v.nrm, c.c_id,
-         |    floor(list_dot_product(v.e, c.ce) / (v.nrm * c.cn) * 1e6 + 0.5) / 1e6 AS csim
-         |  FROM v, c),
-         |ranked AS (SELECT vec_id, e, nrm, c_id AS cell, csim,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS crk
-         |  FROM sims),
-         |cells AS (SELECT vec_id, e, nrm, cell FROM ranked WHERE crk = 1),
-         |probes AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn, cell
-         |  FROM ranked WHERE crk <= 2 AND vec_id < 10),
-         |cand AS (SELECT p.q_id, cl.vec_id AS neighbor_id, p.cell,
-         |    round(list_dot_product(p.qe, cl.e) / (p.qn * cl.nrm), 6) AS sim_r
-         |  FROM probes p JOIN cells cl ON p.cell = cl.cell AND p.q_id != cl.vec_id),
-         |r AS (SELECT q_id, neighbor_id, sim_r, cell,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY sim_r DESC, neighbor_id) AS rnk
-         |  FROM cand)
+         |$ivfCtes
          |SELECT q_id, rnk::BIGINT AS rnk, neighbor_id, sim_r, cell FROM r
-         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "s_ann_recall" ->
+      s"""WITH $vSql,
+         |$ivfCtes,
+         |ivf5 AS (SELECT q_id, neighbor_id FROM r WHERE rnk <= 5),
+         |xq AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM v WHERE vec_id < 10),
+         |xp AS (SELECT q_id, vec_id AS neighbor_id,
+         |    round(list_dot_product(qe, e) / (qn * nrm), 6) AS sim_r
+         |  FROM xq, v WHERE vec_id != q_id),
+         |xr AS (SELECT q_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sim_r DESC, neighbor_id) AS rnk
+         |  FROM xp),
+         |ex5 AS (SELECT q_id, neighbor_id FROM xr WHERE rnk <= 5)
+         |SELECT e.q_id,
+         |  sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+         |  count(*)::BIGINT AS k,
+         |  sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*)::DOUBLE AS recall_r
+         |FROM ex5 e LEFT JOIN ivf5 i
+         |  ON e.q_id = i.q_id AND e.neighbor_id = i.neighbor_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
+
+  /** The one-shot IVF chain (stand-in centroids = the 16 lowest-id
+    * vectors), shared by the s_ann_ivf gate and the s_ann_recall audit so
+    * the audited path and the audit cannot drift apart.
+    */
+  private lazy val ivfCtes: String =
+    """c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM v WHERE vec_id < 16),
+      |sims AS (SELECT v.vec_id, v.e, v.nrm, c.c_id,
+      |    floor(list_dot_product(v.e, c.ce) / (v.nrm * c.cn) * 1e6 + 0.5) / 1e6 AS csim
+      |  FROM v, c),
+      |ranked AS (SELECT vec_id, e, nrm, c_id AS cell, csim,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS crk
+      |  FROM sims),
+      |cells AS (SELECT vec_id, e, nrm, cell FROM ranked WHERE crk = 1),
+      |probes AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn, cell
+      |  FROM ranked WHERE crk <= 2 AND vec_id < 10),
+      |cand AS (SELECT p.q_id, cl.vec_id AS neighbor_id, p.cell,
+      |    round(list_dot_product(p.qe, cl.e) / (p.qn * cl.nrm), 6) AS sim_r
+      |  FROM probes p JOIN cells cl ON p.cell = cl.cell AND p.q_id != cl.vec_id),
+      |r AS (SELECT q_id, neighbor_id, sim_r, cell,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY sim_r DESC, neighbor_id) AS rnk
+      |  FROM cand)""".stripMargin
 }

@@ -998,6 +998,66 @@ object TextOps {
       .filter(col("margin") > 0)
       .orderBy("source", "lang")
 
+  // -- Bradley-Terry strengths from pairwise preferences ----------------------
+  // The RLHF-data staple: given pairwise outcomes, fit a latent strength per
+  // player with the Bradley-Terry MM update p_i ← w_i / Σ_j 1/(p_i + p_j).
+  // Players are sources; a match exists per (lang, source pair sharing that
+  // lang) and its winner is the source with more total chars there (ties to
+  // the lexicographically smaller source) — a deterministic tournament
+  // derived from the corpus itself. Scale shape: the tournament comes from
+  // ONE corpus-linear (lang, source) aggregate; every MM iteration joins the
+  // player-cardinality strength table (broadcast) onto the match sides and
+  // re-aggregates by player — per-iteration cost is |matches|, never corpus-
+  // sized, and the fixed iteration count keeps the plan static. Cross-engine
+  // exactness: each match's contribution is floor-quantized to integer 1e-9
+  // units and summed as BIGINT (order-free), so both engines walk identical
+  // IEEE op sequences; strengths re-quantize to the 1e-9 grid per iteration.
+  private val BtIters = 4
+
+  private def bradleyTerry(s: SparkSession, dir: String): DataFrame = {
+    val totals = docs(s, dir).groupBy("lang", "source")
+      .agg(sum(col("n_chars")).as("w"))
+    val matches = totals.as("a").join(totals.as("b"),
+        col("a.lang") === col("b.lang") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("sa"), col("b.source").as("sb"),
+        when(col("a.w") >= col("b.w"), col("a.source"))
+          .otherwise(col("b.source")).as("winner"))
+      .localCheckpoint() // tiny (pairs × langs); reused by every iteration
+    val players = totals.select("source").distinct()
+    val wins = matches.groupBy(col("winner").as("source"))
+      .agg(count(lit(1)).as("wins"))
+    val sides = matches.select(col("sa").as("source"), col("sb").as("opp"))
+      .unionAll(matches.select(col("sb").as("source"), col("sa").as("opp")))
+    val nMatches = sides.groupBy("source").agg(count(lit(1)).as("n_matches"))
+    val base = players.join(wins, Seq("source"), "left")
+      .join(nMatches, Seq("source"), "left")
+      .select(col("source"), coalesce(col("wins"), lit(0L)).as("wins"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+      .localCheckpoint()
+    var p = base.select(col("source"), lit(1.0).as("p"))
+    for (_ <- 1 to BtIters) {
+      val den = sides
+        .join(p, Seq("source"))
+        .join(p.select(col("source").as("opp"), col("p").as("p_opp")), Seq("opp"))
+        .select(col("source"),
+          floor(lit(1e9) / (col("p") + col("p_opp"))).cast("long").as("c"))
+        .groupBy("source").agg(sum(col("c")).as("den"))
+      p = base.join(p, Seq("source")).join(den, Seq("source"), "left")
+        .select(col("source"),
+          when(col("den").isNull, col("p")).otherwise(
+            floor(greatest(col("wins").cast("double") * lit(1e9) /
+              col("den").cast("double"), lit(1e-6)) * lit(1e9) + lit(0.5))
+              / lit(1e9)).as("p"))
+        // the strength table is player-cardinality: checkpointing each
+        // iteration keeps the next plan shallow instead of 4× self-joined
+        .localCheckpoint()
+    }
+    base.join(p, Seq("source"))
+      .select(col("source"), col("wins"), col("n_matches"),
+        (floor(col("p") * lit(1e6) + lit(0.5)) / lit(1e6)).as("strength_r"))
+      .orderBy("source")
+  }
+
   // -- PII detection / redaction ----------------------------------------------
   // Multi-pattern scan-and-mask for corpus scrubbing: emails, phone numbers,
   // IPv4 addresses, then bare digit runs, redacted IN THAT ORDER (each stage
@@ -2135,6 +2195,32 @@ object TextOps {
       .select(col("doc_id"), col("bucket"), col("split"))
       .orderBy("doc_id")
 
+  // -- leakage-safe split: near-dup clusters never straddle train/test --------
+  // A doc_id-hashed split (d_split) leaks whenever two near-duplicates land
+  // on opposite sides — the eval set then contains paraphrases of training
+  // rows. The leakage-safe spelling keys the SAME md5 bucket hash by the
+  // near-dup CLUSTER id (connected components over the verified MinHash
+  // pairs; singletons are their own cluster), so an entire duplicate family
+  // moves as one unit and remains stable under re-runs and appends. Scale
+  // shape: clusters come from the banded-LSH components (never all-pairs);
+  // cluster membership is pair-output-sized, so the assignment join
+  // broadcasts back onto the corpus scan — no new corpus-sized shuffle.
+  private def splitLeakageSafe(s: SparkSession, dir: String): DataFrame = {
+    val clusters = graft.operators.ConnectedComponents
+      .clusters(dedupMinHash(s, dir).select("a_id", "b_id"), "a_id", "b_id")
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    docs(s, dir).select(col("doc_id"))
+      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket", expr(
+        "cast(conv(substring(md5(cast(cluster_id as string)), 1, 8), 16, 10) as bigint) % 100"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val").otherwise("test"))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .orderBy("doc_id")
+  }
+
   // -- tf-idf top terms per source --------------------------------------------
   // The corpus-exploration staple ("what is each source about"): global
   // document frequencies give the rational idf (same log-free spelling as
@@ -3122,6 +3208,8 @@ object TextOps {
     "d_sample_pps"        -> (samplePps _),
     "d_winsorize"         -> (winsorize _),
     "d_split"             -> (splitDocs _),
+    "d_split_leakage_safe" -> (splitLeakageSafe _),
+    "d_bradley_terry"     -> (bradleyTerry _),
     "d_top_terms"         -> (topTerms _),
     "d_profile"           -> (profileDocs _),
     "d_release_manifest"  -> (releaseManifest _),
@@ -3218,6 +3306,44 @@ object TextOps {
       |  (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)))::BIGINT AS n_union
       |  FROM cand JOIN sh sa ON cand.a_id = sa.doc_id
       |            JOIN sh sb ON cand.b_id = sb.doc_id)""".stripMargin
+
+  /** Unrolled Bradley-Terry MM iterations — the exact DuckDB mirror of the
+    * Spark loop in [[bradleyTerry]]: same deterministic tournament, same
+    * BIGINT-quantized denominators, same 1e-9 strength grid per iteration.
+    */
+  private lazy val btCtes: String = {
+    val iters = (1 to BtIters).map { k =>
+      s"""den$k AS (SELECT s.source,
+         |    sum(CAST(floor(1e9 / (p1.p + p2.p)) AS BIGINT))::BIGINT AS den
+         |  FROM sides s JOIN it${k - 1} p1 ON s.source = p1.source
+         |    JOIN it${k - 1} p2 ON s.opp = p2.source GROUP BY 1),
+         |it$k AS (SELECT b.source,
+         |    CASE WHEN d.den IS NULL THEN it.p
+         |      ELSE floor(greatest(CAST(b.wins AS DOUBLE) * 1e9
+         |        / CAST(d.den AS DOUBLE), 1e-6) * 1e9 + 0.5) / 1e9 END AS p
+         |  FROM base b JOIN it${k - 1} it ON b.source = it.source
+         |    LEFT JOIN den$k d ON b.source = d.source)""".stripMargin
+    }.mkString(",\n")
+    s"""totals AS (SELECT lang, source, sum(n_chars)::BIGINT AS w
+       |  FROM documents GROUP BY 1, 2),
+       |m AS (SELECT a.source AS sa, b.source AS sb,
+       |    CASE WHEN a.w >= b.w THEN a.source ELSE b.source END AS winner
+       |  FROM totals a JOIN totals b
+       |    ON a.lang = b.lang AND a.source < b.source),
+       |players AS (SELECT DISTINCT source FROM totals),
+       |wins AS (SELECT winner AS source, count(*)::BIGINT AS wins
+       |  FROM m GROUP BY 1),
+       |sides AS (SELECT sa AS source, sb AS opp FROM m
+       |  UNION ALL SELECT sb, sa FROM m),
+       |nm AS (SELECT source, count(*)::BIGINT AS n_matches
+       |  FROM sides GROUP BY 1),
+       |base AS (SELECT p.source, coalesce(w.wins, 0)::BIGINT AS wins,
+       |    coalesce(nm.n_matches, 0)::BIGINT AS n_matches
+       |  FROM players p LEFT JOIN wins w ON p.source = w.source
+       |    LEFT JOIN nm ON p.source = nm.source),
+       |it0 AS (SELECT source, 1.0::DOUBLE AS p FROM players),
+       |$iters""".stripMargin
+  }
 
   private val shingleSql =
     "list_distinct(list_transform(generate_series(1, greatest(len(text) - 4, 1)), " +
@@ -4364,6 +4490,33 @@ object TextOps {
          |  round(sum(ns)::DOUBLE / count(*)::DOUBLE, 6) AS fertility
          |FROM wordsyms GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+    "d_split_leakage_safe" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |pairs AS (SELECT a_id, b_id FROM scored
+         |  WHERE n_common::DOUBLE / n_union::DOUBLE >= 0.7),
+         |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |reach AS (
+         |  SELECT s AS id, d AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s),
+         |clusters AS (SELECT id, least(id, min(r)) AS cluster_id
+         |  FROM reach GROUP BY id),
+         |assigned AS (SELECT d.doc_id,
+         |    coalesce(c.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN ('0x' || substr(md5(cluster_id::VARCHAR), 1, 8))::BIGINT % 100 < 90
+         |    THEN 'train'
+         |   WHEN ('0x' || substr(md5(cluster_id::VARCHAR), 1, 8))::BIGINT % 100 < 95
+         |    THEN 'val' ELSE 'test' END AS split
+         |FROM assigned ORDER BY doc_id""".stripMargin,
+    "d_bradley_terry" ->
+      s"""WITH $btCtes
+         |SELECT b.source, b.wins, b.n_matches,
+         |  floor(it$BtIters.p * 1e6 + 0.5) / 1e6 AS strength_r
+         |FROM base b JOIN it$BtIters ON b.source = it$BtIters.source
+         |ORDER BY b.source""".stripMargin,
     "d_split" ->
       """SELECT doc_id,
         | ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket,

@@ -516,4 +516,65 @@ class TextSimSpec extends SparkSpecBase {
     }
     assert(Set("added", "removed", "changed", "same").subsetOf(rows.values.toSet))
   }
+
+  test("leakage-safe split never strands a near-dup pair across splits") {
+    val split = run("d_split_leakage_safe").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[String]("split"))).toMap
+    // every doc is assigned exactly once
+    val n = spark.read.parquet(s"$sf001/documents.parquet").count()
+    assert(split.size == n)
+    // the whole point: both endpoints of every verified near-dup pair land
+    // in the same cluster AND the same split (d_split has no such guarantee)
+    val pairs = run("d_dedup_minhash").select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(split(a)._1 == split(b)._1, s"pair ($a,$b) split across clusters")
+      assert(split(a)._2 == split(b)._2, s"pair ($a,$b) split across splits")
+    }
+    // singletons key the same md5 bucket hash by their own id, so for them
+    // the assignment coincides with d_split's
+    val plain = run("d_split").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val clustered = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    split.foreach { case (id, (cid, sp)) =>
+      if (cid == id && !clustered(id)) assert(sp == plain(id))
+    }
+  }
+
+  test("ann recall audit equals the recomputed exact/ivf intersection") {
+    val exact = run("s_cosine_topk").select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val ivf = run("s_ann_ivf").select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    run("s_ann_recall").collect().foreach { r =>
+      val q = r.getAs[Long]("q_id")
+      val hits = exact(q).count(ivf)
+      assert(r.getAs[Long]("n_hits") == hits)
+      assert(r.getAs[Long]("k") == exact(q).length)
+      val rec = r.getAs[Double]("recall_r")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+  }
+
+  test("bradley-terry strengths separate all-win players from all-loss ones") {
+    val rows = run("d_bradley_terry").collect()
+    val wins = rows.map(_.getAs[Long]("wins"))
+    val nm = rows.map(_.getAs[Long]("n_matches"))
+    val p = rows.map(_.getAs[Double]("strength_r"))
+    // the tournament is complete per shared lang: every match has exactly
+    // one winner, so wins total == match count (each match counted once)
+    assert(wins.sum == nm.sum / 2)
+    p.foreach(x => assert(x >= 1e-6, s"strength $x below the clamp"))
+    val undefeated = rows.filter(r =>
+      r.getAs[Long]("wins") == r.getAs[Long]("n_matches") &&
+        r.getAs[Long]("n_matches") > 0).map(_.getAs[Double]("strength_r"))
+    val winless = rows.filter(r =>
+      r.getAs[Long]("wins") == 0L && r.getAs[Long]("n_matches") > 0)
+      .map(_.getAs[Double]("strength_r"))
+    if (undefeated.nonEmpty && winless.nonEmpty)
+      assert(undefeated.min > winless.max,
+        "an all-win player must out-rank an all-loss player")
+  }
 }

@@ -20,6 +20,7 @@ object ExplainCheck {
     "s_knn_graph", "s_cluster_profile", "s_quantize_int8", "s_hard_negatives",
     "s_bitext_mine", // broadcast smaller-language vectors × corpus scan
     "s_ann_graph_expand", // broadcast centroid assignment × corpus scan
+    "s_ann_recall", // both audited legs are the broadcast-query × corpus shape
     "s_pack_semantic", // broadcast centroid assignment × corpus scan
     "d_decontaminate",
     // crossJoin(broadcast(<=#groups-row aggregate>)) — the scalar-attach
