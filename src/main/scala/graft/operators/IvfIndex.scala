@@ -119,6 +119,19 @@ object IvfIndex {
         Seq(col("vec_id")), Seq(col("csim").desc, col("c_id").asc), 1)
       .select(col("vec_id"), col("c_id").as("cell"), col("csim"))
 
+  /** Top-`n` cell assignments WITH the decision similarity — (vec_id, c_id,
+    * csim, crk). `assign` is the crk = 1 slice; rank 2 is "the nearest
+    * OTHER centroid", which cluster-quality diagnostics (simplified
+    * silhouette) need alongside the owner. Same broadcast-centroids ×
+    * corpus-scan shape and the same floor-rounded ranking rule.
+    */
+  def assignTop(corpus: DataFrame, cents: DataFrame, n: Int): DataFrame =
+    TopK.perKey(
+        withNorm(corpus, "embedding").select("vec_id", "e", "nrm")
+          .crossJoin(broadcast(cents)).withColumn("csim", centroidSim),
+        Seq(col("vec_id")), Seq(col("csim").desc, col("c_id").asc), n)
+      .select(col("vec_id"), col("c_id"), col("csim"), col("rk").as("crk"))
+
   /** Assign every corpus vector to its nearest cell and write the index:
     * parquet partitioned by `cell`, vectors stored with their norm so the
     * search path never touches the raw embeddings table.

@@ -361,6 +361,82 @@ object Similarity {
       .orderBy("cell", "label")
   }
 
+  // -- clustering quality: simplified silhouette --------------------------------
+  // The accept/reject gate after clustering (before SemDeDup pruning or
+  // topic-mixture decisions): classic silhouette needs all-pairs distances
+  // (O(n²) — a non-starter at corpus scale), so this is the *simplified*
+  // silhouette (centroid form): a = cosine distance to the OWN centroid,
+  // b = distance to the NEAREST OTHER centroid, s = (b−a)/max(a,b) — O(n·k)
+  // and exactly the broadcast-centroids × corpus-scan shape of assignment
+  // itself. Both distances come off the same top-2 ranked-cell pass
+  // (IvfIndex.assignTop: rank 1 = owner, rank 2 = nearest other), decided
+  // on the shared floor-6dp centroid cosine. Determinism: per-point s is
+  // quantized to integer 1e-6 units (floor(x·1e6+0.5) — exact on both
+  // engines since its inputs are the already-quantized cosines), so the
+  // per-cell mean is a BIGINT sum (order-free) over a count. The only
+  // corpus-sized exchange is assignTop's TopK partial.
+  private def silhouette(s: SparkSession, dir: String): DataFrame = {
+    val corpus = t(s, dir, "embeddings")
+    val cents = graft.operators.IvfIndex.kmeansCentroids(corpus, 16, 2)
+    val top2 = graft.operators.IvfIndex.assignTop(corpus, cents, 2)
+    val own = top2.filter(col("crk") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"), col("csim").as("sim1"))
+    val nxt = top2.filter(col("crk") === 2)
+      .select(col("vec_id"), col("csim").as("sim2"))
+    own.join(nxt, Seq("vec_id"))
+      .withColumn("a_d", lit(1.0) - col("sim1"))
+      .withColumn("b_d", lit(1.0) - col("sim2"))
+      // a point sitting ON its (sole) centroid: both distances 0 → s := 0
+      .withColumn("sil", when(greatest(col("a_d"), col("b_d")) === 0.0, lit(0.0))
+        .otherwise((col("b_d") - col("a_d")) / greatest(col("a_d"), col("b_d"))))
+      .withColumn("sil_q", floor(col("sil") * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        (floor(sum(col("sil_q")).cast("double") / count(lit(1)) + lit(0.5))
+          / lit(1e6)).as("mean_sil_r"),
+        (min(col("sil_q")).cast("double") / lit(1e6)).as("min_sil_r"),
+        (max(col("sil_q")).cast("double") / lit(1e6)).as("max_sil_r"))
+      .orderBy("cell")
+  }
+
+  // -- semi-supervised auto-labeling: kNN label spread ---------------------------
+  // The standard bootstrap for a partially-labeled corpus (quality tiers,
+  // topic tags): every UNLABELED vector takes the majority label of its 5
+  // nearest LABELED neighbors (exact cosine; vote ties break to the
+  // stronger best-similarity, then the lower label). The held-out true
+  // label rides along, so the output doubles as the eval table (`correct`).
+  // Label census here is vec_id % 4 = 0 — deterministic and sf-stable. At
+  // 100 TB the labeled seed set is the small side by construction
+  // (annotation is the expensive resource), so broadcast(labeled) × corpus
+  // scan is the right plan; when the seed set outgrows a broadcast, the
+  // candidate step swaps for the written IVF index probes (s_ann_ivf_indexed)
+  // with identical vote semantics. Ranking is decided on floor-6dp cosine.
+  private def labelSpread(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val v = vecs(s, dir).join(e.select(col("vec_id"),
+      col("label").cast("long").as("label")), Seq("vec_id"))
+    val labeled = v.filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id").as("l_id"), col("e").as("qe"),
+        col("nrm").as("qn"), col("label").as("l_label"))
+    val unl = v.filter(col("vec_id") % 4 =!= 0)
+      .select(col("vec_id"), col("e"), col("nrm"), col("label").as("true_label"))
+    val scored = unl.crossJoin(broadcast(labeled))
+      .withColumn("sim_r",
+        floor(vecDot(col("qe"), col("e")) / (col("qn") * col("nrm"))
+          * lit(1e6) + lit(0.5)) / lit(1e6))
+    val votes = graft.operators.TopK.perKey(scored, Seq(col("vec_id")),
+        Seq(col("sim_r").desc, col("l_id").asc), 5)
+      .groupBy("vec_id", "l_label")
+      .agg(count(lit(1)).as("n_votes"), max(col("sim_r")).as("best_sim"))
+    graft.operators.TopK.perKey(votes, Seq(col("vec_id")),
+        Seq(col("n_votes").desc, col("best_sim").desc, col("l_label").asc), 1)
+      .join(unl.select("vec_id", "true_label"), Seq("vec_id"))
+      .select(col("vec_id"), col("l_label").as("pred_label"), col("n_votes"),
+        col("true_label"),
+        (col("l_label") === col("true_label")).cast("long").as("correct"))
+      .orderBy("vec_id")
+  }
+
   // -- scalar int8 quantization ------------------------------------------------
   // Per-vector symmetric quantization: scale = 127 / max|x|, q_i = round to
   // nearest int in [-127, 127]. 4× memory cut for ANN corpora (the float32
@@ -995,7 +1071,9 @@ object Similarity {
     "s_dedup_embedding" -> (dedupEmbedding _),
     "s_dedup_semantic"  -> (dedupSemantic _),
     "s_knn_graph"       -> (knnGraph _),
-    "s_cluster_profile" -> (clusterProfile _)
+    "s_cluster_profile" -> (clusterProfile _),
+    "s_silhouette"      -> (silhouette _),
+    "s_label_spread"    -> (labelSpread _)
   )
 
   private val vSql =
@@ -1460,6 +1538,55 @@ object Similarity {
          |SELECT cell, em.label, count(*)::BIGINT AS n_vecs, min(csim) AS min_csim
          |FROM cells JOIN embeddings em ON cells.vec_id = em.vec_id
          |GROUP BY cell, em.label ORDER BY cell, em.label""".stripMargin,
+    "s_silhouette" ->
+      s"""WITH $vSql,
+         |c0 AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM v WHERE vec_id < 16),
+         |${kmeansIterSql(1, "c0")},
+         |${kmeansIterSql(2, "c1")},
+         |sims AS (SELECT v.vec_id, c.c_id,
+         |    floor(list_dot_product(v.e, c.ce) / (v.nrm * c.cn) * 1e6 + 0.5) / 1e6 AS csim
+         |  FROM v, c2 c),
+         |ranked AS (SELECT vec_id, c_id, csim,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS crk
+         |  FROM sims),
+         |pts AS (SELECT o.vec_id, o.c_id AS cell,
+         |    (1.0 - o.csim) AS a_d, (1.0 - n.csim) AS b_d
+         |  FROM ranked o JOIN ranked n ON o.vec_id = n.vec_id
+         |  WHERE o.crk = 1 AND n.crk = 2),
+         |sq AS (SELECT cell,
+         |    floor((CASE WHEN greatest(a_d, b_d) = 0.0 THEN 0.0
+         |           ELSE (b_d - a_d) / greatest(a_d, b_d) END) * 1e6 + 0.5)::BIGINT AS sil_q
+         |  FROM pts)
+         |SELECT cell, count(*)::BIGINT AS n_vecs,
+         |  floor(SUM(sil_q)::DOUBLE / count(*) + 0.5) / 1e6 AS mean_sil_r,
+         |  MIN(sil_q)::DOUBLE / 1e6 AS min_sil_r,
+         |  MAX(sil_q)::DOUBLE / 1e6 AS max_sil_r
+         |FROM sq GROUP BY cell ORDER BY cell""".stripMargin,
+    "s_label_spread" ->
+      s"""WITH vl AS (SELECT vec_id, label::BIGINT AS label, embedding::DOUBLE[] AS e,
+         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings),
+         |lab AS (SELECT vec_id AS l_id, e AS qe, nrm AS qn, label AS l_label
+         |  FROM vl WHERE vec_id % 4 = 0),
+         |unl AS (SELECT vec_id, e, nrm, label AS true_label
+         |  FROM vl WHERE vec_id % 4 != 0),
+         |sc AS (SELECT u.vec_id, l.l_id, l.l_label,
+         |    floor(list_dot_product(l.qe, u.e) / (l.qn * u.nrm) * 1e6 + 0.5) / 1e6 AS sim_r
+         |  FROM unl u, lab l),
+         |top5 AS (SELECT vec_id, l_id, l_label, sim_r FROM (
+         |    SELECT vec_id, l_id, l_label, sim_r,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY sim_r DESC, l_id) AS rn
+         |    FROM sc) WHERE rn <= 5),
+         |votes AS (SELECT vec_id, l_label, count(*)::BIGINT AS n_votes,
+         |    max(sim_r) AS best_sim FROM top5 GROUP BY 1, 2),
+         |pred AS (SELECT vec_id, l_label, n_votes FROM (
+         |    SELECT vec_id, l_label, n_votes,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY n_votes DESC, best_sim DESC, l_label) AS rn
+         |    FROM votes) WHERE rn = 1)
+         |SELECT p.vec_id, p.l_label AS pred_label, p.n_votes, u.true_label,
+         |  (p.l_label = u.true_label)::BIGINT AS correct
+         |FROM pred p JOIN unl u USING (vec_id) ORDER BY vec_id""".stripMargin,
     "s_knn_graph" ->
       s"""WITH $vSql,
          |$codedSql,

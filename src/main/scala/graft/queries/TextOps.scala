@@ -2611,6 +2611,82 @@ object TextOps {
       .select(col("rk").cast("long").as("rnk"), col("doc_id"), col("score_r"))
       .orderBy("rnk")
 
+  // -- ranked-retrieval evaluation (MRR / nDCG@10) -----------------------------
+  // The eval harness every retrieval stack needs next to its index: for a
+  // fixed query set, rank the corpus by per-term BM25 and score the top-10
+  // against graded pseudo-relevance labels derived from an INDEPENDENT
+  // signal (how early the term first appears in the doc — a title/lead
+  // proxy, the standard weak-label trick when no human qrels exist:
+  // rel = 2 for first occurrence in the lead 10 tokens, 1 within 30, else
+  // 0). Metrics are MRR@10 and nDCG@10. Cross-engine exactness: the rank
+  // discounts 1/log2(r+1) are the ONLY transcendental — they're computed
+  // once in Scala as integer 1e-9 units and inlined as the same literals
+  // into both engines (dcgW), so DCG/IDCG are order-free BIGINT sums and
+  // MRR/nDCG are exact integer divisions. Scale: one corpus scan fans out
+  // to |queries|×matching-docs rows, per-query top-10 is the bounded-heap
+  // TopK — never a global sort, never all queries × all docs.
+  private val evalTerms = Seq("dup", "merge", "spark", "stream", "vector", "window")
+
+  /** floor(1e9/log2(r+1)+0.5) for r=1..10 — inlined into BOTH engines so
+    * neither ever evaluates log2 at query time. */
+  private val dcgW: Seq[Long] = (1 to 10).map(r =>
+    math.floor(1e9 / (math.log(r + 1.0) / math.log(2.0)) + 0.5).toLong)
+
+  private def retrievalEval(s: SparkSession, dir: String): DataFrame = {
+    val toked = docs(s, dir).select(col("doc_id"), tokensExpr.as("toks"))
+    val dl = toked.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = toked
+      .select(col("doc_id"), col("toks"),
+        explode(array(evalTerms.map(lit): _*)).as("term"))
+      .withColumn("tf", expr("cast(size(filter(toks, x -> x = term)) as long)"))
+      .filter(col("tf") > 0)
+      .withColumn("first_pos", expr("array_position(toks, term)"))
+      .withColumn("rel", when(col("first_pos") <= 10, 2L)
+        .when(col("first_pos") <= 30, 1L).otherwise(0L))
+      .select("term", "doc_id", "tf", "rel")
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df_docs"))
+    val w = tf.join(broadcast(dft), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("w",
+        (((col("n_docs").cast("double") - col("df_docs").cast("double")) + lit(0.5)) /
+          (col("df_docs").cast("double") + lit(0.5))) *
+          ((col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
+              (col("dl").cast("double") / col("avgdl"))))))
+      .withColumn("w_r", floor(col("w") * lit(1e6) + lit(0.5)) / lit(1e6))
+    val wArr = array(dcgW.map(lit): _*)
+    val ranked = graft.operators.TopK.perKey(w, Seq(col("term")),
+        Seq(col("w_r").desc, col("doc_id").asc), 10)
+      .withColumn("wgt", element_at(wArr, col("rk").cast("int")))
+      .withColumn("gain",
+        when(col("rel") === 2L, 3L).when(col("rel") === 1L, 1L).otherwise(0L))
+    val dcg = ranked.groupBy("term").agg(
+      sum(col("gain") * col("wgt")).as("dcg_i"),
+      min(when(col("rel") > 0, col("rk").cast("long"))).as("hit0"))
+    val ideal = graft.operators.TopK.perKey(tf.filter(col("rel") > 0),
+        Seq(col("term")), Seq(col("rel").desc, col("doc_id").asc), 10)
+      .withColumn("wgt", element_at(wArr, col("rk").cast("int")))
+      .withColumn("gain", when(col("rel") === 2L, 3L).otherwise(1L))
+      .groupBy("term").agg(sum(col("gain") * col("wgt")).as("idcg_i"))
+    val nrel = tf.filter(col("rel") > 0).groupBy("term")
+      .agg(count(lit(1)).as("n_rel"))
+    dcg.join(ideal, Seq("term"), "left").join(nrel, Seq("term"), "left")
+      .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
+      .withColumn("hit_rank", coalesce(col("hit0"), lit(0L)))
+      .withColumn("mrr_r", when(col("hit_rank") > 0,
+        expr("1000000L div hit_rank").cast("double") / lit(1e6))
+        .otherwise(lit(0.0)))
+      .withColumn("ndcg_r", when(coalesce(col("idcg_i"), lit(0L)) > 0,
+        expr("(dcg_i * 1000000L) div idcg_i").cast("double") / lit(1e6))
+        .otherwise(lit(0.0)))
+      .select("term", "n_rel", "hit_rank", "mrr_r", "ndcg_r")
+      .orderBy("term")
+  }
+
   // -- sequence packing (concat-and-split) -------------------------------------
   // GPT-style training batches: documents are concatenated in a fixed order
   // and split into fixed-length sequences; each doc's global token offset
@@ -3241,6 +3317,7 @@ object TextOps {
     "d_phrase_search"     -> (phraseSearch _),
     "d_phrase_indexed"    -> (phraseIndexed _),
     "d_search_bm25"       -> (searchBm25 _),
+    "d_retrieval_eval"    -> (retrievalEval _),
     "d_search_bool"       -> (searchBool _),
     "d_search_near"       -> (searchNear _),
     "d_phrase_kwic"       -> (phraseKwic _),
@@ -4078,6 +4155,52 @@ object TextOps {
          |  doc_id,
          |  round(${bmTerms.indices.map(i => s"w$i").mkString(" + ")}, 6) AS score_r
          |FROM p ORDER BY rnk LIMIT 10""".stripMargin,
+    "d_retrieval_eval" -> {
+      val wList = dcgW.mkString(", ")
+      s"""WITH d AS (SELECT doc_id,
+         |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+         |dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM d),
+         |stats AS (SELECT count(*)::BIGINT AS n_docs, SUM(dl)::BIGINT AS sum_dl
+         |  FROM dl),
+         |tq AS (SELECT unnest([${evalTerms.map(t => s"'$t'").mkString(", ")}]) AS term),
+         |rf AS (SELECT term, doc_id, tf,
+         |    CASE WHEN first_pos <= 10 THEN 2::BIGINT
+         |         WHEN first_pos <= 30 THEN 1::BIGINT ELSE 0::BIGINT END AS rel
+         |  FROM (SELECT t.term, d.doc_id,
+         |      len(list_filter(d.toks, x -> x = t.term))::BIGINT AS tf,
+         |      list_position(d.toks, t.term)::BIGINT AS first_pos
+         |    FROM d, tq t WHERE list_contains(d.toks, t.term))),
+         |dft AS (SELECT term, count(*)::BIGINT AS df_docs FROM rf GROUP BY 1),
+         |w AS (SELECT rf.term, rf.doc_id, rf.rel,
+         |    floor(((((n_docs::DOUBLE - df_docs::DOUBLE) + 0.5) / (df_docs::DOUBLE + 0.5)) *
+         |      ((tf::DOUBLE * 2.2) / (tf::DOUBLE + 1.2 * (0.25 + 0.75 *
+         |        (dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE)))))) * 1e6 + 0.5) / 1e6 AS w_r
+         |  FROM rf JOIN dft USING (term) JOIN dl USING (doc_id), stats),
+         |ranked AS (SELECT term, doc_id, rel,
+         |    row_number() OVER (PARTITION BY term ORDER BY w_r DESC, doc_id) AS rk
+         |  FROM w QUALIFY rk <= 10),
+         |wt AS (SELECT term, rel, rk,
+         |    ([$wList]::BIGINT[])[rk] AS wgt FROM ranked),
+         |dcg AS (SELECT term,
+         |    SUM((CASE WHEN rel = 2 THEN 3 WHEN rel = 1 THEN 1 ELSE 0 END) * wgt)::BIGINT AS dcg_i,
+         |    MIN(CASE WHEN rel > 0 THEN rk END)::BIGINT AS hit0
+         |  FROM wt GROUP BY 1),
+         |irk AS (SELECT term, rel,
+         |    row_number() OVER (PARTITION BY term ORDER BY rel DESC, doc_id) AS rk
+         |  FROM rf WHERE rel > 0 QUALIFY rk <= 10),
+         |idcg AS (SELECT term,
+         |    SUM((CASE WHEN rel = 2 THEN 3 ELSE 1 END) * ([$wList]::BIGINT[])[rk])::BIGINT AS idcg_i
+         |  FROM irk GROUP BY 1),
+         |nrel AS (SELECT term, count(*)::BIGINT AS n_rel FROM rf WHERE rel > 0 GROUP BY 1)
+         |SELECT dc.term, COALESCE(n.n_rel, 0)::BIGINT AS n_rel,
+         |  COALESCE(dc.hit0, 0)::BIGINT AS hit_rank,
+         |  CASE WHEN COALESCE(dc.hit0, 0) > 0
+         |       THEN (1000000 // dc.hit0)::DOUBLE / 1e6 ELSE 0.0 END AS mrr_r,
+         |  CASE WHEN COALESCE(i.idcg_i, 0) > 0
+         |       THEN ((dc.dcg_i * 1000000) // i.idcg_i)::DOUBLE / 1e6 ELSE 0.0 END AS ndcg_r
+         |FROM dcg dc LEFT JOIN idcg i USING (term) LEFT JOIN nrel n USING (term)
+         |ORDER BY term""".stripMargin
+    },
     "d_quality_classifier" ->
       s"""WITH d AS (SELECT doc_id, $tokensSql AS toks FROM documents),
          |f AS (SELECT doc_id,
