@@ -3521,10 +3521,11 @@ object TextOps {
          |sh AS MATERIALIZED (SELECT doc_id, $shingleSql AS ss FROM zdocs),
          |inv AS MATERIALIZED (SELECT doc_id, unnest(ss) AS s FROM sh),
          |dfs AS (SELECT s, COUNT(*) AS df FROM inv GROUP BY s),
+         |lens AS (SELECT doc_id, len(ss)::BIGINT AS nss FROM sh),
          |pfx AS MATERIALIZED (SELECT doc_id, s, rk, nss FROM (
-         |  SELECT i.doc_id, i.s, len(sh.ss)::BIGINT AS nss,
+         |  SELECT i.doc_id, i.s, lens.nss,
          |    row_number() OVER (PARTITION BY i.doc_id ORDER BY d.df, i.s)::BIGINT AS rk
-         |  FROM inv i JOIN dfs d USING (s) JOIN sh USING (doc_id))
+         |  FROM inv i JOIN dfs d USING (s) JOIN lens USING (doc_id))
          |  WHERE rk <= nss - (7 * nss + 9) // 10 + 2),
          |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
          |  FROM pfx a JOIN pfx b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -3533,11 +3534,14 @@ object TextOps {
          |  HAVING 17 * (count(*) +
          |      least(max(a.nss) - max(a.rk), max(b.nss) - max(b.rk))) >=
          |    7 * (max(a.nss) + max(b.nss))),
-         |scored AS (SELECT a_id, b_id,
-         |  len(list_intersect(sa.ss, sb.ss))::BIGINT AS n_common,
-         |  (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)))::BIGINT AS n_union
-         |  FROM cand JOIN sh sa ON cand.a_id = sa.doc_id
-         |            JOIN sh sb ON cand.b_id = sb.doc_id)
+         |scored AS (SELECT c.a_id, c.b_id, count(*)::BIGINT AS n_common,
+         |  (any_value(la.nss) + any_value(lb.nss) - count(*))::BIGINT AS n_union
+         |  FROM cand c
+         |  JOIN inv ia ON ia.doc_id = c.a_id
+         |  JOIN inv ib ON ib.doc_id = c.b_id AND ib.s = ia.s
+         |  JOIN lens la ON la.doc_id = c.a_id
+         |  JOIN lens lb ON lb.doc_id = c.b_id
+         |  GROUP BY 1, 2)
          |SELECT a_id, b_id, n_common, n_union,
          |  n_common::DOUBLE / n_union::DOUBLE AS jaccard
          |FROM scored WHERE n_common::DOUBLE / n_union::DOUBLE >= 0.7
