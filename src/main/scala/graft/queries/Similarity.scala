@@ -67,6 +67,72 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  // -- MMR diversification of a retrieval list ---------------------------------
+  // Maximal Marginal Relevance — the standard de-redundancy re-rank between
+  // ANN retrieval and a RAG context window: greedily pick 5 of the top-20
+  // cosine candidates, each round scoring every remaining candidate as
+  // lambda*sim(q,d) - (1-lambda)*max_{s in selected} sim(d,s) (lambda=0.7).
+  // The greedy loop is inherently sequential in k but k is a SMALL constant
+  // (the context budget), so it unrolls into 5 relational rounds — each a
+  // candidate-sized join, never a corpus pass (the kmeans/BPE/Bradley-Terry
+  // unroll pattern, mirrored CTE-for-CTE in the DuckDB oracle). All pair
+  // similarities come from ONE k^2-per-query join computed up front;
+  // decisions rank on floor-6dp-quantized scores with vec_id tie-break, so
+  // both engines pick identical items every round. Scale: cost is
+  // queries x k^2 after the ANN candidate step — the corpus appears only in
+  // the top-20 scan, which at fleet scale is the served IVF probe instead.
+  private def mmrDiversify(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+    val q = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val scored = v.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("sim_r",
+        floor(dotQE / (col("qn") * col("nrm")) * lit(1e6) + lit(0.5)) / lit(1e6))
+    val cand = graft.operators.TopK.perKey(scored, Seq(col("q_id")),
+        Seq(col("sim_r").desc, col("vec_id").asc), 20)
+      .select(col("q_id"), col("vec_id"), col("sim_r"), col("e"), col("nrm"))
+      .persist()
+    val ps = cand.select(col("q_id"), col("vec_id").as("x_id"),
+        col("e").as("xe"), col("nrm").as("xn"))
+      .join(cand.select(col("q_id"), col("vec_id").as("y_id"),
+        col("e").as("ye"), col("nrm").as("yn")), Seq("q_id"))
+      .filter(col("x_id") =!= col("y_id"))
+      .withColumn("psim",
+        floor(vecDot(col("xe"), col("ye")) / (col("xn") * col("yn"))
+          * lit(1e6) + lit(0.5)) / lit(1e6))
+      .select("q_id", "x_id", "y_id", "psim")
+      .persist()
+    def scoreCol(pen: Column): Column =
+      floor((lit(0.7) * col("sim_r") - lit(0.3) * pen) * lit(1e6) + lit(0.5)) / lit(1e6)
+    // queries x k rows: localCheckpoint per round truncates the otherwise
+    // 5-round-deep lineage (each round re-analyzing all prior rounds' plans
+    // dominated wall time, not the data)
+    val candSlim = cand.select("q_id", "vec_id", "sim_r").localCheckpoint()
+    var sel = graft.operators.TopK.perKey(
+        candSlim.withColumn("score_r", scoreCol(lit(0.0))),
+        Seq(col("q_id")), Seq(col("score_r").desc, col("vec_id").asc), 1)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("rnk"),
+        col("sim_r"), col("score_r"))
+      .localCheckpoint()
+    for (k <- 2 to 5) {
+      val rem = candSlim.join(sel.select("q_id", "vec_id"),
+        Seq("q_id", "vec_id"), "left_anti")
+      val pen = ps.join(sel.select(col("q_id"), col("vec_id").as("y_id")),
+          Seq("q_id", "y_id"))
+        .groupBy("q_id", "x_id").agg(max(col("psim")).as("pen"))
+        .withColumnRenamed("x_id", "vec_id")
+      val next = graft.operators.TopK.perKey(
+          rem.join(pen, Seq("q_id", "vec_id"), "left")
+            .withColumn("score_r", scoreCol(coalesce(col("pen"), lit(0.0)))),
+          Seq(col("q_id")), Seq(col("score_r").desc, col("vec_id").asc), 1)
+        .select(col("q_id"), col("vec_id"), lit(k.toLong).as("rnk"),
+          col("sim_r"), col("score_r"))
+      sel = sel.unionByName(next).localCheckpoint()
+    }
+    sel.orderBy("q_id", "rnk")
+  }
+
   // -- LSH (random-hyperplane / sign-code) ANN --------------------------------
   private def annLsh(s: SparkSession, dir: String): DataFrame = {
     val v = vecs(s, dir)
@@ -1073,7 +1139,8 @@ object Similarity {
     "s_knn_graph"       -> (knnGraph _),
     "s_cluster_profile" -> (clusterProfile _),
     "s_silhouette"      -> (silhouette _),
-    "s_label_spread"    -> (labelSpread _)
+    "s_label_spread"    -> (labelSpread _),
+    "s_mmr_diversify"   -> (mmrDiversify _)
   )
 
   private val vSql =
@@ -1587,6 +1654,47 @@ object Similarity {
          |SELECT p.vec_id, p.l_label AS pred_label, p.n_votes, u.true_label,
          |  (p.l_label = u.true_label)::BIGINT AS correct
          |FROM pred p JOIN unl u USING (vec_id) ORDER BY vec_id""".stripMargin,
+    "s_mmr_diversify" -> {
+      val iters = (2 to 5).map { k =>
+        s"""rem$k AS (SELECT c.q_id, c.vec_id, c.sim_r FROM cand c
+           |  LEFT JOIN cum${k - 1} s ON s.q_id = c.q_id AND s.vec_id = c.vec_id
+           |  WHERE s.vec_id IS NULL),
+           |pen$k AS (SELECT ps.q_id, ps.x_id AS vec_id, max(ps.psim) AS pen
+           |  FROM ps JOIN cum${k - 1} s ON s.q_id = ps.q_id AND s.vec_id = ps.y_id
+           |  GROUP BY 1, 2),
+           |sel$k AS (SELECT q_id, vec_id, $k::BIGINT AS rnk, sim_r, score_r FROM (
+           |    SELECT r.q_id, r.vec_id, r.sim_r,
+           |      floor((0.7 * r.sim_r - 0.3 * COALESCE(p.pen, 0.0)) * 1e6 + 0.5) / 1e6 AS score_r,
+           |      row_number() OVER (PARTITION BY r.q_id ORDER BY
+           |        floor((0.7 * r.sim_r - 0.3 * COALESCE(p.pen, 0.0)) * 1e6 + 0.5) / 1e6 DESC,
+           |        r.vec_id) AS rn
+           |    FROM rem$k r LEFT JOIN pen$k p ON p.q_id = r.q_id AND p.vec_id = r.vec_id)
+           |  WHERE rn = 1),
+           |cum$k AS (SELECT * FROM cum${k - 1} UNION ALL SELECT * FROM sel$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $vSql,
+         |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM v WHERE vec_id < 10),
+         |sc AS (SELECT q_id, v.vec_id,
+         |    floor(list_dot_product(qe, v.e) / (qn * v.nrm) * 1e6 + 0.5) / 1e6 AS sim_r
+         |  FROM q, v WHERE v.vec_id != q_id),
+         |cand AS (SELECT q_id, vec_id, sim_r FROM (
+         |    SELECT q_id, vec_id, sim_r,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY sim_r DESC, vec_id) AS rn
+         |    FROM sc) WHERE rn <= 20),
+         |ps AS (SELECT c1.q_id, c1.vec_id AS x_id, c2.vec_id AS y_id,
+         |    floor(list_dot_product(vx.e, vy.e) / (vx.nrm * vy.nrm) * 1e6 + 0.5) / 1e6 AS psim
+         |  FROM cand c1 JOIN cand c2 ON c1.q_id = c2.q_id AND c1.vec_id != c2.vec_id
+         |  JOIN v vx ON vx.vec_id = c1.vec_id JOIN v vy ON vy.vec_id = c2.vec_id),
+         |cum1 AS (SELECT q_id, vec_id, 1::BIGINT AS rnk, sim_r, score_r FROM (
+         |    SELECT q_id, vec_id, sim_r,
+         |      floor((0.7 * sim_r - 0.3 * 0.0) * 1e6 + 0.5) / 1e6 AS score_r,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY
+         |        floor((0.7 * sim_r - 0.3 * 0.0) * 1e6 + 0.5) / 1e6 DESC, vec_id) AS rn
+         |    FROM cand) WHERE rn = 1),
+         |$iters
+         |SELECT q_id, vec_id, rnk, sim_r, score_r FROM cum5
+         |ORDER BY q_id, rnk""".stripMargin
+    },
     "s_knn_graph" ->
       s"""WITH $vSql,
          |$codedSql,

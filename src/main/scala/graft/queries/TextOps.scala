@@ -197,7 +197,11 @@ object TextOps {
         .as(Seq("band_idx", "band_hash")))
   }
 
-  private def dedupMinHash(s: SparkSession, dir: String): DataFrame = {
+  /** Verified MinHash near-dup pairs (exact trigram-set jaccard >= 0.7
+    * behind the 4x3 banded-LSH candidate step) — shared by d_dedup_minhash
+    * and the ROUGE pair eval so the two cannot drift on what "a near-dup
+    * pair" means. */
+  private def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
     val d = minhashPrep(docs(s, dir))
     val bands = minhashBandsOf(d)
     val a = bands.select(col("band_idx"), col("band_hash"), col("doc_id").as("a_id"))
@@ -216,6 +220,61 @@ object TextOps {
         col("n_common").cast("double") / col("n_union").cast("double"))
       .filter(col("jaccard") >= 0.7)
       .select(col("a_id"), col("b_id"), col("n_common"), col("n_union"), col("jaccard"))
+  }
+
+  private def dedupMinHash(s: SparkSession, dir: String): DataFrame =
+    minhashVerifiedPairs(s, dir).orderBy("a_id", "b_id")
+
+  // -- generation-eval staple: ROUGE-1/2 F1 over the near-dup pairs ------------
+  // The n-gram overlap metric every summarization/generation eval stack
+  // reports, run where a data pipeline actually needs it: quantifying HOW
+  // similar each verified near-dup pair is before choosing a survivor
+  // (jaccard on shingle SETS ignores multiplicity; ROUGE counts clipped
+  // multiset overlap, so boilerplate-heavy repeats score differently).
+  // Exactness: overlap = sum of per-gram min(count_a, count_b) — exact
+  // BIGINTs; since precision and recall share that numerator, F1 collapses
+  // to 2*ov/(len_a+len_b): ONE double division from exact integers, no
+  // rounding needed. Scale: cost is pairs x doc length through two
+  // gram-count equi joins — never corpus x corpus; the gram-count frames
+  // are one tokenize scan each.
+  private def rougePairs(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashVerifiedPairs(s, dir).select("a_id", "b_id")
+    val toked = docs(s, dir).select(col("doc_id"), tokensExpr.as("toks"))
+      .persist()
+    val uni = toked.select(col("doc_id"), explode(col("toks")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val bi = toked
+      .withColumn("bgs", expr(
+        "case when size(toks) < 2 then array() else " +
+          "transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) end"))
+      .select(col("doc_id"), explode(col("bgs")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val lens = toked.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n1"),
+      greatest(size(col("toks")) - 1, lit(0)).cast("long").as("n2"))
+    def overlap(grams: DataFrame, out: String) = pairs
+      .join(grams.select(col("doc_id").as("a_id"), col("g"), col("c").as("ca")),
+        Seq("a_id"))
+      .join(grams.select(col("doc_id").as("b_id"), col("g"), col("c").as("cb")),
+        Seq("b_id", "g"))
+      .groupBy("a_id", "b_id")
+      .agg(sum(least(col("ca"), col("cb"))).as(out))
+    def f1(ov: Column, na: Column, nb: Column): Column =
+      when(na + nb === 0, lit(0.0))
+        .otherwise(lit(2.0) * ov.cast("double") / (na + nb).cast("double"))
+    pairs
+      .join(lens.select(col("doc_id").as("a_id"),
+        col("n1").as("n1_a"), col("n2").as("n2_a")), Seq("a_id"))
+      .join(lens.select(col("doc_id").as("b_id"),
+        col("n1").as("n1_b"), col("n2").as("n2_b")), Seq("b_id"))
+      .join(overlap(uni, "ov1"), Seq("a_id", "b_id"), "left")
+      .join(overlap(bi, "ov2"), Seq("a_id", "b_id"), "left")
+      .withColumn("ov1", coalesce(col("ov1"), lit(0L)))
+      .withColumn("ov2", coalesce(col("ov2"), lit(0L)))
+      .select(col("a_id"), col("b_id"), col("ov1"), col("ov2"),
+        f1(col("ov1"), col("n1_a"), col("n1_b")).as("rouge1_f"),
+        f1(col("ov2"), col("n2_a"), col("n2_b")).as("rouge2_f"))
       .orderBy("a_id", "b_id")
   }
 
@@ -3239,6 +3298,7 @@ object TextOps {
     "d_dedup_ngram_prefix" -> (dedupNgramPrefix _),
     "d_dedup_prefix_zipf" -> (dedupPrefixZipf _),
     "d_dedup_minhash"     -> (dedupMinHash _),
+    "d_rouge_pairs"       -> (rougePairs _),
     "d_dedup_simhash"     -> (dedupSimHash _),
     "d_dedup_clusters"    -> (dedupClusters _),
     "d_dedup_combined"    -> (dedupCombined _),
@@ -3569,6 +3629,41 @@ object TextOps {
          |  n_common::DOUBLE / n_union::DOUBLE AS jaccard
          |FROM scored WHERE n_common::DOUBLE / n_union::DOUBLE >= 0.7
          |ORDER BY a_id, b_id""".stripMargin,
+    "d_rouge_pairs" ->
+      s"""WITH $minhashCtes,
+         |pairs AS (SELECT a_id, b_id FROM scored
+         |  WHERE n_common::DOUBLE / n_union::DOUBLE >= 0.7),
+         |rtk AS (SELECT doc_id,
+         |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+         |u1 AS (SELECT doc_id, unnest(toks) AS g FROM rtk),
+         |g1 AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM u1 GROUP BY 1, 2),
+         |u2 AS (SELECT doc_id,
+         |    unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[]) ELSE
+         |      list_transform(generate_series(1, len(toks) - 1),
+         |        i -> toks[i] || ' ' || toks[i + 1]) END) AS g
+         |  FROM rtk),
+         |g2 AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM u2 GROUP BY 1, 2),
+         |lens AS (SELECT doc_id, len(toks)::BIGINT AS n1,
+         |    greatest(len(toks) - 1, 0)::BIGINT AS n2 FROM rtk),
+         |ov1 AS (SELECT p.a_id, p.b_id, sum(least(a.c, b.c))::BIGINT AS ov
+         |  FROM pairs p JOIN g1 a ON a.doc_id = p.a_id
+         |    JOIN g1 b ON b.doc_id = p.b_id AND b.g = a.g GROUP BY 1, 2),
+         |ov2 AS (SELECT p.a_id, p.b_id, sum(least(a.c, b.c))::BIGINT AS ov
+         |  FROM pairs p JOIN g2 a ON a.doc_id = p.a_id
+         |    JOIN g2 b ON b.doc_id = p.b_id AND b.g = a.g GROUP BY 1, 2)
+         |SELECT p.a_id, p.b_id,
+         |  COALESCE(o1.ov, 0)::BIGINT AS ov1, COALESCE(o2.ov, 0)::BIGINT AS ov2,
+         |  CASE WHEN la.n1 + lb.n1 = 0 THEN 0.0
+         |    ELSE 2.0 * COALESCE(o1.ov, 0)::DOUBLE / (la.n1 + lb.n1)::DOUBLE
+         |  END AS rouge1_f,
+         |  CASE WHEN la.n2 + lb.n2 = 0 THEN 0.0
+         |    ELSE 2.0 * COALESCE(o2.ov, 0)::DOUBLE / (la.n2 + lb.n2)::DOUBLE
+         |  END AS rouge2_f
+         |FROM pairs p JOIN lens la ON la.doc_id = p.a_id
+         |  JOIN lens lb ON lb.doc_id = p.b_id
+         |  LEFT JOIN ov1 o1 ON o1.a_id = p.a_id AND o1.b_id = p.b_id
+         |  LEFT JOIN ov2 o2 ON o2.a_id = p.a_id AND o2.b_id = p.b_id
+         |ORDER BY p.a_id, p.b_id""".stripMargin,
     // transitive closure of the verified pairs via a recursive CTE;
     // cluster id = least reachable doc_id (incl. self)
     "d_dedup_clusters" ->

@@ -52,6 +52,72 @@ class EvalOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("d_rouge_pairs: covers exactly the verified near-dup pairs, F1 exact") {
+    val rouge = graft.SparkEntry.queries("d_rouge_pairs")(spark, sf01).collect()
+    val dedup = graft.SparkEntry.queries("d_dedup_minhash")(spark, sf01).collect()
+    assert(rouge.map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet ==
+      dedup.map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet,
+      "ROUGE rows must be 1:1 with the verified near-dup pairs")
+    // independent recompute of ROUGE-1/2 for every pair from the raw text
+    val toks = spark.read.parquet(s"$sf01/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        "[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase).toSeq).toMap
+    def counts(g: Seq[String]) = g.groupBy(identity).map { case (k, v) => k -> v.size }
+    def overlap(a: Map[String, Int], b: Map[String, Int]): Long =
+      a.map { case (g, ca) => math.min(ca, b.getOrElse(g, 0)).toLong }.sum
+    rouge.foreach { r =>
+      val (a, b) = (toks(r.getAs[Long]("a_id")), toks(r.getAs[Long]("b_id")))
+      val ov1 = overlap(counts(a), counts(b))
+      val bg = (t: Seq[String]) => t.sliding(2).filter(_.size == 2)
+        .map(_.mkString(" ")).toSeq
+      val ov2 = overlap(counts(bg(a)), counts(bg(b)))
+      assert(r.getAs[Long]("ov1") == ov1 && r.getAs[Long]("ov2") == ov2)
+      assert(r.getAs[Double]("rouge1_f") == 2.0 * ov1 / (a.size + b.size).toDouble)
+      val n2 = (a.size - 1).max(0) + (b.size - 1).max(0)
+      assert(r.getAs[Double]("rouge2_f") ==
+        (if (n2 == 0) 0.0 else 2.0 * ov2 / n2.toDouble))
+    }
+  }
+
+  test("s_mmr_diversify: greedy scores are non-increasing and match brute force") {
+    val out = graft.SparkEntry.queries("s_mmr_diversify")(spark, sf001).collect()
+    val byQ = out.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 10 && byQ.values.forall(_.length == 5))
+    byQ.foreach { case (q, rows) =>
+      val ordered = rows.sortBy(_.getAs[Long]("rnk"))
+      assert(ordered.map(_.getAs[Long]("vec_id")).distinct.length == 5)
+      assert(!ordered.exists(_.getAs[Long]("vec_id") == q), "query never selects itself")
+      val scores = ordered.map(_.getAs[Double]("score_r"))
+      assert(scores.zip(scores.tail).forall { case (x, y) => x >= y },
+        s"q=$q: greedy MMR score sequence must be non-increasing: ${scores.toSeq}")
+    }
+    // brute-force greedy recompute for every query
+    val vs = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]) =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i).toDouble * b(i).toDouble)
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def sim(a: Long, b: Long) =
+      q6(dot(vs(a), vs(b)) / (math.sqrt(dot(vs(a), vs(a))) * math.sqrt(dot(vs(b), vs(b)))))
+    byQ.foreach { case (q, rows) =>
+      val cand = vs.keys.filter(_ != q).toSeq
+        .map(id => id -> sim(q, id)).sortBy { case (id, s) => (-s, id) }.take(20)
+      var selected = Vector.empty[Long]
+      (1 to 5).foreach { _ =>
+        val pick = cand.filterNot { case (id, _) => selected.contains(id) }
+          .map { case (id, s) =>
+            val pen = if (selected.isEmpty) 0.0 else selected.map(sim(id, _)).max
+            (id, q6(0.7 * s - 0.3 * pen))
+          }.sortBy { case (id, sc) => (-sc, id) }.head._1
+        selected :+= pick
+      }
+      assert(rows.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Long]("vec_id")).toSeq
+        == selected, s"q=$q: Spark MMR differs from brute-force greedy")
+    }
+  }
+
   test("s_label_spread: vote mechanics match a brute-force recompute") {
     val out = graft.SparkEntry.queries("s_label_spread")(spark, sf001)
       .collect().map(r => r.getAs[Long]("vec_id") ->

@@ -22,6 +22,9 @@ object ExplainCheck {
     "s_ann_graph_expand", // broadcast centroid assignment × corpus scan
     "s_ann_recall", // both audited legs are the broadcast-query × corpus shape
     "s_pack_semantic", // broadcast centroid assignment × corpus scan
+    "s_silhouette", // broadcast k-means centroids × corpus scan (top-2 assign)
+    "s_label_spread", // broadcast labeled seed set × unlabeled corpus scan
+    "s_mmr_diversify", // broadcast query vectors × corpus scan (candidate step)
     "d_decontaminate",
     // crossJoin(broadcast(<=#groups-row aggregate>)) — the scalar-attach
     // pattern (grand totals, corpus counts, temperature rates); a BNLJ
@@ -32,6 +35,7 @@ object ExplainCheck {
     "d_sample_estimate", // two 1-row stats frames joined scalar-style
     "d_drift_chi2", // 1-row snapshot totals attached onto bucket counts
     "d_search_bm25", // 1-row (n_docs, sum_dl) stats attach onto posting rows
+    "d_retrieval_eval", // same 1-row (n_docs, sum_dl) stats attach per term row
     "s_search_served", // same stats attach + broadcast centroid assignment
     "d_distinct_overlap", // six 1-row sketch/exact scalars assembled
     "q11_important_stock", "q22_idle_balance", "q_ntile_global", "q_share",
