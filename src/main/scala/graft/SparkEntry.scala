@@ -58,6 +58,9 @@ object SparkEntry {
     // the same join on POWER-LAW df (fixed-size Zipf fixture, so this
     // trend line is sf-independent and measures the prefix filters where
     // they matter)
-    "d_dedup_prefix_zipf"
+    "d_dedup_prefix_zipf",
+    // round-9 session-2 eval/serving ops: ranked-retrieval metrics over
+    // the corpus scan, and the unrolled greedy MMR re-rank
+    "d_retrieval_eval", "s_mmr_diversify"
   )
 }

@@ -133,6 +133,64 @@ object Similarity {
     sel.orderBy("q_id", "rnk")
   }
 
+  // -- coreset selection: k-center greedy (farthest-point traversal) -----------
+  // The prototype-selection step of diversity-pruning pipelines (SemDeDup/
+  // D4 family): pick 8 corpus exemplars by greedy maximin — start from
+  // vec 0, each round add the point FARTHEST from everything selected so
+  // far (quantized cosine distance, ties to the lower id), then audit
+  // coverage by assigning every vector to its nearest center (n_assigned +
+  // coverage radius per center). The greedy recurrence is k sequential
+  // rounds, but each round is ONE narrow corpus scan: the running
+  // min-distance-to-selected folds incrementally (mind_k = least(mind_k-1,
+  // d(new center))), so cost is k scans — never k x |selected| and never
+  // the pair space. The newly picked center flows back in as a broadcast
+  // 1-row frame (fully relational — no driver round-trip), and per-round
+  // localCheckpoints keep the 8-round lineage flat. Oracle: the identical
+  // unroll CTE-for-CTE in DuckDB on the shared floor-6dp distance.
+  private val KCenters = 8
+
+  private def kcenterSelect(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+    def distTo(ce: Column, cn: Column): Column =
+      lit(1.0) - floor(vecDot(col("e"), ce) / (col("nrm") * cn)
+        * lit(1e6) + lit(0.5)) / lit(1e6)
+    val c1 = v.filter(col("vec_id") === 0)
+      .select(col("e").as("ce"), col("nrm").as("cn"))
+    var state = v.crossJoin(broadcast(c1))
+      .withColumn("mind", distTo(col("ce"), col("cn")))
+      .select(col("vec_id"), col("e"), col("nrm"), col("mind"))
+      .localCheckpoint()
+    var sel = state.filter(col("vec_id") === 0)
+      .select(lit(1L).as("rnk"), col("vec_id"), lit(0.0).as("dist_r"))
+    for (k <- 2 to KCenters) {
+      val pick = graft.operators.TopK.global(state,
+          Seq(col("mind").desc, col("vec_id").asc), 1)
+        .select(col("vec_id").as("c_id"), col("e").as("ce"),
+          col("nrm").as("cn"), col("mind").as("cd"))
+      sel = sel.unionByName(pick.select(lit(k.toLong).as("rnk"),
+        col("c_id").as("vec_id"), col("cd").as("dist_r")))
+      state = state.crossJoin(broadcast(pick.select("ce", "cn")))
+        .withColumn("mind", least(col("mind"), distTo(col("ce"), col("cn"))))
+        .select(col("vec_id"), col("e"), col("nrm"), col("mind"))
+        .localCheckpoint()
+      sel = sel.localCheckpoint()
+    }
+    // coverage audit: nearest-center assignment (ties to the earlier-
+    // selected center), rolled up to per-center count + radius
+    val cents = sel.join(v, Seq("vec_id"))
+      .select(col("rnk"), col("vec_id").as("c_id"),
+        col("e").as("ce"), col("nrm").as("cn"))
+    val assigned = graft.operators.TopK.perKey(
+        v.crossJoin(broadcast(cents)).withColumn("d", distTo(col("ce"), col("cn"))),
+        Seq(col("vec_id")), Seq(col("d").asc, col("rnk").asc), 1)
+      .select(col("vec_id"), col("rnk"), col("d"))
+    sel.join(assigned.groupBy("rnk").agg(count(lit(1)).as("n_assigned"),
+        max(col("d")).as("radius_r")), Seq("rnk"))
+      .select(col("rnk"), col("vec_id"), col("dist_r"),
+        col("n_assigned"), col("radius_r"))
+      .orderBy("rnk")
+  }
+
   // -- LSH (random-hyperplane / sign-code) ANN --------------------------------
   private def annLsh(s: SparkSession, dir: String): DataFrame = {
     val v = vecs(s, dir)
@@ -1140,7 +1198,8 @@ object Similarity {
     "s_cluster_profile" -> (clusterProfile _),
     "s_silhouette"      -> (silhouette _),
     "s_label_spread"    -> (labelSpread _),
-    "s_mmr_diversify"   -> (mmrDiversify _)
+    "s_mmr_diversify"   -> (mmrDiversify _),
+    "s_kcenter_select"  -> (kcenterSelect _)
   )
 
   private val vSql =
@@ -1654,6 +1713,40 @@ object Similarity {
          |SELECT p.vec_id, p.l_label AS pred_label, p.n_votes, u.true_label,
          |  (p.l_label = u.true_label)::BIGINT AS correct
          |FROM pred p JOIN unl u USING (vec_id) ORDER BY vec_id""".stripMargin,
+    "s_kcenter_select" -> {
+      def dSql(pe: String, pn: String) =
+        s"1.0 - floor(list_dot_product(s.e, $pe) / (s.nrm * $pn) * 1e6 + 0.5) / 1e6"
+      val iters = (2 to KCenters).map { k =>
+        s"""pk$k AS (SELECT vec_id, e, nrm, mind FROM (
+           |    SELECT *, row_number() OVER (ORDER BY mind DESC, vec_id) AS rn
+           |    FROM st${k - 1}) WHERE rn = 1),
+           |p$k AS (SELECT $k::BIGINT AS rnk, vec_id, mind AS dist_r FROM pk$k),
+           |st$k AS (SELECT s.vec_id, s.e, s.nrm,
+           |    least(s.mind, ${dSql("p.e", "p.nrm")}) AS mind
+           |  FROM st${k - 1} s, pk$k p)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $vSql,
+         |c1 AS (SELECT e AS ce, nrm AS cn FROM v WHERE vec_id = 0),
+         |st1 AS (SELECT s.vec_id, s.e, s.nrm,
+         |    ${dSql("c1.ce", "c1.cn")} AS mind
+         |  FROM v s, c1),
+         |p1 AS (SELECT 1::BIGINT AS rnk, 0::BIGINT AS vec_id, 0.0::DOUBLE AS dist_r),
+         |$iters,
+         |sel AS (${(1 to KCenters).map(k => s"SELECT * FROM p$k").mkString(" UNION ALL ")}),
+         |cents AS (SELECT sel.rnk, v.e AS ce, v.nrm AS cn
+         |  FROM sel JOIN v ON v.vec_id = sel.vec_id),
+         |asg0 AS (SELECT s.vec_id, c.rnk,
+         |    1.0 - floor(list_dot_product(s.e, c.ce) / (s.nrm * c.cn) * 1e6 + 0.5) / 1e6 AS d
+         |  FROM v s, cents c),
+         |asg AS (SELECT vec_id, rnk, d FROM (
+         |    SELECT vec_id, rnk, d,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, rnk) AS rn
+         |    FROM asg0) WHERE rn = 1),
+         |agg AS (SELECT rnk, count(*)::BIGINT AS n_assigned, max(d) AS radius_r
+         |  FROM asg GROUP BY 1)
+         |SELECT sel.rnk, sel.vec_id, sel.dist_r, agg.n_assigned, agg.radius_r
+         |FROM sel JOIN agg USING (rnk) ORDER BY sel.rnk""".stripMargin
+    },
     "s_mmr_diversify" -> {
       val iters = (2 to 5).map { k =>
         s"""rem$k AS (SELECT c.q_id, c.vec_id, c.sim_r FROM cand c

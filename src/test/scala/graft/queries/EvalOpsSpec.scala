@@ -118,6 +118,35 @@ class EvalOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("s_kcenter_select: greedy maximin selection matches brute force") {
+    val out = graft.SparkEntry.queries("s_kcenter_select")(spark, sf001)
+      .collect().sortBy(_.getAs[Long]("rnk"))
+    assert(out.length == 8)
+    assert(out.map(_.getAs[Long]("n_assigned")).sum ==
+      spark.read.parquet(s"$sf001/embeddings.parquet").count(),
+      "assignment must partition the corpus")
+    val vs = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]) =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i).toDouble * b(i).toDouble)
+    def dist(a: Long, b: Long) = 1.0 - math.floor(dot(vs(a), vs(b)) /
+      (math.sqrt(dot(vs(a), vs(a))) * math.sqrt(dot(vs(b), vs(b)))) * 1e6 + 0.5) / 1e6
+    var centers = Vector(0L)
+    var mind = vs.keys.map(id => id -> dist(id, 0L)).toMap
+    (2 to 8).foreach { _ =>
+      val pick = mind.toSeq.sortBy { case (id, d) => (-d, id) }.head._1
+      centers :+= pick
+      mind = mind.map { case (id, d) => id -> math.min(d, dist(id, pick)) }
+    }
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq == centers,
+      s"selection order differs: spark=${out.map(_.getAs[Long]("vec_id")).toSeq} vs $centers")
+    // maximin dist_r sequence is non-increasing after round 2
+    val d = out.map(_.getAs[Double]("dist_r")).drop(1)
+    assert(d.zip(d.tail).forall { case (x, y) => x >= y },
+      s"maximin radius must shrink monotonically: ${d.toSeq}")
+  }
+
   test("s_label_spread: vote mechanics match a brute-force recompute") {
     val out = graft.SparkEntry.queries("s_label_spread")(spark, sf001)
       .collect().map(r => r.getAs[Long]("vec_id") ->

@@ -25,6 +25,7 @@ object ExplainCheck {
     "s_silhouette", // broadcast k-means centroids × corpus scan (top-2 assign)
     "s_label_spread", // broadcast labeled seed set × unlabeled corpus scan
     "s_mmr_diversify", // broadcast query vectors × corpus scan (candidate step)
+    "s_kcenter_select", // broadcast 1-row picked center × corpus scan per round
     "d_decontaminate",
     // crossJoin(broadcast(<=#groups-row aggregate>)) — the scalar-attach
     // pattern (grand totals, corpus counts, temperature rates); a BNLJ
