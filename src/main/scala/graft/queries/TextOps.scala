@@ -481,6 +481,43 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // -- classifier calibration: reliability-diagram bins -------------------------
+  // The eval that decides whether a quality classifier's SCORES are usable
+  // as probabilities (for threshold picking / importance weighting) or only
+  // as a ranking: docs bucket into 10 equal-width confidence bins; each bin
+  // reports mean confidence vs empirical accuracy against an INDEPENDENT
+  // reference label (the relative quality gate's above-lang-median rule —
+  // the d_quality_gate_rel spelling). The per-bin |acc − conf| column is
+  // the reliability-diagram gap; ECE is its n-weighted sum, left derivable
+  // so no cross-bin float summation ever happens inside the gate. Exactness:
+  // the 6dp score quantizes to integer 1e-6 units BEFORE the bin sum
+  // (sum of k/1e6 doubles would be order-dependent; the BIGINT sum is not),
+  // and acc/conf are single divisions of exact integers. One scan + a
+  // 10-row aggregate; the lang-median threshold is a broadcast.
+  private def calibrationBins(s: SparkSession, dir: String): DataFrame = {
+    val scores = qualityClassifier(s, dir).select("doc_id", "score_r")
+    val d = docs(s, dir).select(col("doc_id"), col("lang"),
+      size(tokensExpr).cast("long").as("n_tokens"))
+    val th = d.groupBy(col("lang").as("t_lang"))
+      .agg(expr("percentile(n_tokens, 0.5)").as("p50"))
+    val labeled = d.join(broadcast(th), col("lang") === col("t_lang"))
+      .withColumn("label",
+        when(col("n_tokens").cast("double") >= col("p50"), 1L).otherwise(0L))
+      .select("doc_id", "label")
+    scores.join(labeled, Seq("doc_id"))
+      .withColumn("bin", least(floor(col("score_r") * 10).cast("long"), lit(9L)))
+      .withColumn("score_u", floor(col("score_r") * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("label")).as("n_pos"),
+        sum(col("score_u")).as("sum_u"))
+      .withColumn("conf_r",
+        (col("sum_u").cast("double") / col("n_docs").cast("double")) / lit(1e6))
+      .withColumn("acc_r", col("n_pos").cast("double") / col("n_docs").cast("double"))
+      .withColumn("gap_r", abs(col("acc_r") - col("conf_r")))
+      .select("bin", "n_docs", "n_pos", "conf_r", "acc_r", "gap_r")
+      .orderBy("bin")
+  }
+
   /** Marker stopwords per candidate language (shared with the oracle). */
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "is"),
@@ -3378,6 +3415,7 @@ object TextOps {
     "d_phrase_indexed"    -> (phraseIndexed _),
     "d_search_bm25"       -> (searchBm25 _),
     "d_retrieval_eval"    -> (retrievalEval _),
+    "d_calibration"       -> (calibrationBins _),
     "d_search_bool"       -> (searchBool _),
     "d_search_near"       -> (searchNear _),
     "d_phrase_kwic"       -> (phraseKwic _),
@@ -4320,6 +4358,38 @@ object TextOps {
          |  (CASE WHEN round(1.0 / (1.0 + exp(-z)), 6) >= $QcTau
          |    THEN 1 ELSE 0 END)::BIGINT AS kept
          |FROM z ORDER BY doc_id""".stripMargin,
+    "d_calibration" ->
+      s"""WITH d AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |f AS (SELECT doc_id,
+         |    len(toks)::BIGINT AS n_tokens,
+         |    len(list_filter(toks, t -> t IN (${stopwords.map(w => s"'$w'").mkString(", ")})))::BIGINT AS n_stop,
+         |    len(list_distinct(toks))::BIGINT AS n_distinct,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(toks, t -> length(t)::BIGINT)), (a, b) -> a + b)
+         |      AS sum_len
+         |  FROM d WHERE len(toks) > 0),
+         |z AS (SELECT doc_id,
+         |    -2.0 + 6.0 * (n_stop::DOUBLE / n_tokens::DOUBLE)
+         |         + 2.0 * (n_distinct::DOUBLE / n_tokens::DOUBLE)
+         |         + 0.3 * (sum_len::DOUBLE / n_tokens::DOUBLE)
+         |         + 0.004 * least(n_tokens, 250)::DOUBLE AS z FROM f),
+         |sc AS (SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS score_r FROM z),
+         |dl AS (SELECT doc_id, lang,
+         |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |th AS (SELECT lang, quantile_cont(n_tokens, 0.5) AS p50 FROM dl GROUP BY 1),
+         |lab AS (SELECT doc_id,
+         |    (CASE WHEN CAST(n_tokens AS DOUBLE) >= p50 THEN 1 ELSE 0 END)::BIGINT AS label
+         |  FROM dl JOIN th USING (lang)),
+         |b AS (SELECT least(floor(score_r * 10)::BIGINT, 9) AS bin,
+         |    floor(score_r * 1e6 + 0.5)::BIGINT AS score_u, label
+         |  FROM sc JOIN lab USING (doc_id))
+         |SELECT bin, count(*)::BIGINT AS n_docs, SUM(label)::BIGINT AS n_pos,
+         |  (SUM(score_u)::DOUBLE / count(*)::DOUBLE) / 1e6 AS conf_r,
+         |  SUM(label)::DOUBLE / count(*)::DOUBLE AS acc_r,
+         |  abs(SUM(label)::DOUBLE / count(*)::DOUBLE
+         |    - (SUM(score_u)::DOUBLE / count(*)::DOUBLE) / 1e6) AS gap_r
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
     // oracle reads the ORIGINAL parquet — any escaping/encoding loss on the
     // wire-format trip flips the text md5
     "d_jsonl_roundtrip" ->

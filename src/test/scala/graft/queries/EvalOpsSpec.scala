@@ -118,6 +118,24 @@ class EvalOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("d_calibration: bins partition the scored docs, gap identity holds") {
+    val bins = graft.SparkEntry.queries("d_calibration")(spark, sf01).collect()
+    val scored = graft.SparkEntry.queries("d_quality_classifier")(spark, sf01).count()
+    assert(bins.map(_.getAs[Long]("n_docs")).sum == scored,
+      "every classifier-scored doc lands in exactly one bin")
+    bins.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      val (conf, acc, gap) = (r.getAs[Double]("conf_r"),
+        r.getAs[Double]("acc_r"), r.getAs[Double]("gap_r"))
+      assert(bin >= 0 && bin <= 9)
+      // mean confidence must sit inside its own bin (bin 9 also holds 1.0)
+      assert(conf >= bin / 10.0 - 1e-9 && conf <= (bin + 1) / 10.0 + 1e-9,
+        s"bin $bin mean conf $conf outside its bin")
+      assert(r.getAs[Long]("n_pos") <= r.getAs[Long]("n_docs"))
+      assert(math.abs(gap - math.abs(acc - conf)) == 0.0, "gap identity")
+    }
+  }
+
   test("s_kcenter_select: greedy maximin selection matches brute force") {
     val out = graft.SparkEntry.queries("s_kcenter_select")(spark, sf001)
       .collect().sortBy(_.getAs[Long]("rnk"))
