@@ -3476,11 +3476,16 @@ object TextOps {
       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
       |  FROM bands a JOIN bands b
       |    ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
-      |scored AS (SELECT a_id, b_id,
-      |  len(list_intersect(sa.ss, sb.ss))::BIGINT AS n_common,
-      |  (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)))::BIGINT AS n_union
-      |  FROM cand JOIN sh sa ON cand.a_id = sa.doc_id
-      |            JOIN sh sb ON cand.b_id = sb.doc_id)""".stripMargin
+      |minv AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+      |mlens AS (SELECT doc_id, len(ss)::BIGINT AS nss FROM sh),
+      |scored AS (SELECT c.a_id, c.b_id, count(*)::BIGINT AS n_common,
+      |  (any_value(la.nss) + any_value(lb.nss) - count(*))::BIGINT AS n_union
+      |  FROM cand c
+      |  JOIN minv ia ON ia.doc_id = c.a_id
+      |  JOIN minv ib ON ib.doc_id = c.b_id AND ib.s = ia.s
+      |  JOIN mlens la ON la.doc_id = c.a_id
+      |  JOIN mlens lb ON lb.doc_id = c.b_id
+      |  GROUP BY 1, 2)""".stripMargin
 
   /** Unrolled Bradley-Terry MM iterations — the exact DuckDB mirror of the
     * Spark loop in [[bradleyTerry]]: same deterministic tournament, same
@@ -3574,18 +3579,28 @@ object TextOps {
       s"""SELECT md5(array_to_string(list_sort(list_distinct($tokensSql)), ' ')) AS fingerprint,
          | min(doc_id) AS survivor_id, count(*) AS n_docs
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // scored via the inverted index (count shared shingles + lengths-only
+    // joins) rather than per-pair list_intersect: identical n_common/
+    // n_union by construction — zero-overlap candidates drop out of the
+    // inner join, but every consumer filters at a positive jaccard — and
+    // it keeps the mirror tractable when run on the larger sf corpora
+    // (the zipf-oracle lesson: 47 s of list scans -> <1 s relational).
     "d_dedup_ngram" ->
       s"""WITH sh AS (SELECT doc_id, $shingleSql AS ss FROM documents),
          |inv AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+         |lens AS (SELECT doc_id, len(ss)::BIGINT AS nss FROM sh),
          |rare AS (SELECT s FROM inv GROUP BY s HAVING count(*) <= $NgramDfCap),
          |capped AS (SELECT doc_id, s FROM inv WHERE s IN (SELECT s FROM rare)),
          |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |  FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id),
-         |scored AS (SELECT a_id, b_id,
-         |  len(list_intersect(sa.ss, sb.ss))::BIGINT AS n_common,
-         |  (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)))::BIGINT AS n_union
-         |  FROM cand JOIN sh sa ON cand.a_id = sa.doc_id
-         |            JOIN sh sb ON cand.b_id = sb.doc_id)
+         |scored AS (SELECT c.a_id, c.b_id, count(*)::BIGINT AS n_common,
+         |  (any_value(la.nss) + any_value(lb.nss) - count(*))::BIGINT AS n_union
+         |  FROM cand c
+         |  JOIN inv ia ON ia.doc_id = c.a_id
+         |  JOIN inv ib ON ib.doc_id = c.b_id AND ib.s = ia.s
+         |  JOIN lens la ON la.doc_id = c.a_id
+         |  JOIN lens lb ON lb.doc_id = c.b_id
+         |  GROUP BY 1, 2)
          |SELECT a_id, b_id, n_common, n_union,
          |  n_common::DOUBLE / n_union::DOUBLE AS jaccard
          |FROM scored WHERE n_common::DOUBLE / n_union::DOUBLE > 0.5
@@ -3595,13 +3610,17 @@ object TextOps {
     "d_dedup_ngram_prefix" ->
       s"""WITH sh AS (SELECT doc_id, $shingleSql AS ss FROM documents),
          |inv AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+         |lens AS (SELECT doc_id, len(ss)::BIGINT AS nss FROM sh),
          |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id),
-         |scored AS (SELECT a_id, b_id,
-         |  len(list_intersect(sa.ss, sb.ss))::BIGINT AS n_common,
-         |  (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)))::BIGINT AS n_union
-         |  FROM cand JOIN sh sa ON cand.a_id = sa.doc_id
-         |            JOIN sh sb ON cand.b_id = sb.doc_id)
+         |scored AS (SELECT c.a_id, c.b_id, count(*)::BIGINT AS n_common,
+         |  (any_value(la.nss) + any_value(lb.nss) - count(*))::BIGINT AS n_union
+         |  FROM cand c
+         |  JOIN inv ia ON ia.doc_id = c.a_id
+         |  JOIN inv ib ON ib.doc_id = c.b_id AND ib.s = ia.s
+         |  JOIN lens la ON la.doc_id = c.a_id
+         |  JOIN lens lb ON lb.doc_id = c.b_id
+         |  GROUP BY 1, 2)
          |SELECT a_id, b_id, n_common, n_union,
          |  n_common::DOUBLE / n_union::DOUBLE AS jaccard
          |FROM scored WHERE n_common::DOUBLE / n_union::DOUBLE >= 0.7
