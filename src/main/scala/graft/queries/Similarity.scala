@@ -81,8 +81,13 @@ object Similarity {
   // both engines pick identical items every round. Scale: cost is
   // queries x k^2 after the ANN candidate step — the corpus appears only in
   // the top-20 scan, which at fleet scale is the served IVF probe instead.
-  private def mmrDiversify(s: SparkSession, dir: String): DataFrame = {
-    val v = vecs(s, dir)
+  private def mmrDiversify(s: SparkSession, dir: String): DataFrame =
+    mmrCore(vecs(s, dir))
+
+  /** MMR over an arbitrary normed-vector frame (vec_id, e, nrm) — split out
+    * so OperatorPropertiesSpec can replay the unroll on random tie-heavy
+    * inputs against a sequential reference greedy. */
+  private[queries] def mmrCore(v: DataFrame): DataFrame = {
     val q = v.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
     val scored = v.crossJoin(broadcast(q))
@@ -149,8 +154,12 @@ object Similarity {
   // unroll CTE-for-CTE in DuckDB on the shared floor-6dp distance.
   private val KCenters = 8
 
-  private def kcenterSelect(s: SparkSession, dir: String): DataFrame = {
-    val v = vecs(s, dir)
+  private def kcenterSelect(s: SparkSession, dir: String): DataFrame =
+    kcenterCore(vecs(s, dir))
+
+  /** k-center over an arbitrary normed-vector frame (vec_id, e, nrm) — split
+    * out for the randomized property spec, like mmrCore. */
+  private[queries] def kcenterCore(v: DataFrame): DataFrame = {
     def distTo(ce: Column, cn: Column): Column =
       lit(1.0) - floor(vecDot(col("e"), ce) / (col("nrm") * cn)
         * lit(1e6) + lit(0.5)) / lit(1e6)
