@@ -2728,13 +2728,27 @@ object TextOps {
   private val dcgW: Seq[Long] = (1 to 10).map(r =>
     math.floor(1e9 / (math.log(r + 1.0) / math.log(2.0)) + 0.5).toLong)
 
-  private def retrievalEval(s: SparkSession, dir: String): DataFrame = {
-    val toked = docs(s, dir).select(col("doc_id"), tokensExpr.as("toks"))
+  /** Terms pinned across three decades of document frequency in the
+    * write-once Zipf fixture (df 5000 / 2719 / 725 / 141 / 33 / 8 at the
+    * fixed generation parameters) — so the ranked-retrieval metrics are
+    * also gated where idf actually varies (the sf corpus's 31-word
+    * vocabulary gives every query term roughly the same df). */
+  private val zipfEvalTerms =
+    Seq("dlnyptn", "ejjnwp", "fhez", "gte", "otgfgbnf", "qyglxnx")
+
+  private def retrievalEval(s: SparkSession, dir: String): DataFrame =
+    retrievalEvalCore(docs(s, dir), evalTerms)
+
+  private def retrievalEvalZipf(s: SparkSession, dir: String): DataFrame =
+    retrievalEvalCore(graft.sources.ZipfGateFixture.docs(s), zipfEvalTerms)
+
+  private def retrievalEvalCore(d: DataFrame, terms: Seq[String]): DataFrame = {
+    val toked = d.select(col("doc_id"), tokensExpr.as("toks"))
     val dl = toked.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val tf = toked
       .select(col("doc_id"), col("toks"),
-        explode(array(evalTerms.map(lit): _*)).as("term"))
+        explode(array(terms.map(lit): _*)).as("term"))
       .withColumn("tf", expr("cast(size(filter(toks, x -> x = term)) as long)"))
       .filter(col("tf") > 0)
       .withColumn("first_pos", expr("array_position(toks, term)"))
@@ -3415,6 +3429,7 @@ object TextOps {
     "d_phrase_indexed"    -> (phraseIndexed _),
     "d_search_bm25"       -> (searchBm25 _),
     "d_retrieval_eval"    -> (retrievalEval _),
+    "d_retrieval_eval_zipf" -> (retrievalEvalZipf _),
     "d_calibration"       -> (calibrationBins _),
     "d_search_bool"       -> (searchBool _),
     "d_search_near"       -> (searchNear _),
@@ -3569,6 +3584,56 @@ object TextOps {
        |  FROM (SELECT w, count(*)::BIGINT AS freq
        |    FROM (SELECT unnest($tokensSql) AS w FROM documents) GROUP BY w)),
        |$iters""".stripMargin
+  }
+
+  /** DuckDB mirror of retrievalEvalCore, parameterized by the docs
+    * source relation and the query-term list (shared by the sf-corpus
+    * and Zipf-fixture gate rows). */
+  private def retrievalEvalSql(docsSrc: String, terms: Seq[String]): String = {
+    val wList = dcgW.mkString(", ")
+    s"""WITH d AS (SELECT doc_id,
+         |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM $docsSrc),
+         |dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM d),
+         |stats AS (SELECT count(*)::BIGINT AS n_docs, SUM(dl)::BIGINT AS sum_dl
+         |  FROM dl),
+         |tq AS (SELECT unnest([${terms.map(t => s"'$t'").mkString(", ")}]) AS term),
+         |rf AS (SELECT term, doc_id, tf,
+         |    CASE WHEN first_pos <= 10 THEN 2::BIGINT
+         |         WHEN first_pos <= 30 THEN 1::BIGINT ELSE 0::BIGINT END AS rel
+         |  FROM (SELECT t.term, d.doc_id,
+         |      len(list_filter(d.toks, x -> x = t.term))::BIGINT AS tf,
+         |      list_position(d.toks, t.term)::BIGINT AS first_pos
+         |    FROM d, tq t WHERE list_contains(d.toks, t.term))),
+         |dft AS (SELECT term, count(*)::BIGINT AS df_docs FROM rf GROUP BY 1),
+         |w AS (SELECT rf.term, rf.doc_id, rf.rel,
+         |    floor(((((n_docs::DOUBLE - df_docs::DOUBLE) + 0.5) / (df_docs::DOUBLE + 0.5)) *
+         |      ((tf::DOUBLE * 2.2) / (tf::DOUBLE + 1.2 * (0.25 + 0.75 *
+         |        (dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE)))))) * 1e6 + 0.5) / 1e6 AS w_r
+         |  FROM rf JOIN dft USING (term) JOIN dl USING (doc_id), stats),
+         |ranked AS (SELECT term, doc_id, rel,
+         |    row_number() OVER (PARTITION BY term ORDER BY w_r DESC, doc_id) AS rk
+         |  FROM w QUALIFY rk <= 10),
+         |wt AS (SELECT term, rel, rk,
+         |    ([$wList]::BIGINT[])[rk] AS wgt FROM ranked),
+         |dcg AS (SELECT term,
+         |    SUM((CASE WHEN rel = 2 THEN 3 WHEN rel = 1 THEN 1 ELSE 0 END) * wgt)::BIGINT AS dcg_i,
+         |    MIN(CASE WHEN rel > 0 THEN rk END)::BIGINT AS hit0
+         |  FROM wt GROUP BY 1),
+         |irk AS (SELECT term, rel,
+         |    row_number() OVER (PARTITION BY term ORDER BY rel DESC, doc_id) AS rk
+         |  FROM rf WHERE rel > 0 QUALIFY rk <= 10),
+         |idcg AS (SELECT term,
+         |    SUM((CASE WHEN rel = 2 THEN 3 ELSE 1 END) * ([$wList]::BIGINT[])[rk])::BIGINT AS idcg_i
+         |  FROM irk GROUP BY 1),
+         |nrel AS (SELECT term, count(*)::BIGINT AS n_rel FROM rf WHERE rel > 0 GROUP BY 1)
+         |SELECT dc.term, COALESCE(n.n_rel, 0)::BIGINT AS n_rel,
+         |  COALESCE(dc.hit0, 0)::BIGINT AS hit_rank,
+         |  CASE WHEN COALESCE(dc.hit0, 0) > 0
+         |       THEN (1000000 // dc.hit0)::DOUBLE / 1e6 ELSE 0.0 END AS mrr_r,
+         |  CASE WHEN COALESCE(i.idcg_i, 0) > 0
+         |       THEN ((dc.dcg_i * 1000000) // i.idcg_i)::DOUBLE / 1e6 ELSE 0.0 END AS ndcg_r
+         |FROM dcg dc LEFT JOIN idcg i USING (term) LEFT JOIN nrel n USING (term)
+         |ORDER BY term""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -4311,52 +4376,10 @@ object TextOps {
          |  doc_id,
          |  round(${bmTerms.indices.map(i => s"w$i").mkString(" + ")}, 6) AS score_r
          |FROM p ORDER BY rnk LIMIT 10""".stripMargin,
-    "d_retrieval_eval" -> {
-      val wList = dcgW.mkString(", ")
-      s"""WITH d AS (SELECT doc_id,
-         |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
-         |dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM d),
-         |stats AS (SELECT count(*)::BIGINT AS n_docs, SUM(dl)::BIGINT AS sum_dl
-         |  FROM dl),
-         |tq AS (SELECT unnest([${evalTerms.map(t => s"'$t'").mkString(", ")}]) AS term),
-         |rf AS (SELECT term, doc_id, tf,
-         |    CASE WHEN first_pos <= 10 THEN 2::BIGINT
-         |         WHEN first_pos <= 30 THEN 1::BIGINT ELSE 0::BIGINT END AS rel
-         |  FROM (SELECT t.term, d.doc_id,
-         |      len(list_filter(d.toks, x -> x = t.term))::BIGINT AS tf,
-         |      list_position(d.toks, t.term)::BIGINT AS first_pos
-         |    FROM d, tq t WHERE list_contains(d.toks, t.term))),
-         |dft AS (SELECT term, count(*)::BIGINT AS df_docs FROM rf GROUP BY 1),
-         |w AS (SELECT rf.term, rf.doc_id, rf.rel,
-         |    floor(((((n_docs::DOUBLE - df_docs::DOUBLE) + 0.5) / (df_docs::DOUBLE + 0.5)) *
-         |      ((tf::DOUBLE * 2.2) / (tf::DOUBLE + 1.2 * (0.25 + 0.75 *
-         |        (dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE)))))) * 1e6 + 0.5) / 1e6 AS w_r
-         |  FROM rf JOIN dft USING (term) JOIN dl USING (doc_id), stats),
-         |ranked AS (SELECT term, doc_id, rel,
-         |    row_number() OVER (PARTITION BY term ORDER BY w_r DESC, doc_id) AS rk
-         |  FROM w QUALIFY rk <= 10),
-         |wt AS (SELECT term, rel, rk,
-         |    ([$wList]::BIGINT[])[rk] AS wgt FROM ranked),
-         |dcg AS (SELECT term,
-         |    SUM((CASE WHEN rel = 2 THEN 3 WHEN rel = 1 THEN 1 ELSE 0 END) * wgt)::BIGINT AS dcg_i,
-         |    MIN(CASE WHEN rel > 0 THEN rk END)::BIGINT AS hit0
-         |  FROM wt GROUP BY 1),
-         |irk AS (SELECT term, rel,
-         |    row_number() OVER (PARTITION BY term ORDER BY rel DESC, doc_id) AS rk
-         |  FROM rf WHERE rel > 0 QUALIFY rk <= 10),
-         |idcg AS (SELECT term,
-         |    SUM((CASE WHEN rel = 2 THEN 3 ELSE 1 END) * ([$wList]::BIGINT[])[rk])::BIGINT AS idcg_i
-         |  FROM irk GROUP BY 1),
-         |nrel AS (SELECT term, count(*)::BIGINT AS n_rel FROM rf WHERE rel > 0 GROUP BY 1)
-         |SELECT dc.term, COALESCE(n.n_rel, 0)::BIGINT AS n_rel,
-         |  COALESCE(dc.hit0, 0)::BIGINT AS hit_rank,
-         |  CASE WHEN COALESCE(dc.hit0, 0) > 0
-         |       THEN (1000000 // dc.hit0)::DOUBLE / 1e6 ELSE 0.0 END AS mrr_r,
-         |  CASE WHEN COALESCE(i.idcg_i, 0) > 0
-         |       THEN ((dc.dcg_i * 1000000) // i.idcg_i)::DOUBLE / 1e6 ELSE 0.0 END AS ndcg_r
-         |FROM dcg dc LEFT JOIN idcg i USING (term) LEFT JOIN nrel n USING (term)
-         |ORDER BY term""".stripMargin
-    },
+    "d_retrieval_eval" -> retrievalEvalSql("documents", evalTerms),
+    "d_retrieval_eval_zipf" -> retrievalEvalSql(
+      s"read_parquet('${graft.sources.ZipfGateFixture.parquetGlob}')",
+      zipfEvalTerms),
     "d_quality_classifier" ->
       s"""WITH d AS (SELECT doc_id, $tokensSql AS toks FROM documents),
          |f AS (SELECT doc_id,

@@ -15,9 +15,18 @@ import graft.SparkSpecBase
   */
 class EvalOpsSpec extends SparkSpecBase {
 
-  test("d_retrieval_eval: metric identities and ranges hold") {
-    val rows = graft.SparkEntry.queries("d_retrieval_eval")(spark, sf01).collect()
-    assert(rows.length == 6, "one row per query term")
+  test("d_retrieval_eval: metric identities and ranges hold (sf + zipf corpora)") {
+    Seq("d_retrieval_eval", "d_retrieval_eval_zipf").foreach(checkRetrievalEval)
+    // the Zipf row must actually exercise the frequency axis: ranks and
+    // nDCG spread out instead of the sf corpus's uniform hit_rank = 1
+    val zipf = graft.SparkEntry.queries("d_retrieval_eval_zipf")(spark, sf01).collect()
+    assert(zipf.map(_.getAs[Long]("hit_rank")).distinct.length > 1,
+      "power-law corpus should produce varied first-relevant ranks")
+  }
+
+  private def checkRetrievalEval(name: String): Unit = {
+    val rows = graft.SparkEntry.queries(name)(spark, sf01).collect()
+    assert(rows.length == 6, s"$name: one row per query term")
     rows.foreach { r =>
       val nRel = r.getAs[Long]("n_rel")
       val hit = r.getAs[Long]("hit_rank")
