@@ -60,7 +60,8 @@ object SparkEntry {
     // they matter)
     "d_dedup_prefix_zipf",
     // round-9 session-2 eval/serving ops: ranked-retrieval metrics over
-    // the corpus scan, and the unrolled greedy MMR re-rank
-    "d_retrieval_eval", "s_mmr_diversify"
+    // the corpus scan (sf corpus + the sf-independent power-law fixture),
+    // and the unrolled greedy MMR re-rank
+    "d_retrieval_eval", "d_retrieval_eval_zipf", "s_mmr_diversify"
   )
 }

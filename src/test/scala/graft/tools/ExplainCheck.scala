@@ -37,6 +37,7 @@ object ExplainCheck {
     "d_drift_chi2", // 1-row snapshot totals attached onto bucket counts
     "d_search_bm25", // 1-row (n_docs, sum_dl) stats attach onto posting rows
     "d_retrieval_eval", // same 1-row (n_docs, sum_dl) stats attach per term row
+    "d_retrieval_eval_zipf", // identical body over the Zipf fixture
     "s_search_served", // same stats attach + broadcast centroid assignment
     "d_distinct_overlap", // six 1-row sketch/exact scalars assembled
     "q11_important_stock", "q22_idle_balance", "q_ntile_global", "q_share",
