@@ -546,8 +546,14 @@ object Similarity {
   // with identical vote semantics. Ranking is decided on floor-6dp cosine.
   private def labelSpread(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val v = vecs(s, dir).join(e.select(col("vec_id"),
-      col("label").cast("long").as("label")), Seq("vec_id"))
+    labelSpreadCore(vecs(s, dir).join(e.select(col("vec_id"),
+      col("label").cast("long").as("label")), Seq("vec_id")))
+  }
+
+  /** kNN label spread over an arbitrary labeled normed-vector frame
+    * (vec_id, e, nrm, label) — split out so the randomized property spec
+    * can force vote ties (see GreedyPropertiesSpec). */
+  private[queries] def labelSpreadCore(v: DataFrame): DataFrame = {
     val labeled = v.filter(col("vec_id") % 4 === 0)
       .select(col("vec_id").as("l_id"), col("e").as("qe"),
         col("nrm").as("qn"), col("label").as("l_label"))

@@ -72,6 +72,36 @@ class GreedyPropertiesSpec extends SparkSpecBase {
     }
   }
 
+  test("label spread equals reference votes on tie-heavy random vectors") {
+    val gen = for {
+      rows <- corpusGen
+      labels <- Gen.listOfN(rows.size, Gen.chooseNum(0L, 3L))
+    } yield rows.zip(labels).map { case ((id, v), l) => (id, v, l) }
+    forAllSeeded(gen) { rows =>
+      val df = rows.toDF("vec_id", "e", "label")
+        .withColumn("nrm", vecNorm(col("e")))
+      val got = Similarity.labelSpreadCore(df).collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          (r.getAs[Long]("pred_label"), r.getAs[Long]("n_votes"),
+           r.getAs[Long]("true_label"), r.getAs[Long]("correct"))).toMap
+      val vs = rows.map(r => r._1 -> r._2).toMap
+      val lbl = rows.map(r => r._1 -> r._3).toMap
+      val labeled = rows.map(_._1).filter(_ % 4 == 0)
+      val unlabeled = rows.map(_._1).filterNot(_ % 4 == 0)
+      assert(got.size == unlabeled.size)
+      unlabeled.foreach { id =>
+        val top5 = labeled.map { lid => (lid, lbl(lid), sim(vs(lid), vs(id))) }
+          .sortBy { case (lid, _, s) => (-s, lid) }.take(5)
+        val (pred, votes) = top5.groupBy(_._2)
+          .map { case (l, v) => (l, v.size.toLong, v.map(_._3).max) }
+          .toSeq.sortBy { case (l, n, best) => (-n, -best, l) }
+          .headOption.map { case (l, n, _) => (l, n) }.get
+        assert(got(id) == ((pred, votes, lbl(id), if (pred == lbl(id)) 1L else 0L)),
+          s"vec $id: got ${got(id)}, ref ($pred, $votes, ${lbl(id)})")
+      }
+    }
+  }
+
   test("k-center unroll equals sequential greedy on tie-heavy random vectors") {
     forAllSeeded(corpusGen) { rows =>
       val df = rows.toDF("vec_id", "e").withColumn("nrm", vecNorm(col("e")))
