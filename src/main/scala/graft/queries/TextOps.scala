@@ -237,9 +237,19 @@ object TextOps {
   // rounding needed. Scale: cost is pairs x doc length through two
   // gram-count equi joins — never corpus x corpus; the gram-count frames
   // are one tokenize scan each.
-  private def rougePairs(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashVerifiedPairs(s, dir).select("a_id", "b_id")
-    val toked = docs(s, dir).select(col("doc_id"), tokensExpr.as("toks"))
+  private def rougePairs(s: SparkSession, dir: String): DataFrame =
+    rougeCore(minhashVerifiedPairs(s, dir).select("a_id", "b_id"), docs(s, dir))
+
+  /** ROUGE on the POWER-LAW corpus: same metric body, pairs from the
+    * lossless PPJoin (d_dedup_prefix_zipf's verified output — 911 pairs at
+    * the fixture parameters vs the sf corpus's 25), so the overlap
+    * arithmetic is also gated where gram frequencies actually vary. */
+  private def rougeZipf(s: SparkSession, dir: String): DataFrame =
+    rougeCore(zipfPairs(s).select("a_id", "b_id"),
+      graft.sources.ZipfGateFixture.docs(s))
+
+  private def rougeCore(pairs: DataFrame, docs0: DataFrame): DataFrame = {
+    val toked = docs0.select(col("doc_id"), tokensExpr.as("toks"))
       .persist()
     val uni = toked.select(col("doc_id"), explode(col("toks")).as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
@@ -1738,8 +1748,21 @@ object TextOps {
   // the hard gate finally sees realistic df skew (r8 verdict, missing #2).
   // Losslessness against uncapped truth is pinned separately by
   // ZipfCorpusSpec; this row pins cross-engine exactness of every filter.
+  /** Verified zipf pairs as a once-per-JVM artifact: the PPJoin over the
+    * fixture is pure in the fixture dir, and TWO gate rows consume it
+    * (the set-sim row and the power-law ROUGE row) — without the cache
+    * each re-paid the full candidate join. */
+  private def zipfPairs(s: SparkSession): DataFrame = {
+    val path = FixtureArtifacts.cached("zipf-pairs",
+        graft.sources.ZipfGateFixture.dir) { p =>
+      prefixJoinBody(graft.sources.ZipfGateFixture.docs(s))
+        .coalesce(1).write.parquet(p)
+    }
+    s.read.parquet(path)
+  }
+
   private def dedupPrefixZipf(s: SparkSession, dir: String): DataFrame =
-    prefixJoinBody(graft.sources.ZipfGateFixture.docs(s))
+    zipfPairs(s).orderBy("a_id", "b_id")
 
   private def prefixJoinBody(docs0: DataFrame): DataFrame = {
     val d = docs0.select(col("doc_id"), shingleExpr.as("ss")).persist()
@@ -3350,6 +3373,7 @@ object TextOps {
     "d_dedup_prefix_zipf" -> (dedupPrefixZipf _),
     "d_dedup_minhash"     -> (dedupMinHash _),
     "d_rouge_pairs"       -> (rougePairs _),
+    "d_rouge_zipf"        -> (rougeZipf _),
     "d_dedup_simhash"     -> (dedupSimHash _),
     "d_dedup_clusters"    -> (dedupClusters _),
     "d_dedup_combined"    -> (dedupCombined _),
@@ -3636,6 +3660,74 @@ object TextOps {
          |ORDER BY term""".stripMargin
   }
 
+  /** Zipf-fixture PPJoin mirror CTE chain (ends in `scored`) — shared by
+    * the lossless set-sim gate row and the power-law ROUGE row. */
+  private lazy val zipfScoredCtes: String =
+    s"""zdocs AS (SELECT doc_id, text FROM
+         |    read_parquet('${graft.sources.ZipfGateFixture.parquetGlob}')),
+         |sh AS MATERIALIZED (SELECT doc_id, $shingleSql AS ss FROM zdocs),
+         |inv AS MATERIALIZED (SELECT doc_id, unnest(ss) AS s FROM sh),
+         |dfs AS (SELECT s, COUNT(*) AS df FROM inv GROUP BY s),
+         |lens AS (SELECT doc_id, len(ss)::BIGINT AS nss FROM sh),
+         |pfx AS MATERIALIZED (SELECT doc_id, s, rk, nss FROM (
+         |  SELECT i.doc_id, i.s, lens.nss,
+         |    row_number() OVER (PARTITION BY i.doc_id ORDER BY d.df, i.s)::BIGINT AS rk
+         |  FROM inv i JOIN dfs d USING (s) JOIN lens USING (doc_id))
+         |  WHERE rk <= nss - (7 * nss + 9) // 10 + 2),
+         |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM pfx a JOIN pfx b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  WHERE 10 * least(a.nss, b.nss) >= 7 * greatest(a.nss, b.nss)
+         |  GROUP BY 1, 2
+         |  HAVING 17 * (count(*) +
+         |      least(max(a.nss) - max(a.rk), max(b.nss) - max(b.rk))) >=
+         |    7 * (max(a.nss) + max(b.nss))),
+         |scored AS (SELECT c.a_id, c.b_id, count(*)::BIGINT AS n_common,
+         |  (any_value(la.nss) + any_value(lb.nss) - count(*))::BIGINT AS n_union
+         |  FROM cand c
+         |  JOIN inv ia ON ia.doc_id = c.a_id
+         |  JOIN inv ib ON ib.doc_id = c.b_id AND ib.s = ia.s
+         |  JOIN lens la ON la.doc_id = c.a_id
+         |  JOIN lens lb ON lb.doc_id = c.b_id
+         |  GROUP BY 1, 2)"""
+      .stripMargin
+
+  /** ROUGE-1/2 oracle body (expects a `pairs(a_id, b_id)` CTE in scope),
+    * parameterized by the docs source — shared by the sf-corpus and the
+    * Zipf-fixture rows. */
+  private def rougeBodySql(docsSrc: String): String =
+    s"""rtk AS (SELECT doc_id,
+         |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM $docsSrc),
+         |u1 AS (SELECT doc_id, unnest(toks) AS g FROM rtk),
+         |g1 AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM u1 GROUP BY 1, 2),
+         |u2 AS (SELECT doc_id,
+         |    unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[]) ELSE
+         |      list_transform(generate_series(1, len(toks) - 1),
+         |        i -> toks[i] || ' ' || toks[i + 1]) END) AS g
+         |  FROM rtk),
+         |g2 AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM u2 GROUP BY 1, 2),
+         |rlens AS (SELECT doc_id, len(toks)::BIGINT AS n1,
+         |    greatest(len(toks) - 1, 0)::BIGINT AS n2 FROM rtk),
+         |ov1 AS (SELECT p.a_id, p.b_id, sum(least(a.c, b.c))::BIGINT AS ov
+         |  FROM pairs p JOIN g1 a ON a.doc_id = p.a_id
+         |    JOIN g1 b ON b.doc_id = p.b_id AND b.g = a.g GROUP BY 1, 2),
+         |ov2 AS (SELECT p.a_id, p.b_id, sum(least(a.c, b.c))::BIGINT AS ov
+         |  FROM pairs p JOIN g2 a ON a.doc_id = p.a_id
+         |    JOIN g2 b ON b.doc_id = p.b_id AND b.g = a.g GROUP BY 1, 2)
+         |SELECT p.a_id, p.b_id,
+         |  COALESCE(o1.ov, 0)::BIGINT AS ov1, COALESCE(o2.ov, 0)::BIGINT AS ov2,
+         |  CASE WHEN la.n1 + lb.n1 = 0 THEN 0.0
+         |    ELSE 2.0 * COALESCE(o1.ov, 0)::DOUBLE / (la.n1 + lb.n1)::DOUBLE
+         |  END AS rouge1_f,
+         |  CASE WHEN la.n2 + lb.n2 = 0 THEN 0.0
+         |    ELSE 2.0 * COALESCE(o2.ov, 0)::DOUBLE / (la.n2 + lb.n2)::DOUBLE
+         |  END AS rouge2_f
+         |FROM pairs p JOIN rlens la ON la.doc_id = p.a_id
+         |  JOIN rlens lb ON lb.doc_id = p.b_id
+         |  LEFT JOIN ov1 o1 ON o1.a_id = p.a_id AND o1.b_id = p.b_id
+         |  LEFT JOIN ov2 o2 ON o2.a_id = p.a_id AND o2.b_id = p.b_id
+         |ORDER BY p.a_id, p.b_id"""
+      .stripMargin
+
   val oracles: Map[String, String] = Map(
     "d_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS survivor_id, count(*) AS n_copies
@@ -3698,35 +3790,11 @@ object TextOps {
     // ((df, s) is unique within a doc: shingles are distinct per doc), so
     // row_number is deterministic on both engines.
     "d_dedup_prefix_zipf" ->
-      s"""WITH zdocs AS (SELECT doc_id, text FROM
-         |    read_parquet('${graft.sources.ZipfGateFixture.parquetGlob}')),
-         |sh AS MATERIALIZED (SELECT doc_id, $shingleSql AS ss FROM zdocs),
-         |inv AS MATERIALIZED (SELECT doc_id, unnest(ss) AS s FROM sh),
-         |dfs AS (SELECT s, COUNT(*) AS df FROM inv GROUP BY s),
-         |lens AS (SELECT doc_id, len(ss)::BIGINT AS nss FROM sh),
-         |pfx AS MATERIALIZED (SELECT doc_id, s, rk, nss FROM (
-         |  SELECT i.doc_id, i.s, lens.nss,
-         |    row_number() OVER (PARTITION BY i.doc_id ORDER BY d.df, i.s)::BIGINT AS rk
-         |  FROM inv i JOIN dfs d USING (s) JOIN lens USING (doc_id))
-         |  WHERE rk <= nss - (7 * nss + 9) // 10 + 2),
-         |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM pfx a JOIN pfx b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  WHERE 10 * least(a.nss, b.nss) >= 7 * greatest(a.nss, b.nss)
-         |  GROUP BY 1, 2
-         |  HAVING 17 * (count(*) +
-         |      least(max(a.nss) - max(a.rk), max(b.nss) - max(b.rk))) >=
-         |    7 * (max(a.nss) + max(b.nss))),
-         |scored AS (SELECT c.a_id, c.b_id, count(*)::BIGINT AS n_common,
-         |  (any_value(la.nss) + any_value(lb.nss) - count(*))::BIGINT AS n_union
-         |  FROM cand c
-         |  JOIN inv ia ON ia.doc_id = c.a_id
-         |  JOIN inv ib ON ib.doc_id = c.b_id AND ib.s = ia.s
-         |  JOIN lens la ON la.doc_id = c.a_id
-         |  JOIN lens lb ON lb.doc_id = c.b_id
-         |  GROUP BY 1, 2)
-         |SELECT a_id, b_id, n_common, n_union,
+      s"""WITH $zipfScoredCtes,
+         |final0 AS (SELECT a_id, b_id, n_common, n_union,
          |  n_common::DOUBLE / n_union::DOUBLE AS jaccard
-         |FROM scored WHERE n_common::DOUBLE / n_union::DOUBLE >= 0.7
+         |FROM scored WHERE n_common::DOUBLE / n_union::DOUBLE >= 0.7)
+         |SELECT a_id, b_id, n_common, n_union, jaccard FROM final0
          |ORDER BY a_id, b_id""".stripMargin,
     "d_minhash_audit" ->
       s"""WITH $minhashCtes,
@@ -3755,37 +3823,13 @@ object TextOps {
       s"""WITH $minhashCtes,
          |pairs AS (SELECT a_id, b_id FROM scored
          |  WHERE n_common::DOUBLE / n_union::DOUBLE >= 0.7),
-         |rtk AS (SELECT doc_id,
-         |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
-         |u1 AS (SELECT doc_id, unnest(toks) AS g FROM rtk),
-         |g1 AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM u1 GROUP BY 1, 2),
-         |u2 AS (SELECT doc_id,
-         |    unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[]) ELSE
-         |      list_transform(generate_series(1, len(toks) - 1),
-         |        i -> toks[i] || ' ' || toks[i + 1]) END) AS g
-         |  FROM rtk),
-         |g2 AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM u2 GROUP BY 1, 2),
-         |lens AS (SELECT doc_id, len(toks)::BIGINT AS n1,
-         |    greatest(len(toks) - 1, 0)::BIGINT AS n2 FROM rtk),
-         |ov1 AS (SELECT p.a_id, p.b_id, sum(least(a.c, b.c))::BIGINT AS ov
-         |  FROM pairs p JOIN g1 a ON a.doc_id = p.a_id
-         |    JOIN g1 b ON b.doc_id = p.b_id AND b.g = a.g GROUP BY 1, 2),
-         |ov2 AS (SELECT p.a_id, p.b_id, sum(least(a.c, b.c))::BIGINT AS ov
-         |  FROM pairs p JOIN g2 a ON a.doc_id = p.a_id
-         |    JOIN g2 b ON b.doc_id = p.b_id AND b.g = a.g GROUP BY 1, 2)
-         |SELECT p.a_id, p.b_id,
-         |  COALESCE(o1.ov, 0)::BIGINT AS ov1, COALESCE(o2.ov, 0)::BIGINT AS ov2,
-         |  CASE WHEN la.n1 + lb.n1 = 0 THEN 0.0
-         |    ELSE 2.0 * COALESCE(o1.ov, 0)::DOUBLE / (la.n1 + lb.n1)::DOUBLE
-         |  END AS rouge1_f,
-         |  CASE WHEN la.n2 + lb.n2 = 0 THEN 0.0
-         |    ELSE 2.0 * COALESCE(o2.ov, 0)::DOUBLE / (la.n2 + lb.n2)::DOUBLE
-         |  END AS rouge2_f
-         |FROM pairs p JOIN lens la ON la.doc_id = p.a_id
-         |  JOIN lens lb ON lb.doc_id = p.b_id
-         |  LEFT JOIN ov1 o1 ON o1.a_id = p.a_id AND o1.b_id = p.b_id
-         |  LEFT JOIN ov2 o2 ON o2.a_id = p.a_id AND o2.b_id = p.b_id
-         |ORDER BY p.a_id, p.b_id""".stripMargin,
+         |${rougeBodySql("documents")}""".stripMargin,
+    "d_rouge_zipf" ->
+      s"""WITH $zipfScoredCtes,
+         |pairs AS (SELECT a_id, b_id FROM scored
+         |  WHERE n_common::DOUBLE / n_union::DOUBLE >= 0.7),
+         |${rougeBodySql(
+             s"read_parquet('${graft.sources.ZipfGateFixture.parquetGlob}')")}""".stripMargin,
     // transitive closure of the verified pairs via a recursive CTE;
     // cluster id = least reachable doc_id (incl. self)
     "d_dedup_clusters" ->

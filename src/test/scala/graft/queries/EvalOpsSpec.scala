@@ -89,6 +89,22 @@ class EvalOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("d_rouge_zipf: 1:1 with the verified zipf pairs, F1 bounded by jaccard shape") {
+    val rouge = graft.SparkEntry.queries("d_rouge_zipf")(spark, sf01).collect()
+    val pairs = graft.SparkEntry.queries("d_dedup_prefix_zipf")(spark, sf01).collect()
+    assert(rouge.map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet ==
+      pairs.map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet)
+    rouge.foreach { r =>
+      val (f1, f2) = (r.getAs[Double]("rouge1_f"), r.getAs[Double]("rouge2_f"))
+      assert(f1 >= 0.0 && f1 <= 1.0 && f2 >= 0.0 && f2 <= 1.0)
+      assert(r.getAs[Long]("ov2") <= r.getAs[Long]("ov1") * 2,
+        "bigram overlap cannot wildly exceed unigram overlap")
+    }
+    // near-dup (J >= 0.7 on 5-char shingles) pairs overlap heavily in words
+    assert(rouge.map(_.getAs[Double]("rouge1_f")).min > 0.5,
+      "every verified near-dup pair should share most unigrams")
+  }
+
   test("s_mmr_diversify: greedy scores are non-increasing and match brute force") {
     val out = graft.SparkEntry.queries("s_mmr_diversify")(spark, sf001).collect()
     val byQ = out.groupBy(_.getAs[Long]("q_id"))
