@@ -129,8 +129,20 @@ object DiffPipeline {
   def readTables(spark: SparkSession, mapping: CompiledMapping,
       stateDir: String): Map[String, DataFrame] = {
     val store = new StateStore(spark, stateDir)
-    val seq = store.currentSeq
-    allTableNames(mapping).map(n => n -> store.read(tbl(n), seq)).toMap
+    viewsOf(store, mapping, store.currentSeq)
+  }
+
+  /** Build the ~33 per-table merged views CONCURRENTLY: view construction
+    * is driver/file-system bound (manifest read + eager file-index listing
+    * over every bucket dir), and doing it serially cost ~7 s of every
+    * apply — a third of the batch wall — after the actual work was done. */
+  private def viewsOf(store: StateStore, mapping: CompiledMapping,
+      seq: Long): Map[String, DataFrame] = {
+    val names = allTableNames(mapping)
+    val out = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    drainConcurrently(names.map(n =>
+      () => { out.put(n, store.read(tbl(n), seq)); () }))
+    names.map(n => n -> out.get(n)).toMap
   }
 
   private def allTableNames(mapping: CompiledMapping): Seq[String] =
@@ -405,7 +417,9 @@ object DiffPipeline {
     pipeline.unpersistAll()
     if (commit) store.commit(next)
     Seq(d, chN, chW, chR, depW, depR, rebuildW).foreach(_.unpersist())
-    allTableNames(mapping).map(n => n -> store.read(tbl(n), next)).toMap
+    val views = viewsOf(store, mapping, next)
+    mark("result-views")
+    views
   }
 
   // id/geometry columns are whatever the mapping names them (colType is
