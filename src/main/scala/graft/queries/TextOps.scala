@@ -1761,8 +1761,13 @@ object TextOps {
     s.read.parquet(path)
   }
 
+  // deliberately NOT read from the zipfPairs artifact: this row is the
+  // frequency-sensitive PERF trend line (BENCH), so it must pay the real
+  // PPJoin every run — the prime pass would otherwise turn the bench
+  // entry into a 911-row cache read. d_rouge_zipf (gate-only) shares the
+  // artifact instead.
   private def dedupPrefixZipf(s: SparkSession, dir: String): DataFrame =
-    zipfPairs(s).orderBy("a_id", "b_id")
+    prefixJoinBody(graft.sources.ZipfGateFixture.docs(s))
 
   private def prefixJoinBody(docs0: DataFrame): DataFrame = {
     val d = docs0.select(col("doc_id"), shingleExpr.as("ss")).persist()
