@@ -135,6 +135,12 @@ object Similarity {
           col("sim_r"), col("score_r"))
       sel = sel.unionByName(next).localCheckpoint()
     }
+    // cand/ps only feed the construction rounds; the final sel is an eager
+    // localCheckpoint, so release them here instead of leaning on the
+    // harness's per-query clearCache (r9 advice: a library caller in a
+    // long-lived session would otherwise accumulate resident blocks).
+    cand.unpersist()
+    ps.unpersist()
     sel.orderBy("q_id", "rnk")
   }
 
@@ -193,10 +199,15 @@ object Similarity {
         v.crossJoin(broadcast(cents)).withColumn("d", distTo(col("ce"), col("cn"))),
         Seq(col("vec_id")), Seq(col("d").asc, col("rnk").asc), 1)
       .select(col("vec_id"), col("rnk"), col("d"))
+    // left join + coalesce: a center that wins zero assignments (possible
+    // when a later pick is an exact cosine-duplicate of an earlier center)
+    // must still appear — the contract is "all k selected centers", and an
+    // inner join would silently shrink the output (r9 advice).
     sel.join(assigned.groupBy("rnk").agg(count(lit(1)).as("n_assigned"),
-        max(col("d")).as("radius_r")), Seq("rnk"))
+        max(col("d")).as("radius_r")), Seq("rnk"), "left")
       .select(col("rnk"), col("vec_id"), col("dist_r"),
-        col("n_assigned"), col("radius_r"))
+        coalesce(col("n_assigned"), lit(0L)).as("n_assigned"),
+        coalesce(col("radius_r"), lit(0.0)).as("radius_r"))
       .orderBy("rnk")
   }
 
@@ -1759,8 +1770,10 @@ object Similarity {
          |    FROM asg0) WHERE rn = 1),
          |agg AS (SELECT rnk, count(*)::BIGINT AS n_assigned, max(d) AS radius_r
          |  FROM asg GROUP BY 1)
-         |SELECT sel.rnk, sel.vec_id, sel.dist_r, agg.n_assigned, agg.radius_r
-         |FROM sel JOIN agg USING (rnk) ORDER BY sel.rnk""".stripMargin
+         |SELECT sel.rnk, sel.vec_id, sel.dist_r,
+         |  COALESCE(agg.n_assigned, 0)::BIGINT AS n_assigned,
+         |  COALESCE(agg.radius_r, 0.0)::DOUBLE AS radius_r
+         |FROM sel LEFT JOIN agg USING (rnk) ORDER BY sel.rnk""".stripMargin
     },
     "s_mmr_diversify" -> {
       val iters = (2 to 5).map { k =>

@@ -249,6 +249,9 @@ object TextOps {
       graft.sources.ZipfGateFixture.docs(s))
 
   private def rougeCore(pairs: DataFrame, docs0: DataFrame): DataFrame = {
+    // toked feeds three branches of the LAZY result frame (uni, bi, lens),
+    // so it cannot be unpersisted inside this builder; the harness's
+    // per-query clearCache releases it (same contract as prefixJoinBody).
     val toked = docs0.select(col("doc_id"), tokensExpr.as("toks"))
       .persist()
     val uni = toked.select(col("doc_id"), explode(col("toks")).as("g"))
@@ -1753,10 +1756,14 @@ object TextOps {
     * (the set-sim row and the power-law ROUGE row) — without the cache
     * each re-paid the full candidate join. */
   private def zipfPairs(s: SparkSession): DataFrame = {
+    // force fixture generation BEFORE the cache key is computed: if a
+    // rouge-zipf row is the first fixture consumer, the fingerprint would
+    // otherwise hash a nonexistent documents.parquet (fp=0) and the next
+    // call would re-key on the real files and re-pay the PPJoin (r9 advice)
+    val zdocs = graft.sources.ZipfGateFixture.docs(s)
     val path = FixtureArtifacts.cached("zipf-pairs",
         graft.sources.ZipfGateFixture.dir) { p =>
-      prefixJoinBody(graft.sources.ZipfGateFixture.docs(s))
-        .coalesce(1).write.parquet(p)
+      prefixJoinBody(zdocs).coalesce(1).write.parquet(p)
     }
     s.read.parquet(path)
   }
@@ -2812,7 +2819,13 @@ object TextOps {
       .groupBy("term").agg(sum(col("gain") * col("wgt")).as("idcg_i"))
     val nrel = tf.filter(col("rel") > 0).groupBy("term")
       .agg(count(lit(1)).as("n_rel"))
-    dcg.join(ideal, Seq("term"), "left").join(nrel, Seq("term"), "left")
+    // the final select is driven from the STATIC term list, not the dcg
+    // frame: a query term absent from the corpus must report a zero row,
+    // not silently vanish (r9 advice) — mirrored in retrievalEvalSql
+    val termRows = d.sparkSession.range(1)
+      .select(explode(array(terms.map(lit): _*)).as("term"))
+    termRows.join(dcg, Seq("term"), "left")
+      .join(ideal, Seq("term"), "left").join(nrel, Seq("term"), "left")
       .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
       .withColumn("hit_rank", coalesce(col("hit0"), lit(0L)))
       .withColumn("mrr_r", when(col("hit_rank") > 0,
@@ -3655,13 +3668,14 @@ object TextOps {
          |    SUM((CASE WHEN rel = 2 THEN 3 ELSE 1 END) * ([$wList]::BIGINT[])[rk])::BIGINT AS idcg_i
          |  FROM irk GROUP BY 1),
          |nrel AS (SELECT term, count(*)::BIGINT AS n_rel FROM rf WHERE rel > 0 GROUP BY 1)
-         |SELECT dc.term, COALESCE(n.n_rel, 0)::BIGINT AS n_rel,
+         |SELECT tq.term, COALESCE(n.n_rel, 0)::BIGINT AS n_rel,
          |  COALESCE(dc.hit0, 0)::BIGINT AS hit_rank,
          |  CASE WHEN COALESCE(dc.hit0, 0) > 0
          |       THEN (1000000 // dc.hit0)::DOUBLE / 1e6 ELSE 0.0 END AS mrr_r,
          |  CASE WHEN COALESCE(i.idcg_i, 0) > 0
          |       THEN ((dc.dcg_i * 1000000) // i.idcg_i)::DOUBLE / 1e6 ELSE 0.0 END AS ndcg_r
-         |FROM dcg dc LEFT JOIN idcg i USING (term) LEFT JOIN nrel n USING (term)
+         |FROM tq LEFT JOIN dcg dc USING (term)
+         |  LEFT JOIN idcg i USING (term) LEFT JOIN nrel n USING (term)
          |ORDER BY term""".stripMargin
   }
 

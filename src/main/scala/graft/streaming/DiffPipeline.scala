@@ -465,21 +465,40 @@ object DiffPipeline {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val files = batch.select("path").collect().map(_.getString(0)).sorted
-        files.foreach { p =>
-          applyDiff(spark, mapping, stateDir, OsmXml.readDiff(spark, p).toDF(), srid,
-            expireDir = expireDir, expireZoom = expireZoom)
-        }
-        // retention: drop version dirs no longer referenced by the
-        // committed manifests (segments fold into a fresh base every
-        // maxSegments-th write, so old segment dirs become unreferenced
-        // in bounded time — without this a long stream accumulates one
-        // ins/del dir pair per table per batch forever)
-        if (files.nonEmpty) {
-          val store = new StateStore(spark, stateDir)
-          store.vacuum(ElementTables ++ Seq("wayrefs", "relrefs") ++
-            allTableNames(mapping).map(tbl), keep = 2)
-        }
+        applyBatchFiles(spark, mapping, stateDir, files, srid,
+          expireDir, expireZoom)
       }
       .start()
+  }
+
+  /** The body of one [[runStream]] micro-batch: apply each change file as
+    * its own committed transaction (path order), then run retention. Split
+    * out so the long-stream soak (Bench / RunStreamSpec) can drive the
+    * exact production maintenance path — apply + compaction + vacuum —
+    * without a streaming source in the loop. */
+  def applyBatchFiles(spark: SparkSession, mapping: CompiledMapping,
+      stateDir: String, files: Seq[String], srid: Int = 3857,
+      expireDir: Option[String] = None,
+      expireZoom: Int = graft.operators.ExpireTiles.DefaultZoom): Unit = {
+    files.foreach { p =>
+      applyDiff(spark, mapping, stateDir, OsmXml.readDiff(spark, p).toDF(), srid,
+        expireDir = expireDir, expireZoom = expireZoom)
+    }
+    // retention: drop version dirs no longer referenced by the
+    // committed manifests (segments fold into a fresh base every
+    // maxSegments-th write, so old segment dirs become unreferenced
+    // in bounded time — without this a long stream accumulates one
+    // ins/del dir pair per table per batch forever)
+    if (files.nonEmpty) maintain(spark, mapping, stateDir)
+  }
+
+  /** Retention pass over every store table (elements, reverse-ref indexes,
+    * output tables): drop version dirs nothing committed references. This
+    * is exactly what [[runStream]] runs after each micro-batch. */
+  def maintain(spark: SparkSession, mapping: CompiledMapping,
+      stateDir: String, keep: Int = 2): Unit = {
+    val store = new StateStore(spark, stateDir)
+    store.vacuum(ElementTables ++ Seq("wayrefs", "relrefs") ++
+      allTableNames(mapping).map(tbl), keep = keep)
   }
 }

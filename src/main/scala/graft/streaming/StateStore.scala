@@ -43,9 +43,31 @@ final class StateStore(spark: SparkSession, dir: String) {
   // diff apply's tail (measured 5.7 s/batch), while driver-side listing
   // of the same dirs is sub-millisecond each. Keep discovery on the
   // driver for the store's views; a real cluster against object storage
-  // wants the opposite, so the knob stays an env override.
-  spark.conf.set("spark.sql.sources.parallelPartitionDiscovery.threshold",
-    sys.env.getOrElse("SPARK_GRAFT_LIST_THRESHOLD", "65536"))
+  // wants the opposite, so the knob stays overridable (session conf
+  // `graft.store.listThreshold` wins, then the env var). The setting is
+  // SCOPED to the store's own reads — set before each file-index build
+  // and restored after (r9 advice: the old constructor-global set leaked
+  // driver-side listing into every later read in the session).
+  private val listThreshold: String =
+    spark.conf.getOption("graft.store.listThreshold")
+      .orElse(sys.env.get("SPARK_GRAFT_LIST_THRESHOLD"))
+      .getOrElse("65536")
+
+  /** Run `f` (a `spark.read.parquet` call — parquet resolves its file
+    * index eagerly at DataFrame creation) with the store's discovery
+    * threshold, restoring the session's previous value after. Driver
+    * control-flow only; not safe against concurrent reads on the same
+    * session from other threads. */
+  private def withListScope[T](f: => T): T = {
+    val key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, listThreshold)
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 
   private val root = new Path(dir)
   private def fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -155,7 +177,7 @@ final class StateStore(spark: SparkSession, dir: String) {
   def read(name: String, seq: Long): DataFrame = {
     val mp = manifestPath(name, seq)
     if (fs.exists(mp)) mergedView(name, seq, None)
-    else spark.read.parquet(tablePath(name, seq))
+    else withListScope(spark.read.parquet(tablePath(name, seq)))
   }
 
   // ---- bucketed layout ------------------------------------------------------
@@ -176,8 +198,8 @@ final class StateStore(spark: SparkSession, dir: String) {
     def rd(schema: StructType, rel: Seq[String]): DataFrame =
       if (rel.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else spark.read.schema(schema)
-        .parquet(rel.map(r => new Path(base, r).toString): _*)
+      else withListScope(spark.read.schema(schema)
+        .parquet(rel.map(r => new Path(base, r).toString): _*))
     val bucketPaths = (only match {
       case Some(bs) => m.buckets.filter { case (b, _) => bs(b) }
       case None => m.buckets
