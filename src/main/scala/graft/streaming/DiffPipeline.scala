@@ -452,13 +452,23 @@ object DiffPipeline {
   def runStream(spark: SparkSession, mapping: CompiledMapping, stateDir: String,
       replicationDir: String, checkpointDir: String,
       srid: Int = 3857, expireDir: Option[String] = None,
-      expireZoom: Int = graft.operators.ExpireTiles.DefaultZoom): StreamingQuery = {
-    spark.readStream
+      expireZoom: Int = graft.operators.ExpireTiles.DefaultZoom,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    // maxFilesPerTrigger caps each micro-batch (AvailableNow honors it):
+    // a backlog replay then runs retention every N files — the live
+    // minutely cadence — instead of once at the end of one giant batch.
+    // ORDERING CAVEAT: within a micro-batch files apply in path order, but
+    // ACROSS micro-batches Spark's file source orders by modification
+    // time. Live replication satisfies that (files land one per minute);
+    // replaying a backlog whose mtimes don't follow sequence order must
+    // leave this unset so the whole backlog lands in one path-sorted batch.
+    val src = spark.readStream
       .format("binaryFile")
       .schema(org.apache.spark.sql.types.StructType.fromDDL(
         "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY"))
       .option("pathGlobFilter", "*.osc*")
-      .load(replicationDir)
+    maxFilesPerTrigger.foreach(n => src.option("maxFilesPerTrigger", n))
+    src.load(replicationDir)
       .select("path")
       .writeStream
       .option("checkpointLocation", checkpointDir)

@@ -55,17 +55,28 @@ final class StateStore(spark: SparkSession, dir: String) {
 
   /** Run `f` (a `spark.read.parquet` call — parquet resolves its file
     * index eagerly at DataFrame creation) with the store's discovery
-    * threshold, restoring the session's previous value after. Driver
-    * control-flow only; not safe against concurrent reads on the same
-    * session from other threads. */
+    * threshold, restoring the session's previous value after. Store reads
+    * run concurrently (the diff apply fans table rebuilds across threads),
+    * so the save/restore is DEPTH-COUNTED process-wide: the first scope in
+    * saves the session value, the last one out restores it — plain
+    * save/restore would race two scopes into "restoring" each other's
+    * override back into the session. All stores of a session resolve the
+    * same threshold (env/conf), so nesting different values is not a case. */
   private def withListScope[T](f: => T): T = {
     val key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, listThreshold)
+    StateStore.scopeLock.synchronized {
+      if (StateStore.scopeDepth == 0)
+        StateStore.scopeSaved = spark.conf.getOption(key)
+      StateStore.scopeDepth += 1
+      spark.conf.set(key, listThreshold)
+    }
     try f
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    finally StateStore.scopeLock.synchronized {
+      StateStore.scopeDepth -= 1
+      if (StateStore.scopeDepth == 0) StateStore.scopeSaved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
   }
 
@@ -365,4 +376,11 @@ final class StateStore(spark: SparkSession, dir: String) {
       }
     }
   }
+}
+
+private[streaming] object StateStore {
+  // withListScope's depth-counted session-conf save/restore (see there)
+  private[streaming] val scopeLock = new Object
+  private[streaming] var scopeDepth: Int = 0
+  private[streaming] var scopeSaved: Option[String] = None
 }

@@ -141,4 +141,45 @@ class BucketPruneSpec extends SparkSpecBase {
       "vacuum deleted a version dir still referenced by the live manifest")
     assert(store.read("coords", 1).count() == coords.count())
   }
+
+  test("diff init+apply is identical under distributed file discovery") {
+    // the store keeps partition discovery on the driver by default
+    // (StateStore.withListScope); against object storage a deployment
+    // flips graft.store.listThreshold low so Spark's PARALLEL listing
+    // jobs walk the merged-view paths instead. That execution mode must
+    // produce byte-identical output tables — run the same init+apply both
+    // ways and compare per-table row counts + an order-free row checksum.
+    import org.apache.spark.sql.functions._
+    def runMode(threshold: Option[String]): Map[String, (Long, Long)] = {
+      threshold.foreach(spark.conf.set("graft.store.listThreshold", _))
+      try {
+        val stateDir = Files.createTempDirectory("graft-dist-list").toString
+        DiffPipeline.init(spark, mapping, stateDir,
+          OsmXml.read(spark, "/root/reference/test/complete_db.osm"),
+          nBuckets = 64)
+        DiffPipeline.applyDiff(spark, mapping, stateDir,
+          OsmXml.readDiff(spark, "/root/reference/test/complete_db.osc").toDF())
+        DiffPipeline.readTables(spark, mapping, stateDir).map { case (n, df) =>
+          // to_json renders binary (geometry WKB) as base64 — a stable,
+          // order-free per-row digest summed into one checksum
+          val row = df.agg(count(lit(1)),
+            sum(crc32(to_json(struct(df.columns.map(col): _*))))).head()
+          n -> (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+        }
+      } finally spark.conf.unset("graft.store.listThreshold")
+    }
+    val key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    val before = spark.conf.get(key)
+    val driverSide = runMode(None)
+    // threshold=1: every multi-path store view exceeds it, so Spark runs
+    // its distributed listing job — the untested-by-default branch
+    val distributed = runMode(Some("1"))
+    assert(driverSide.keySet == distributed.keySet)
+    for ((n, d) <- driverSide)
+      assert(distributed(n) == d,
+        s"$n diverged under distributed listing: $d vs ${distributed(n)}")
+    // and the store scoped the conf: the session value is untouched after
+    assert(spark.conf.get(key) == before,
+      "store reads leaked the discovery-threshold override into the session")
+  }
 }

@@ -83,4 +83,79 @@ class RunStreamSpec extends SparkSpecBase {
       "v1 segment dirs are unreferenced after compaction — vacuum missed them")
     assert(store.read("coords", 10).filter("id = 10001").count() == 1)
   }
+
+  test("a 50-batch stream stays bounded: versions, segments, and files are " +
+      "flat under per-trigger retention") {
+    // the long-stream soak (reference analog: update/cmd.go's unbounded
+    // importLoop): 50 committed minutely batches through runStream with
+    // maxFilesPerTrigger=5, so retention runs every micro-batch like a
+    // live deployment, not once at the end of a backlog replay. The
+    // mechanical claim is state-growth flatness — versions ≤ keep+1 per
+    // table, segments ≤ maxSegments in the final manifest — which is what
+    // makes per-batch wall time flat at planet scale (the timed trend
+    // lives in Bench's osm_diff_soak entry).
+    val mapping = new CompiledMapping(
+      MappingConf.fromFile("/root/reference/test/complete_db_mapping.json"))
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-soak-state").toString
+    val replDir = java.nio.file.Files.createTempDirectory("graft-soak-repl").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-soak-ckpt").toString
+    DiffPipeline.init(spark, mapping, stateDir,
+      OsmXml.read(spark, "/root/reference/test/complete_db.osm"))
+    // distinct ascending mtimes: across micro-batches the file source
+    // orders by modification time, and live minutely replication is
+    // exactly that (one file per minute) — 50 same-second writes would
+    // model a backlog replay instead, which (documented on runStream)
+    // must run uncapped in one path-sorted batch
+    val mtime0 = System.currentTimeMillis() - 600000
+    for (i <- 1 to 50) {
+      val p = java.nio.file.Paths.get(f"$replDir/$i%09d.osc")
+      java.nio.file.Files.writeString(p,
+        s"""<?xml version='1.0' encoding='UTF-8'?>
+           |<osmChange version="0.6" generator="test">
+           | <modify>
+           |  <node id="10001" version="${i + 2}" lat="40.0" lon="10.0">
+           |   <tag k="place" v="village"/><tag k="name" v="N$i"/>
+           |  </node>
+           | </modify>
+           |</osmChange>
+           |""".stripMargin)
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(mtime0 + i * 2000L))
+    }
+    val q = DiffPipeline.runStream(spark, mapping, stateDir, replDir, ckpt,
+      maxFilesPerTrigger = Some(5))
+    assert(q.awaitTermination(1200000), "soak stream did not finish in 1200s")
+    val store = new StateStore(spark, stateDir)
+    assert(store.currentSeq == 50, s"seq=${store.currentSeq}")
+    val places = DiffPipeline.readTables(spark, mapping, stateDir)("places")
+    assert(places.filter("osm_id = 10001").head()
+      .getAs[String]("name") == "N50", "last batch must win")
+    // growth bounds: every table's version-dir count is O(keep), never
+    // O(batches); the live manifest carries at most maxSegments segments
+    val root = new java.io.File(stateDir)
+    for (t <- Option(root.listFiles()).getOrElse(Array.empty) if t.isDirectory) {
+      val vdirs = Option(t.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      // bound = maxSegments (8, a live manifest references that many
+      // segment version dirs by pointer) + base + keep(2) + 1 slop: O(1)
+      // in batches, where unbounded growth would sit at 50+
+      assert(vdirs.length <= 12,
+        s"${t.getName}: ${vdirs.length} version dirs after 50 batches — " +
+          "vacuum is not bounding the store")
+    }
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(stateDir, "coords", "v50", "_manifest")), "UTF-8")
+    val nSegs = manifest.linesIterator.count(_.startsWith("SEG\t"))
+    assert(nSegs <= 8, s"$nSegs segments in v50 — compaction never ran")
+    def countFiles(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).map(countFiles).sum
+      else 1L
+    val nFiles = countFiles(root)
+    // unbounded growth would be ~2 dirs × ~35 tables × 50 batches of
+    // segment files plus every historical version; the bounded store
+    // stays within a few files per (table × bucket × keep)
+    assert(nFiles < 4000, s"$nFiles files in the store after 50 batches")
+    assert(store.read("coords", 50).filter("id = 10001").count() == 1)
+  }
 }

@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
 """Local emulation of the driver's correctness gate.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [jsonOut]
+
+With jsonOut, also writes a machine-readable per-query artifact
+({"sf": ..., "pass": N, "fail": N, "queries": {name: "pass"|reason}})
+— the committed CORRECTNESS_SF01_r* record uses this.
 
 Reads <verifyOutDir>/<name>/ parquet (Spark output) and
 <verifyOutDir>/oracle_sql.json, runs each oracle in DuckDB with the sf
@@ -18,6 +22,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    json_out = sys.argv[3] if len(sys.argv) > 3 else None
+    record = {}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -28,6 +34,7 @@ def main():
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
+            record[name] = "no spark output"
             n_fail += 1
             continue
         spark_tbl = pq.read_table(files[0])
@@ -37,16 +44,19 @@ def main():
             duck = con.execute(sql).fetch_arrow_table()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            record[name] = f"duckdb error: {e}"
             n_fail += 1
             continue
         duck_cols = sorted(duck.column_names)
         duck_rows = [[r[c] for c in duck_cols] for r in duck.to_pylist()]
         if spark_cols != duck_cols:
             print(f"FAIL {name}: cols spark={spark_cols} duck={duck_cols}")
+            record[name] = "column mismatch"
             n_fail += 1
             continue
         if len(spark_rows) != len(duck_rows):
             print(f"FAIL {name}: rows spark={len(spark_rows)} duck={len(duck_rows)}")
+            record[name] = f"rows spark={len(spark_rows)} duck={len(duck_rows)}"
             n_fail += 1
             continue
         bad = None
@@ -73,9 +83,11 @@ def main():
                 break
         if bad:
             print(f"FAIL {name}: row {bad[0]} col {bad[1]}: spark={bad[2]!r} duck={bad[3]!r} ({bad[4]})")
+            record[name] = f"row {bad[0]} col {bad[1]}: spark={bad[2]!r} duck={bad[3]!r} ({bad[4]})"
             n_fail += 1
         else:
             print(f"PASS {name} ({len(spark_rows)} rows)")
+            record[name] = "pass"
             n_pass += 1
     # queries with no oracle -> rows-only check
     import os
@@ -85,6 +97,10 @@ def main():
             n = pq.read_table(files[0]).num_rows if files else -1
             print(f"ROWS {d}: {n}")
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if json_out:
+        json.dump({"sf": sf_dir, "pass": n_pass, "fail": n_fail,
+                   "queries": record}, open(json_out, "w"), indent=1,
+                  sort_keys=True)
     sys.exit(1 if n_fail else 0)
 
 
