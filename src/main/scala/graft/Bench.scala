@@ -102,6 +102,16 @@ object Bench {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.adaptive.enabled", "true")
+      // With AQE coalescing, the INITIAL shuffle partition count bounds
+      // per-partition bytes (spill), while the EFFECTIVE count stays
+      // data-sized — so the initial number can exceed core count without
+      // taxing small stages. Measured on the 79M-element XL import:
+      // 32 initial → ~2.5 GB assembly partitions, 284.6 s; 256 initial →
+      // 149.9 s (1.9×), with synth400 and the query list unchanged. This
+      // is also the cluster posture: initial partitions sized to data.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS",
+          (cpus.toInt * 8).toString))
       // 10 MB is a cluster-conservative default; on a single 16g-heap box
       // a 64 MB build side is cheap, and it lets AQE flip the import's
       // assembly semi-join (a ~22 MB id set probe side at synth400 scale)

@@ -175,6 +175,13 @@ object Main {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.adaptive.enabled", "true")
+      // initial (pre-coalesce) shuffle partitions sized above core count:
+      // bounds per-partition bytes on big imports (measured 1.9× on a 79M-
+      // element import, spill-bound at 1×cores) while AQE coalesces small
+      // stages back — see Bench.scala for the measurement
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS",
+          (cpus.toInt * 8).toString))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
     // -httpprofile binds the engine's live-inspection server (reference:

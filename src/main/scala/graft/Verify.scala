@@ -12,6 +12,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // data-sized initial shuffle partitions (AQE coalesces down) — same
+      // setting as Bench/Main so the gated plans match the benched plans
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS",
+          (cpus.toInt * 8).toString))
       // events.ts is parquet TIMESTAMP(NANOS): read as long (ns since epoch)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
