@@ -143,6 +143,28 @@ object Bench {
       System.gc()
     }
 
+    // per-section record state, filled as sections run (see emitRecord)
+    var osmReps: Option[String] = None
+    var xlMetrics: Option[String] = None
+    var soakMetrics: Option[String] = None
+    var osmAcc: Seq[(String, Double)] = Seq.empty
+
+    /** Print the machine-readable contract line with everything measured
+      * SO FAR. Called after every major section as truncation insurance:
+      * the driver reads the LAST matching stdout line, so if a time cap
+      * kills the JVM mid-run the record still carries every completed
+      * section instead of vanishing with the process. */
+    def emitRecord(queryResults: Seq[(String, Double)]): Unit = {
+      val total = osmAcc.map(_._2).sum + queryResults.map(_._2).sum
+      val repsField = osmReps.map(r => s""","osm_reps":$r""").getOrElse("") +
+        xlMetrics.map(m => s""","osm_xl":$m""").getOrElse("") +
+        soakMetrics.map(m => s""","osm_soak":$m""").getOrElse("")
+      val osmShort = osmAcc.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString(",")
+      val sep = if (osmShort.isEmpty) "" else ","
+      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{$osmShort$sep"queries_all":${fmt(queryResults.map(_._2).sum)}},"n_queries":${queryResults.size},"sf":"$sfDir"$repsField}""")
+    }
+
     // ======================= OSM phases (FIRST) =============================
     // The scale import reps run before the query list ON PURPOSE: three
     // rounds running, the driver's import record diverged from idle-box
@@ -181,6 +203,8 @@ object Bench {
         Seq.empty
       }
     resetCaches()
+    osmAcc ++= osmResult
+    emitRecord(Seq.empty)
     // scale-representative import bench (BASELINE.md ~350k elem/s target):
     // ~100 MB of PBF — N translated Monaco copies — so fixed stage-scheduling
     // overhead (the whole story at 270 KB) amortizes below ~20% of wall time.
@@ -189,7 +213,6 @@ object Bench {
     // per-rep phase times, surfaced in the JSON line so the recorded
     // bench shows min + spread (one-look adjudication of environment
     // noise vs plan regressions)
-    var osmReps: Option[String] = None
     val synthResult =
       if (sys.env.get("SPARK_GRAFT_BENCH_OSM").contains("0") ||
         sys.env.get("SPARK_GRAFT_BENCH_OSM_SCALE").contains("0") ||
@@ -373,6 +396,8 @@ object Bench {
         Seq.empty
       }
     resetCaches()
+    osmAcc ++= synthResult
+    emitRecord(Seq.empty)
 
     // ---- diff-apply throughput (ST1–ST6) ------------------------------------
     // The reference's headline mode is a diff-ready import plus minutely
@@ -486,6 +511,8 @@ object Bench {
         Seq.empty
       }
     resetCaches()
+    osmAcc ++= diffResult
+    emitRecord(Seq.empty)
 
     // ---- long-stream diff soak (r9 verdict, next-round #5) ------------------
     // The 3-rep apply bench above measures throughput on ONE version; a
@@ -497,7 +524,6 @@ object Bench {
     // medians, and count store files at the end — flat medians + bounded
     // files is the evidence the merge-on-read store survives an unbounded
     // importLoop (reference: update/cmd.go:231-257).
-    var soakMetrics: Option[String] = None
     val soakResult =
       if (sys.env.get("SPARK_GRAFT_BENCH_OSM").contains("0") ||
         sys.env.get("SPARK_GRAFT_BENCH_DIFF").contains("0") ||
@@ -573,6 +599,8 @@ object Bench {
         Seq.empty
       }
     resetCaches()
+    osmAcc ++= soakResult
+    emitRecord(Seq.empty)
 
     // ---- 10×-scale single-rep import (r9 verdict, next-round #1) ------------
     // Every scale claim so far extrapolated from the ~105 MB synth400 dir;
@@ -583,7 +611,6 @@ object Bench {
     // gridCols=64: the default 20-wide grid at 4000 copies would march the
     // lat offset past the pole (200 rows × 0.6°); a square grid keeps every
     // synthetic cell in 24–62°N — valid Mercator input.
-    var xlMetrics: Option[String] = None
     val xlResult =
       if (sys.env.get("SPARK_GRAFT_BENCH_OSM").contains("0") ||
         sys.env.get("SPARK_GRAFT_BENCH_OSM_SCALE").contains("0") ||
@@ -694,6 +721,8 @@ object Bench {
         Seq.empty
       }
     resetCaches()
+    osmAcc ++= xlResult
+    emitRecord(Seq.empty)
 
     // ======================= query list =====================================
     val names = {
@@ -798,24 +827,17 @@ object Bench {
       }
 
     // ======================= output =========================================
-    val all = osmResult ++ synthResult ++ diffResult ++ soakResult ++
-      xlResult ++ results ++ serveResult
+    osmAcc ++= serveResult
+    val all = osmAcc ++ results
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = all.map(_._2).sum
-    val repsField = osmReps.map(r => s""","osm_reps":$r""").getOrElse("") +
-      xlMetrics.map(m => s""","osm_xl":$m""").getOrElse("") +
-      soakMetrics.map(m => s""","osm_soak":$m""").getOrElse("")
     // full per-query record (archive/humans) — NOT the contract line
     println(s"""{"metric":"queries_detail","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     // the LAST stdout line is the machine-readable record: short enough to
     // survive any tail buffer (the full line above was truncated mid-line
     // by the driver every round, leaving "parsed": null)
-    val osmShort = (osmResult ++ synthResult ++ diffResult ++ soakResult ++
-      xlResult ++ serveResult)
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString(",")
-    val sep = if (osmShort.isEmpty) "" else ","
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{$osmShort$sep"queries_all":${fmt(results.map(_._2).sum)}},"n_queries":${results.size},"sf":"$sfDir"$repsField}""")
+    emitRecord(results)
     spark.stop()
   }
 }
