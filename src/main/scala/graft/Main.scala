@@ -175,13 +175,6 @@ object Main {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.adaptive.enabled", "true")
-      // initial (pre-coalesce) shuffle partitions sized above core count:
-      // bounds per-partition bytes on big imports (measured 1.9× on a 79M-
-      // element import, spill-bound at 1×cores) while AQE coalesces small
-      // stages back — see Bench.scala for the measurement
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS",
-          (cpus.toInt * 8).toString))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
     // -httpprofile binds the engine's live-inspection server (reference:
@@ -260,6 +253,12 @@ object Main {
         new Limitto(p, bufferDist = a.double("limittocachebuffer", 0.0),
           srid = a.long("srid", 3857).toInt))
       val readPath = a.required("read")
+      // initial (pre-coalesce) shuffle partitions sized to the INPUT, not
+      // cores: bounds per-partition bytes on big imports (measured 1.9× on
+      // a 79M-element import, spill-bound at 1×cores) while small extracts
+      // skip the flat scheduling tax of wide initial shuffles (r10 verdict
+      // #2: 8×cores cost a flat ~5.6 s on a 100 MB input) — see Tuning
+      Tuning.sizeToInput(spark, Seq(readPath))
       // -limitto also prunes whole out-of-coverage PBF blobs at the source
       // (header-bbox vs buffered coverage) before the per-element filters
       var bundle = readBundle(spark, readPath, limit)

@@ -12,17 +12,17 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      // data-sized initial shuffle partitions (AQE coalesces down) — same
-      // setting as Bench/Main so the gated plans match the benched plans
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS",
-          (cpus.toInt * 8).toString))
       // events.ts is parquet TIMESTAMP(NANOS): read as long (ns since epoch)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // data-sized initial shuffle partitions (AQE coalesces down) — same
+    // sizing as Bench/Main so the gated plans match the benched plans. At
+    // the gate scales this resolves to cores (r9 behavior); the 8×cores
+    // posture only engages on ~GB inputs (see Tuning).
+    Tuning.sizeToInput(spark, Seq(sfDir))
     new java.io.File(outDir).mkdirs()
     // Local-iteration filter (unset in the driver environment): run only a
     // comma-separated subset of queries, and restrict the oracle dump to it

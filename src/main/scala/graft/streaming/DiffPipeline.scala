@@ -457,11 +457,14 @@ object DiffPipeline {
     // maxFilesPerTrigger caps each micro-batch (AvailableNow honors it):
     // a backlog replay then runs retention every N files — the live
     // minutely cadence — instead of once at the end of one giant batch.
-    // ORDERING CAVEAT: within a micro-batch files apply in path order, but
-    // ACROSS micro-batches Spark's file source orders by modification
-    // time. Live replication satisfies that (files land one per minute);
-    // replaying a backlog whose mtimes don't follow sequence order must
-    // leave this unset so the whole backlog lands in one path-sorted batch.
+    // ORDERING: within a micro-batch files apply in sequence order (parsed
+    // from the filename), but ACROSS micro-batches Spark's file source
+    // orders by modification time. Live replication satisfies that (files
+    // land one per minute); a backlog whose mtimes don't follow sequence
+    // order either runs uncapped (one sequence-sorted batch) or FAILS
+    // LOUDLY — applyBatchFiles tracks the last applied sequence in the
+    // store and aborts on regression (the reference's last.state.txt gate,
+    // update/cmd.go:231-257) instead of silently corrupting state.
     val src = spark.readStream
       .format("binaryFile")
       .schema(org.apache.spark.sql.types.StructType.fromDDL(
@@ -473,26 +476,78 @@ object DiffPipeline {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val files = batch.select("path").collect().map(_.getString(0)).sorted
         applyBatchFiles(spark, mapping, stateDir, files, srid,
-          expireDir, expireZoom)
+          expireDir, expireZoom, batchId = Some(batchId))
       }
       .start()
   }
 
+  /** Replication sequence parsed from a change-file path — the trailing
+    * digit run of the basename (`.../000000123.osc.gz` → 123), the
+    * convention every replication layout here uses (Replication.download
+    * writes `%09d.osc.gz`). None when the name carries no sequence. */
+  private[streaming] def fileSeq(path: String): Option[Long] = {
+    val base = new org.apache.hadoop.fs.Path(path).getName
+      .stripSuffix(".gz").stripSuffix(".osc")
+    base.reverse.takeWhile(_.isDigit).reverse.toLongOption
+  }
+
   /** The body of one [[runStream]] micro-batch: apply each change file as
-    * its own committed transaction (path order), then run retention. Split
-    * out so the long-stream soak (Bench / RunStreamSpec) can drive the
-    * exact production maintenance path — apply + compaction + vacuum —
-    * without a streaming source in the loop. */
+    * its own committed transaction (sequence order), then run retention.
+    * Split out so the long-stream soak (Bench / RunStreamSpec) can drive
+    * the exact production maintenance path — apply + compaction + vacuum —
+    * without a streaming source in the loop.
+    *
+    * Sequence-order gate (r10 verdict #3): with `maxFilesPerTrigger` set,
+    * cross-batch delivery order is file MTIME — replaying a backlog with
+    * non-monotonic mtimes would silently apply diffs out of order. The
+    * store tracks the last applied sequence (parsed from the filename);
+    * a file whose sequence regresses below it ABORTS the batch with a
+    * clear error — the reference's last.state.txt gate
+    * (update/cmd.go:231-257). Skipping instead would LOSE the diff: the
+    * stream checkpoint never re-delivers a file, so a regressed sequence
+    * here is a never-applied straggler, not a duplicate. The one sanctioned
+    * re-delivery — the same micro-batch replayed after a crash (same
+    * `batchId`) — rolls the baseline back to the pre-batch sequence and
+    * re-applies idempotently (ST2). Files with no parseable sequence are
+    * exempt (manually named change files).
+    */
   def applyBatchFiles(spark: SparkSession, mapping: CompiledMapping,
       stateDir: String, files: Seq[String], srid: Int = 3857,
       expireDir: Option[String] = None,
-      expireZoom: Int = graft.operators.ExpireTiles.DefaultZoom): Unit = {
-    files.foreach { p =>
+      expireZoom: Int = graft.operators.ExpireTiles.DefaultZoom,
+      batchId: Option[Long] = None): Unit = {
+    val store = new StateStore(spark, stateDir)
+    // sequence order within the batch; path order breaks ties and orders
+    // sequence-less names (zero-padded names make the two identical)
+    val ordered = files.sortBy(p => (fileSeq(p).getOrElse(Long.MaxValue), p))
+    val prev = store.readReplSeq
+    val seqBefore = prev match {
+      case Some((_, bid, before)) if batchId.contains(bid) => before // replay
+      case Some((last, _, _)) => last
+      case None => Long.MinValue
+    }
+    var baseline = seqBefore
+    var last = math.max(prev.map(_._1).getOrElse(Long.MinValue), seqBefore)
+    ordered.foreach { p =>
+      val s = fileSeq(p)
+      s.foreach { sq =>
+        if (sq <= baseline) throw new IllegalStateException(
+          s"out-of-order replication file $p: sequence $sq <= last applied " +
+            s"$baseline. With maxFilesPerTrigger set, micro-batches are " +
+            "delivered in file-mtime order; replay backlogs whose mtimes " +
+            "don't follow sequence order uncapped (one sequence-sorted " +
+            "batch), or delete replseq.txt in the state dir to force.")
+      }
       applyDiff(spark, mapping, stateDir, OsmXml.readDiff(spark, p).toDF(), srid,
         expireDir = expireDir, expireZoom = expireZoom)
+      s.foreach { sq =>
+        baseline = sq
+        last = math.max(last, sq)
+        store.writeReplSeq(last, batchId.getOrElse(-1L), seqBefore)
+      }
     }
     // retention: drop version dirs no longer referenced by the
     // committed manifests (segments fold into a fresh base every

@@ -57,26 +57,34 @@ final class StateStore(spark: SparkSession, dir: String) {
     * index eagerly at DataFrame creation) with the store's discovery
     * threshold, restoring the session's previous value after. Store reads
     * run concurrently (the diff apply fans table rebuilds across threads),
-    * so the save/restore is DEPTH-COUNTED process-wide: the first scope in
-    * saves the session value, the last one out restores it — plain
-    * save/restore would race two scopes into "restoring" each other's
-    * override back into the session. All stores of a session resolve the
-    * same threshold (env/conf), so nesting different values is not a case. */
+    * so the save/restore is DEPTH-COUNTED: the first scope in saves the
+    * session value, the last one out restores it — plain save/restore
+    * would race two scopes into "restoring" each other's override back
+    * into the session. The counter is keyed PER SESSION (r10 advice): the
+    * conf is per-SparkSession, so a process-global counter would let
+    * interleaved scopes on two sessions (spark.newSession()) restore
+    * session A's saved threshold into session B and leak the override
+    * into A permanently. All stores of a session resolve the same
+    * threshold (env/conf), so nesting different values is not a case. */
   private def withListScope[T](f: => T): T = {
     val key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
     StateStore.scopeLock.synchronized {
-      if (StateStore.scopeDepth == 0)
-        StateStore.scopeSaved = spark.conf.getOption(key)
-      StateStore.scopeDepth += 1
+      val (depth, saved) = Option(StateStore.scopes.get(spark))
+        .getOrElse((0, None))
+      val keep = if (depth == 0) spark.conf.getOption(key) else saved
+      StateStore.scopes.put(spark, (depth + 1, keep))
       spark.conf.set(key, listThreshold)
     }
     try f
     finally StateStore.scopeLock.synchronized {
-      StateStore.scopeDepth -= 1
-      if (StateStore.scopeDepth == 0) StateStore.scopeSaved match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
+      val (depth, saved) = StateStore.scopes.get(spark)
+      if (depth == 1) {
+        StateStore.scopes.remove(spark)
+        saved match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      } else StateStore.scopes.put(spark, (depth - 1, saved))
     }
   }
 
@@ -167,6 +175,28 @@ final class StateStore(spark: SparkSession, dir: String) {
     if (!fs.exists(statePath)) -1L
     else readSeqFile(statePath).getOrElse(-1L)
   }
+
+  private def replSeqPath = new Path(root, "replseq.txt")
+
+  /** Sequence-order gate state for streaming replication replays (see
+    * DiffPipeline.applyBatchFiles): `<lastSeq> <batchId> <seqBeforeBatch>`
+    * — the last applied replication-file sequence, the micro-batch that
+    * applied it, and the sequence high-water before that batch started
+    * (the rollback baseline when a crashed batch is re-delivered).
+    * Advisory ordering metadata, plain overwrite: a crash after commit()
+    * but before this write just re-applies the file on restart, which
+    * delete-then-insert makes safe (ST2). */
+  def readReplSeq: Option[(Long, Long, Long)] =
+    if (!fs.exists(replSeqPath)) None
+    else readSmall(replSeqPath).trim.split("\\s+") match {
+      case Array(a, b, c) =>
+        for (x <- a.toLongOption; y <- b.toLongOption; z <- c.toLongOption)
+          yield (x, y, z)
+      case _ => None
+    }
+
+  def writeReplSeq(lastSeq: Long, batchId: Long, seqBefore: Long): Unit =
+    writeSmall(replSeqPath, s"$lastSeq $batchId $seqBefore\n")
 
   /** Commit via temp file + rename; see currentSeq for the crash story. */
   def commit(seq: Long): Unit = {
@@ -379,8 +409,10 @@ final class StateStore(spark: SparkSession, dir: String) {
 }
 
 private[streaming] object StateStore {
-  // withListScope's depth-counted session-conf save/restore (see there)
+  // withListScope's depth-counted session-conf save/restore (see there).
+  // Keyed by session IDENTITY: the threshold conf lives per SparkSession,
+  // so each session gets its own (depth, saved) pair.
   private[streaming] val scopeLock = new Object
-  private[streaming] var scopeDepth: Int = 0
-  private[streaming] var scopeSaved: Option[String] = None
+  private[streaming] val scopes =
+    new java.util.IdentityHashMap[SparkSession, (Int, Option[String])]
 }

@@ -182,4 +182,41 @@ class BucketPruneSpec extends SparkSpecBase {
     assert(spark.conf.get(key) == before,
       "store reads leaked the discovery-threshold override into the session")
   }
+
+  test("the discovery-threshold scope is per-session: interleaved scopes on " +
+      "two sessions never cross-restore") {
+    // r10 advice: the scope counter was process-global while the conf is
+    // per-SparkSession — interleaved store reads on two sessions could
+    // restore session A's saved threshold into session B and leak the
+    // override into A permanently. Hammer two sessions from two threads
+    // (store reads open/close the scope on every call) and assert both
+    // sessions come back to their own pre-set values.
+    import spark.implicits._
+    val key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    val s2 = spark.newSession()
+    val dir = Files.createTempDirectory("graft-scope").toString
+    val store1 = new StateStore(spark, dir)
+    store1.setHashBuckets(4)
+    store1.writeBucketed("t", 0, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "id")
+    val store2 = new StateStore(s2, dir)
+    val before1 = "11111"
+    val before2 = "22222"
+    spark.conf.set(key, before1)
+    s2.conf.set(key, before2)
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val fs = Seq(store1 -> spark, store2 -> s2).map { case (st, _) =>
+        Future { (1 to 100).foreach(_ => st.read("t", 0)) }
+      }
+      Await.result(Future.sequence(fs), Duration.Inf)
+      pool.shutdown()
+      assert(spark.conf.get(key) == before1,
+        s"session 1 threshold clobbered: ${spark.conf.get(key)}")
+      assert(s2.conf.get(key) == before2,
+        s"session 2 threshold clobbered: ${s2.conf.get(key)}")
+    } finally { spark.conf.unset(key); s2.conf.unset(key) }
+  }
 }

@@ -84,6 +84,112 @@ class RunStreamSpec extends SparkSpecBase {
     assert(store.read("coords", 10).filter("id = 10001").count() == 1)
   }
 
+  test("fileSeq parses the trailing digit run of a change-file basename") {
+    assert(DiffPipeline.fileSeq("/a/b/000000123.osc.gz").contains(123L))
+    assert(DiffPipeline.fileSeq("file:/tmp/x/000000001.osc").contains(1L))
+    assert(DiffPipeline.fileSeq("/a/changes-42.osc").contains(42L))
+    assert(DiffPipeline.fileSeq("/a/changes.osc").isEmpty)
+    // a digit run past Long range is no sequence, not a crash
+    assert(DiffPipeline.fileSeq("/a/99999999999999999999999.osc").isEmpty)
+  }
+
+  test("a re-delivered micro-batch (same batchId) re-applies idempotently; " +
+      "a new batch regressing the sequence fails") {
+    // crash recovery: foreachBatch re-delivers the SAME batch after a
+    // restart, so files at-or-below the last applied sequence are legal
+    // exactly when the batchId matches (baseline rolls back to the
+    // pre-batch sequence; delete-then-insert makes the re-apply a no-op).
+    // Any OTHER batch bringing a regressed sequence is an out-of-order
+    // backlog — never applied, must abort.
+    val mapping = new CompiledMapping(
+      MappingConf.fromFile("/root/reference/test/complete_db_mapping.json"))
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-replay-state").toString
+    val replDir = java.nio.file.Files.createTempDirectory("graft-replay-repl").toString
+    DiffPipeline.init(spark, mapping, stateDir,
+      OsmXml.read(spark, "/root/reference/test/complete_db.osm"))
+    val files = (1 to 2).map { i =>
+      val p = java.nio.file.Paths.get(f"$replDir/$i%09d.osc")
+      java.nio.file.Files.writeString(p,
+        s"""<?xml version='1.0' encoding='UTF-8'?>
+           |<osmChange version="0.6" generator="test">
+           | <modify>
+           |  <node id="10001" version="${i + 2}" lat="40.0" lon="10.0">
+           |   <tag k="place" v="village"/><tag k="name" v="N$i"/>
+           |  </node>
+           | </modify>
+           |</osmChange>
+           |""".stripMargin)
+      p.toString
+    }
+    DiffPipeline.applyBatchFiles(spark, mapping, stateDir, files,
+      batchId = Some(7L))
+    val store = new StateStore(spark, stateDir)
+    assert(store.currentSeq == 2)
+    // same batchId again = crash replay: must NOT trip the sequence gate
+    DiffPipeline.applyBatchFiles(spark, mapping, stateDir, files,
+      batchId = Some(7L))
+    val places = DiffPipeline.readTables(spark, mapping, stateDir)("places")
+    assert(places.filter("osm_id = 10001").head()
+      .getAs[String]("name") == "N2")
+    // a NEW batch with a regressed sequence is out-of-order data loss
+    val err = intercept[IllegalStateException] {
+      DiffPipeline.applyBatchFiles(spark, mapping, stateDir, Seq(files.head),
+        batchId = Some(8L))
+    }
+    assert(err.getMessage.contains("out-of-order replication file"))
+  }
+
+  test("a capped backlog replay with shuffled mtimes aborts loudly instead " +
+      "of applying diffs out of sequence") {
+    // r10 verdict #3: with maxFilesPerTrigger set, cross-micro-batch order
+    // is file MTIME; a backlog whose mtimes don't follow sequence order
+    // must NOT silently corrupt state. Four files, mtimes REVERSED against
+    // their filename sequences, cap 2: micro-batch 1 delivers seq {4,3}
+    // (oldest mtimes), batch 2 delivers {2,1} — a regression below the
+    // store's last applied sequence, which must abort with a clear error
+    // (the reference's last.state.txt gate, update/cmd.go:231-257).
+    val mapping = new CompiledMapping(
+      MappingConf.fromFile("/root/reference/test/complete_db_mapping.json"))
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-ooo-state").toString
+    val replDir = java.nio.file.Files.createTempDirectory("graft-ooo-repl").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ooo-ckpt").toString
+    DiffPipeline.init(spark, mapping, stateDir,
+      OsmXml.read(spark, "/root/reference/test/complete_db.osm"))
+    val mtime0 = System.currentTimeMillis() - 600000
+    for (i <- 1 to 4) {
+      val p = java.nio.file.Paths.get(f"$replDir/$i%09d.osc")
+      java.nio.file.Files.writeString(p,
+        s"""<?xml version='1.0' encoding='UTF-8'?>
+           |<osmChange version="0.6" generator="test">
+           | <modify>
+           |  <node id="10001" version="${i + 2}" lat="40.0" lon="10.0">
+           |   <tag k="place" v="village"/><tag k="name" v="N$i"/>
+           |  </node>
+           | </modify>
+           |</osmChange>
+           |""".stripMargin)
+      // reversed: sequence 4 carries the OLDEST mtime
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(mtime0 + (5 - i) * 2000L))
+    }
+    val q = DiffPipeline.runStream(spark, mapping, stateDir, replDir, ckpt,
+      maxFilesPerTrigger = Some(2))
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(480000)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("out-of-order replication file")),
+      s"wrong failure: ${messages(err).mkString(" | ")}")
+    // batch 1 must have applied ITS files in sequence order (3 then 4 —
+    // mtime order would leave N3), committed both, and left state sane
+    val store = new StateStore(spark, stateDir)
+    assert(store.currentSeq == 2, s"seq=${store.currentSeq}")
+    val places = DiffPipeline.readTables(spark, mapping, stateDir)("places")
+    assert(places.filter("osm_id = 10001").head()
+      .getAs[String]("name") == "N4")
+  }
+
   test("a 50-batch stream stays bounded: versions, segments, and files are " +
       "flat under per-trigger retention") {
     // the long-stream soak (reference analog: update/cmd.go's unbounded
