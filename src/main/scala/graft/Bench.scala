@@ -106,11 +106,66 @@ object Bench {
     (load, waited, contended)
   }
 
-  /** One timed scale rep: element count, phase walls, and the admission
-    * record (1-min load at admission, seconds the gate waited, whether the
-    * gate timed out still over threshold). */
+  /** One timed scale rep: element count, phase walls, and the admission +
+    * in-flight record (1-min load at admission, seconds the gate waited,
+    * mean foreign-CPU fraction and GC seconds DURING the rep, whether the
+    * rep counts as contended). */
   private final case class RepRun(parsed: Long, parse: Double, imp: Double,
-      gen: Double, load: Double, gateWait: Double, contended: Boolean)
+      gen: Double, load: Double, gateWait: Double, foreignCpu: Double,
+      gcSec: Double, contended: Boolean)
+
+  /** Samples foreign CPU — whole-box CPU minus this JVM's — and this JVM's
+    * accumulated GC time while a rep runs. The admission gate only sees
+    * load at rep START; a mid-rep foreign burst or a GC storm is invisible
+    * to it, and loadavg DURING a rep can't attribute (our own 32-thread
+    * work legitimately drives it to ~15–30). `getCpuLoad −
+    * getProcessCpuLoad` is exactly the foreign share, so every slow rep is
+    * adjudicable from the artifact: foreign_cpu high → the box was owned,
+    * gc high → heap aftermath, both low → the plan itself. */
+  private final class RepMeter {
+    private val os = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    private def gcMs: Long = {
+      var sum = 0L
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .forEach(b => sum += math.max(0L, b.getCollectionTime))
+      sum
+    }
+    private val gc0 = gcMs
+    private val foreignSum = new java.util.concurrent.atomic.DoubleAdder
+    private val samples = new java.util.concurrent.atomic.AtomicLong
+    @volatile private var stopped = false
+    private val t = new Thread(() => {
+      while (!stopped) {
+        val s = os.getCpuLoad
+        val p = os.getProcessCpuLoad
+        if (s >= 0 && p >= 0) {
+          foreignSum.add(math.max(0.0, s - p))
+          samples.incrementAndGet()
+        }
+        try Thread.sleep(2000)
+        catch { case _: InterruptedException => () }
+      }
+    })
+    t.setDaemon(true)
+    t.start()
+    /** (mean foreign-CPU fraction [0,1] or -1 if unsampled, GC seconds). */
+    def stop(): (Double, Double) = {
+      stopped = true
+      t.interrupt()
+      t.join(3000)
+      val n = samples.get
+      (if (n == 0) -1.0 else foreignSum.sum / n, (gcMs - gc0) / 1e3)
+    }
+  }
+
+  /** A rep is contended when the gate timed out still over threshold OR
+    * the in-flight foreign-CPU share exceeded the budget (default 12.5% =
+    * 4 of 32 cores — enough to matter against a ≤1.3× spread bar). */
+  private def isContended(gateTimedOut: Boolean, foreignCpu: Double): Boolean =
+    gateTimedOut || foreignCpu >
+      sys.env.getOrElse("SPARK_GRAFT_FOREIGN_CPU_MAX", "0.125").toDouble
 
   /** Sums executor task metrics while attached — the spill/shuffle record
     * for the 10×-scale import rep (does the plan survive a scale-up, or
@@ -294,8 +349,9 @@ object Bench {
           // timed reps pass the loadavg admission gate; the settle rep IS
           // the settle — it runs immediately and its load shows bench-start
           // contention in the artifact
-          val (load, gateWait, contended) =
+          val (load, gateWait, gateTimedOut) =
             if (rep == 0) (loadavg(), 0.0, false) else admitRep()
+          val meter = new RepMeter
           val t0 = System.nanoTime()
           // the reference's reader applies the tag prefilter during parse
           // (mapping/filter.go via reader/reader.go:124) — so do we
@@ -328,17 +384,23 @@ object Bench {
           graft.operators.Generalize(spark, mapping, tables).values
             .foreach(_.write.format("noop").mode("overwrite").save())
           val tGen = (System.nanoTime() - t2) / 1e9
+          // meter stops BEFORE resetCaches: its System.gc() is phase
+          // hygiene, not rep cost, and must not pollute the gc record
+          val (foreignCpu, gcSec) = meter.stop()
           stable.values.foreach(_.unpersist())
           resetCaches()
+          val contended = rep > 0 && isContended(gateTimedOut, foreignCpu)
           val tag = if (rep == 0) "settle" else s"rep $rep/$reps"
           System.err.println(
             f"[bench] osm_scale $tag copies=$copies elems=$parsed/$nElems " +
-              f"load=$load%.2f${if (contended) " CONTENDED" else ""} " +
+              f"load=$load%.2f foreign=$foreignCpu%.3f gc=$gcSec%.1fs" +
+              f"${if (contended) " CONTENDED" else ""} " +
               f"parse=$tParse%.1fs (${parsed / tParse}%.0f elem/s) " +
               f"import=$tImport%.1fs gen=$tGen%.1fs " +
               f"total=${tParse + tImport + tGen}%.1fs " +
               f"(${parsed / (tParse + tImport + tGen)}%.0f elem/s end-to-end)")
-          RepRun(parsed, tParse, tImport, tGen, load, gateWait, contended)
+          RepRun(parsed, tParse, tImport, tGen, load, gateWait, foreignCpu,
+            gcSec, contended)
         }
         val settleLoad = allRuns.head.load
         val phaseRuns = allRuns.tail
@@ -454,6 +516,7 @@ object Bench {
         osmReps = Some(
           s"""{"parse":${repArr(_.parse)},"import":${repArr(_.imp)},"gen":${repArr(_.gen)},""" +
             s""""load":${repArr(_.load)},"gate_wait":${repArr(_.gateWait)},""" +
+            s""""foreign_cpu":${repArr(_.foreignCpu)},"gc":${repArr(_.gcSec)},""" +
             s""""contended":$contArr,"settle_load":${fmt(settleLoad)},""" +
             s""""median":{"parse":${fmt(mParse)},"import":${fmt(mImport)},"gen":${fmt(mGen)}}""" +
             cleanBlock + "}")
@@ -700,45 +763,73 @@ object Bench {
         val mapping = new graft.mapping.CompiledMapping(
           graft.mapping.MappingConf.fromFile("/root/reference/test/complete_db_mapping.json"))
         resetCaches()
-        val acc = new TaskMetricsAccum
-        spark.sparkContext.addSparkListener(acc)
-        val (load, gateWait, contended) = admitRep()
-        val (parsed, tParse, tImport, tGen) = try {
-          val t0 = System.nanoTime()
-          val bundle = graft.sources.OsmPbf.read(spark, xlDir,
-            Some(graft.sources.TagFilters(mapping)))
-          val parsed = bundle.coords.count() + bundle.ways.count() +
-            bundle.relations.count()
-          val tParse = (System.nanoTime() - t0) / 1e9
-          val t1 = System.nanoTime()
-          val pipeline = new ImportPipeline(spark, mapping)
-          val tables = pipeline.run(bundle)
-          sinkAll(pipeline, tables, eagerStages = true)
-          val tImport = (System.nanoTime() - t1) / 1e9
-          val genSources = mapping.conf.generalizedTables.values.map(_.source).toSet
-          val stable = tables.filter { case (n, _) => genSources(n) }
-          stable.values.foreach(
-            _.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
-          stable.values.foreach(_.count())
-          pipeline.unpersistAll()
-          val t2 = System.nanoTime()
-          graft.operators.Generalize(spark, mapping, tables).values
-            .foreach(_.write.format("noop").mode("overwrite").save())
-          val tGen = (System.nanoTime() - t2) / 1e9
-          stable.values.foreach(_.unpersist())
-          resetCaches()
-          (parsed, tParse, tImport, tGen)
-        } finally spark.sparkContext.removeSparkListener(acc) // also on throw
+        // min-of-N like the synth section (default 2): the single r10-style
+        // rep inherited whatever the ~15-minute diff+soak window left in
+        // the page cache — measured 331.6 s in-sequence vs 126.8 s isolated
+        // on identical code and a quiet box — and the ONE number the 100 TB
+        // claim hangs on must not be hostage to section aftermath. Each rep
+        // passes the admission gate and carries its own foreign-CPU/GC/spill
+        // record; the reported phases are minimums, spill metrics come from
+        // the rep with the best import.
         val gb = 1024.0 * 1024 * 1024
-        System.err.println(
-          f"[bench] osm_scale_xl copies=$xlCopies elems=$parsed/$nElems " +
-            f"load=$load%.2f${if (contended) " CONTENDED" else ""} " +
-            f"parse=$tParse%.1fs import=$tImport%.1fs gen=$tGen%.1fs " +
-            f"(${parsed / (tParse + tImport + tGen)}%.0f elem/s end-to-end) " +
-            f"shuffleWrite=${acc.shuffleWrite.get / gb}%.2fGB " +
-            f"memSpill=${acc.memSpill.get / gb}%.2fGB " +
-            f"diskSpill=${acc.diskSpill.get / gb}%.2fGB " +
-            f"peakTaskMem=${acc.peakMem.get / gb}%.3fGB")
+        val xlReps = sys.env.getOrElse("SPARK_GRAFT_XL_REPS", "2").toInt
+        final case class XlRun(parsed: Long, parse: Double, imp: Double,
+          gen: Double, load: Double, gateWait: Double, foreignCpu: Double,
+          gcSec: Double, contended: Boolean, shuffleGb: Double,
+          memSpillGb: Double, diskSpillGb: Double, peakGb: Double)
+        val xlRuns = (1 to xlReps).map { rep =>
+          val acc = new TaskMetricsAccum
+          spark.sparkContext.addSparkListener(acc)
+          val (load, gateWait, gateTimedOut) = admitRep()
+          val meter = new RepMeter
+          val (parsed, tParse, tImport, tGen) = try {
+            val t0 = System.nanoTime()
+            val bundle = graft.sources.OsmPbf.read(spark, xlDir,
+              Some(graft.sources.TagFilters(mapping)))
+            val parsed = bundle.coords.count() + bundle.ways.count() +
+              bundle.relations.count()
+            val tParse = (System.nanoTime() - t0) / 1e9
+            val t1 = System.nanoTime()
+            val pipeline = new ImportPipeline(spark, mapping)
+            val tables = pipeline.run(bundle)
+            sinkAll(pipeline, tables, eagerStages = true)
+            val tImport = (System.nanoTime() - t1) / 1e9
+            val genSources = mapping.conf.generalizedTables.values.map(_.source).toSet
+            val stable = tables.filter { case (n, _) => genSources(n) }
+            stable.values.foreach(
+              _.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+            stable.values.foreach(_.count())
+            pipeline.unpersistAll()
+            val t2 = System.nanoTime()
+            graft.operators.Generalize(spark, mapping, tables).values
+              .foreach(_.write.format("noop").mode("overwrite").save())
+            val tGen = (System.nanoTime() - t2) / 1e9
+            stable.values.foreach(_.unpersist())
+            (parsed, tParse, tImport, tGen)
+          } finally spark.sparkContext.removeSparkListener(acc) // also on throw
+          val (foreignCpu, gcSec) = meter.stop()
+          resetCaches()
+          val contended = isContended(gateTimedOut, foreignCpu)
+          System.err.println(
+            f"[bench] osm_scale_xl rep $rep/$xlReps copies=$xlCopies " +
+              f"elems=$parsed/$nElems " +
+              f"load=$load%.2f foreign=$foreignCpu%.3f gc=$gcSec%.1fs" +
+              f"${if (contended) " CONTENDED" else ""} " +
+              f"parse=$tParse%.1fs import=$tImport%.1fs gen=$tGen%.1fs " +
+              f"(${parsed / (tParse + tImport + tGen)}%.0f elem/s end-to-end) " +
+              f"shuffleWrite=${acc.shuffleWrite.get / gb}%.2fGB " +
+              f"memSpill=${acc.memSpill.get / gb}%.2fGB " +
+              f"diskSpill=${acc.diskSpill.get / gb}%.2fGB " +
+              f"peakTaskMem=${acc.peakMem.get / gb}%.3fGB")
+          XlRun(parsed, tParse, tImport, tGen, load, gateWait, foreignCpu,
+            gcSec, contended, acc.shuffleWrite.get / gb, acc.memSpill.get / gb,
+            acc.diskSpill.get / gb, acc.peakMem.get / gb)
+        }
+        val best = xlRuns.minBy(_.imp)
+        val parsed = best.parsed
+        val tParse = xlRuns.map(_.parse).min
+        val tImport = best.imp
+        val tGen = xlRuns.map(_.gen).min
         // stored-assembly variant at the same scale: write the bucketed
         // element store (timed separately — the paid-once layout cost),
         // then one import off it (the diff-rerun read path at 10×)
@@ -784,13 +875,19 @@ object Bench {
             System.err.println(s"[bench] osm_scale_xl_bucketed failed: ${e.getMessage}")
             Seq.empty
           }
+        def xlArr(f: XlRun => Double) =
+          xlRuns.map(r => fmt(f(r))).mkString("[", ",", "]")
         xlMetrics = Some(
-          s"""{"copies":$xlCopies,"elems":$parsed,"load":${fmt(load)},""" +
-            s""""gate_wait":${fmt(gateWait)},"contended":$contended,""" +
-            s""""shuffle_write_gb":${fmt(acc.shuffleWrite.get / gb)},""" +
-            s""""mem_spill_gb":${fmt(acc.memSpill.get / gb)},""" +
-            s""""disk_spill_gb":${fmt(acc.diskSpill.get / gb)},""" +
-            s""""peak_task_mem_gb":${fmt(acc.peakMem.get / gb)}}""")
+          s"""{"copies":$xlCopies,"elems":$parsed,""" +
+            s""""parse":${xlArr(_.parse)},"import":${xlArr(_.imp)},""" +
+            s""""gen":${xlArr(_.gen)},"load":${xlArr(_.load)},""" +
+            s""""gate_wait":${xlArr(_.gateWait)},""" +
+            s""""foreign_cpu":${xlArr(_.foreignCpu)},"gc":${xlArr(_.gcSec)},""" +
+            s""""contended":${xlRuns.map(_.contended).mkString("[", ",", "]")},""" +
+            s""""shuffle_write_gb":${fmt(best.shuffleGb)},""" +
+            s""""mem_spill_gb":${fmt(best.memSpillGb)},""" +
+            s""""disk_spill_gb":${fmt(best.diskSpillGb)},""" +
+            s""""peak_task_mem_gb":${fmt(best.peakGb)}}""")
         // keys namespaced osm_*_xl$N (r10 advice): if the XL and synth
         // sections ever run the same copy count, the two records must not
         // collide in the JSON (r10 spelled these osm_*_synth4000)
@@ -836,14 +933,18 @@ object Bench {
         sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
         val bundle = graft.sources.OsmPbf.read(spark, xDir,
           Some(graft.sources.TagFilters(mapping)))
-        val (loadI, waitI, contI) = admitRep()
+        val (loadI, waitI, gateI) = admitRep()
+        val meterI = new RepMeter
         val tInit0 = System.nanoTime()
         graft.streaming.DiffPipeline.init(spark, mapping, stateDir, bundle,
           nBuckets = sys.env.getOrElse("SPARK_GRAFT_DIFF_BUCKETS_XL", "512").toInt)
         val tInit = (System.nanoTime() - tInit0) / 1e9
+        val (foreignI, gcI) = meterI.stop()
         resetCaches()
+        val contI = isContended(gateI, foreignI)
         System.err.println(f"[bench] osm_diff_init_xl copies=$xCopies " +
-          f"load=$loadI%.2f${if (contI) " CONTENDED" else ""} init=$tInit%.1fs")
+          f"load=$loadI%.2f foreign=$foreignI%.3f gc=$gcI%.1fs" +
+          f"${if (contI) " CONTENDED" else ""} init=$tInit%.1fs")
         val st = graft.streaming.DiffPipeline.storedBundleAt(spark, stateDir, 0)
         val diffBatch = st.coords.filter(col("id") % 97 === 0)
           .select(lit(graft.model.Kind.Node).cast("tinyint").as("kind"),
@@ -857,17 +958,21 @@ object Bench {
         val nChanged = diffBatch.count()
         val xReps = sys.env.getOrElse("SPARK_GRAFT_DIFF_XL_REPS", "2").toInt
         val gated = (1 to xReps).map { rep =>
-          val (load, wait, cont) = admitRep()
+          val (load, wait, gateOut) = admitRep()
+          val meter = new RepMeter
           val t0 = System.nanoTime()
           graft.streaming.DiffPipeline.applyDiff(spark, mapping, stateDir,
             diffBatch, from = Some(0), commit = false)
           val dt = (System.nanoTime() - t0) / 1e9
+          val (foreign, gc) = meter.stop()
           resetCaches()
+          val cont = isContended(gateOut, foreign)
           System.err.println(
             f"[bench] osm_diff_apply_xl rep $rep/$xReps changed=$nChanged " +
-              f"load=$load%.2f${if (cont) " CONTENDED" else ""} " +
+              f"load=$load%.2f foreign=$foreign%.3f gc=$gc%.1fs" +
+              f"${if (cont) " CONTENDED" else ""} " +
               f"apply=$dt%.1fs (${nChanged / dt}%.0f elem/s)")
-          (dt, load, wait, cont)
+          (dt, load, wait, cont, foreign, gc)
         }
         // one mixed rep (way re-tags + relation touches drive the closure
         // through member fetch + ring assembly — the costlier shape)
@@ -894,20 +999,26 @@ object Bench {
               lit(graft.model.Op.Modify).cast("tinyint").as("op")))
           .localCheckpoint()
         val nMixed = mixedBatch.count()
-        val (loadM, waitM, contM) = admitRep()
+        val (loadM, waitM, gateM) = admitRep()
+        val meterM = new RepMeter
         val tM0 = System.nanoTime()
         graft.streaming.DiffPipeline.applyDiff(spark, mapping, stateDir,
           mixedBatch, from = Some(0), commit = false)
         val tMixed = (System.nanoTime() - tM0) / 1e9
+        val (foreignM, gcM) = meterM.stop()
         resetCaches()
+        val contM = isContended(gateM, foreignM)
         System.err.println(
           f"[bench] osm_diff_apply_mixed_xl changed=$nMixed " +
-            f"load=$loadM%.2f${if (contM) " CONTENDED" else ""} " +
+            f"load=$loadM%.2f foreign=$foreignM%.3f gc=$gcM%.1fs" +
+            f"${if (contM) " CONTENDED" else ""} " +
             f"apply=$tMixed%.1fs (${nMixed / tMixed}%.0f elem/s)")
         diffXlMetrics = Some(
           s"""{"copies":$xCopies,"changed":$nChanged,"changed_mixed":$nMixed,""" +
             s""""load":[${(Seq(loadI) ++ gated.map(_._2) :+ loadM).map(fmt).mkString(",")}],""" +
             s""""gate_wait":[${(Seq(waitI) ++ gated.map(_._3) :+ waitM).map(fmt).mkString(",")}],""" +
+            s""""foreign_cpu":[${(Seq(foreignI) ++ gated.map(_._5) :+ foreignM).map(fmt).mkString(",")}],""" +
+            s""""gc":[${(Seq(gcI) ++ gated.map(_._6) :+ gcM).map(fmt).mkString(",")}],""" +
             s""""contended":[${(Seq(contI) ++ gated.map(_._4) :+ contM).mkString(",")}]}""")
         Seq("osm_diff_init_xl" -> tInit,
           "osm_diff_apply_xl" -> gated.map(_._1).min,

@@ -51,12 +51,13 @@ object Tuning {
     * (the documented override). Safe to call between phases: AQE reads the
     * conf at query execution, not plan construction. Returns the count. */
   def sizeToInput(spark: SparkSession, paths: Seq[String]): Int = {
+    val bytes = paths.map(inputBytes).sum
     val n = sys.env.get("SPARK_GRAFT_INITIAL_PARTITIONS").map(_.toInt)
-      .getOrElse {
-        val cores = spark.sparkContext.defaultParallelism
-        initialPartitionsFor(paths.map(inputBytes).sum, cores)
-      }
+      .getOrElse(
+        initialPartitionsFor(bytes, spark.sparkContext.defaultParallelism))
     spark.conf.set(InitialPartitionsKey, n.toString)
+    System.err.println(
+      s"[tuning] initial shuffle partitions = $n (${bytes >> 20} MB input)")
     n
   }
 }
