@@ -152,11 +152,18 @@ object Bench {
     t.start()
     /** (mean foreign-CPU fraction [0,1] or -1 if unsampled, GC seconds). */
     def stop(): (Double, Double) = {
+      discard()
+      val n = samples.get
+      (if (n == 0) -1.0 else foreignSum.sum / n, (gcMs - gc0) / 1e3)
+    }
+
+    /** Idempotent kill for `finally` blocks: a rep body that throws must
+      * not leak its sampler thread (the r10 ADVICE listener-leak lesson,
+      * applied to the thing that replaced it). */
+    def discard(): Unit = {
       stopped = true
       t.interrupt()
       t.join(3000)
-      val n = samples.get
-      (if (n == 0) -1.0 else foreignSum.sum / n, (gcMs - gc0) / 1e3)
     }
   }
 
@@ -352,6 +359,7 @@ object Bench {
           val (load, gateWait, gateTimedOut) =
             if (rep == 0) (loadavg(), 0.0, false) else admitRep()
           val meter = new RepMeter
+          try {
           val t0 = System.nanoTime()
           // the reference's reader applies the tag prefilter during parse
           // (mapping/filter.go via reader/reader.go:124) — so do we
@@ -401,6 +409,7 @@ object Bench {
               f"(${parsed / (tParse + tImport + tGen)}%.0f elem/s end-to-end)")
           RepRun(parsed, tParse, tImport, tGen, load, gateWait, foreignCpu,
             gcSec, contended)
+          } finally meter.discard() // no sampler leak when a rep throws
         }
         val settleLoad = allRuns.head.load
         val phaseRuns = allRuns.tail
@@ -772,7 +781,10 @@ object Bench {
         // record; the reported phases are minimums, spill metrics come from
         // the rep with the best import.
         val gb = 1024.0 * 1024 * 1024
-        val xlReps = sys.env.getOrElse("SPARK_GRAFT_XL_REPS", "2").toInt
+        // clamped ≥1: zero reps would throw at minBy and silently drop the
+        // whole section (including the bucketed sub-results) to the catch
+        val xlReps =
+          math.max(1, sys.env.getOrElse("SPARK_GRAFT_XL_REPS", "2").toInt)
         final case class XlRun(parsed: Long, parse: Double, imp: Double,
           gen: Double, load: Double, gateWait: Double, foreignCpu: Double,
           gcSec: Double, contended: Boolean, shuffleGb: Double,
@@ -782,6 +794,7 @@ object Bench {
           spark.sparkContext.addSparkListener(acc)
           val (load, gateWait, gateTimedOut) = admitRep()
           val meter = new RepMeter
+          // also on throw: the listener detaches and the sampler dies
           val (parsed, tParse, tImport, tGen) = try {
             val t0 = System.nanoTime()
             val bundle = graft.sources.OsmPbf.read(spark, xlDir,
@@ -806,7 +819,10 @@ object Bench {
             val tGen = (System.nanoTime() - t2) / 1e9
             stable.values.foreach(_.unpersist())
             (parsed, tParse, tImport, tGen)
-          } finally spark.sparkContext.removeSparkListener(acc) // also on throw
+          } finally {
+            spark.sparkContext.removeSparkListener(acc)
+            meter.discard()
+          }
           val (foreignCpu, gcSec) = meter.stop()
           resetCaches()
           val contended = isContended(gateTimedOut, foreignCpu)
@@ -936,8 +952,9 @@ object Bench {
         val (loadI, waitI, gateI) = admitRep()
         val meterI = new RepMeter
         val tInit0 = System.nanoTime()
-        graft.streaming.DiffPipeline.init(spark, mapping, stateDir, bundle,
+        try graft.streaming.DiffPipeline.init(spark, mapping, stateDir, bundle,
           nBuckets = sys.env.getOrElse("SPARK_GRAFT_DIFF_BUCKETS_XL", "512").toInt)
+        finally meterI.discard()
         val tInit = (System.nanoTime() - tInit0) / 1e9
         val (foreignI, gcI) = meterI.stop()
         resetCaches()
@@ -956,13 +973,15 @@ object Bench {
             lit(graft.model.Op.Modify).cast("tinyint").as("op"))
           .localCheckpoint()
         val nChanged = diffBatch.count()
-        val xReps = sys.env.getOrElse("SPARK_GRAFT_DIFF_XL_REPS", "2").toInt
+        val xReps =
+          math.max(1, sys.env.getOrElse("SPARK_GRAFT_DIFF_XL_REPS", "2").toInt)
         val gated = (1 to xReps).map { rep =>
           val (load, wait, gateOut) = admitRep()
           val meter = new RepMeter
           val t0 = System.nanoTime()
-          graft.streaming.DiffPipeline.applyDiff(spark, mapping, stateDir,
+          try graft.streaming.DiffPipeline.applyDiff(spark, mapping, stateDir,
             diffBatch, from = Some(0), commit = false)
+          finally meter.discard()
           val dt = (System.nanoTime() - t0) / 1e9
           val (foreign, gc) = meter.stop()
           resetCaches()
@@ -1002,8 +1021,9 @@ object Bench {
         val (loadM, waitM, gateM) = admitRep()
         val meterM = new RepMeter
         val tM0 = System.nanoTime()
-        graft.streaming.DiffPipeline.applyDiff(spark, mapping, stateDir,
+        try graft.streaming.DiffPipeline.applyDiff(spark, mapping, stateDir,
           mixedBatch, from = Some(0), commit = false)
+        finally meterM.discard()
         val tMixed = (System.nanoTime() - tM0) / 1e9
         val (foreignM, gcM) = meterM.stop()
         resetCaches()

@@ -468,6 +468,10 @@ object Main {
         return
       case None => ()
     }
+    // size initial shuffle partitions to the corpus being processed —
+    // the batch release and delta paths shuffle the whole input
+    a.str("in").orElse(a.str("prev"))
+      .foreach(p => Tuning.sizeToInput(spark, Seq(p)))
     val manifest = a.str("delta") match {
       case Some(delta) => graft.operators.CorpusRelease.applyDelta(spark,
         a.required("prev"), delta, a.required("out"),
@@ -489,6 +493,8 @@ object Main {
     * (control-plane: one line per matching doc).
     */
   private def runIndex(spark: SparkSession, a: Args): Unit = {
+    // the index build shuffles every posting of the input — size to it
+    Tuning.sizeToInput(spark, Seq(a.required("in")))
     val docs = spark.read.parquet(a.required("in"))
     val out = a.required("out")
     if (a.bool("append") && !new java.io.File(out).isDirectory) {

@@ -31,27 +31,34 @@ object Tuning {
   val InitialPartitionsKey =
     "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
 
-  /** Recursive byte size of a file or directory (driver-side; inputs are
-    * local files in this sandbox — on a cluster use the FileSystem API). */
-  def inputBytes(path: String): Long = {
-    def walk(f: java.io.File): Long =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
-      else f.length()
-    walk(new java.io.File(path))
-  }
+  /** Recursive byte size of a file or directory, resolved through the
+    * Hadoop FileSystem so URI-form paths (`file:/…`, `hdfs://…`, `s3a://…`)
+    * size correctly — `java.io.File` alone would report 0 for those and
+    * silently pick the spill-prone narrow partition count. Returns 0 when
+    * the path can't be sized (missing, glob, no filesystem). */
+  def inputBytes(spark: SparkSession, path: String): Long =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    } catch { case _: Exception => 0L }
 
   /** Initial shuffle-partition count for `bytes` of compressed input:
-    * one partition per 4 MB, clamped to [cores, 8×cores]. */
+    * one partition per 4 MB, clamped to [cores, 8×cores]. An UNSIZEABLE
+    * input (bytes ≤ 0) gets the 8×cores ceiling: the failure modes are
+    * asymmetric — a too-wide count costs a flat few seconds of scheduling
+    * on a small input, a too-narrow one re-enters the measured
+    * 2.5 GB-partition spill regime (284.6 s at 79M elements). */
   def initialPartitionsFor(bytes: Long, cores: Int): Int =
-    math.max(cores, math.min(8L * cores, bytes / (4L << 20)).toInt)
+    if (bytes <= 0) 8 * cores
+    else math.max(cores, math.min(8L * cores, bytes / (4L << 20)).toInt)
 
   /** Set the AQE initial partition count for the phase about to execute,
     * sized to its input paths. `SPARK_GRAFT_INITIAL_PARTITIONS` still wins
     * (the documented override). Safe to call between phases: AQE reads the
     * conf at query execution, not plan construction. Returns the count. */
   def sizeToInput(spark: SparkSession, paths: Seq[String]): Int = {
-    val bytes = paths.map(inputBytes).sum
+    val bytes = paths.map(inputBytes(spark, _)).sum
     val n = sys.env.get("SPARK_GRAFT_INITIAL_PARTITIONS").map(_.toInt)
       .getOrElse(
         initialPartitionsFor(bytes, spark.sparkContext.defaultParallelism))

@@ -477,21 +477,25 @@ object DiffPipeline {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val files = batch.select("path").collect().map(_.getString(0)).sorted
+        // no pre-sort: applyBatchFiles orders by parsed sequence itself
+        val files = batch.select("path").collect().map(_.getString(0)).toSeq
         applyBatchFiles(spark, mapping, stateDir, files, srid,
           expireDir, expireZoom, batchId = Some(batchId))
       }
       .start()
   }
 
-  /** Replication sequence parsed from a change-file path — the trailing
-    * digit run of the basename (`.../000000123.osc.gz` → 123), the
-    * convention every replication layout here uses (Replication.download
-    * writes `%09d.osc.gz`). None when the name carries no sequence. */
+  /** Replication sequence parsed from a change-file path: the basename
+    * (minus `.osc`/`.osc.gz`) must be ALL digits — the convention every
+    * replication layout here uses (Replication.download writes
+    * `%09d.osc.gz`). None otherwise. Deliberately strict: a trailing-digit
+    * parse would read `hotfix-v2.osc` as sequence 2 and wedge a live
+    * stream at sequence 50000 in a crash-restart loop; a manually named
+    * file must hit the documented exemption instead. */
   private[streaming] def fileSeq(path: String): Option[Long] = {
     val base = new org.apache.hadoop.fs.Path(path).getName
       .stripSuffix(".gz").stripSuffix(".osc")
-    base.reverse.takeWhile(_.isDigit).reverse.toLongOption
+    if (base.nonEmpty && base.forall(_.isDigit)) base.toLongOption else None
   }
 
   /** The body of one [[runStream]] micro-batch: apply each change file as
@@ -510,7 +514,9 @@ object DiffPipeline {
     * stream checkpoint never re-delivers a file, so a regressed sequence
     * here is a never-applied straggler, not a duplicate. The one sanctioned
     * re-delivery — the same micro-batch replayed after a crash (same
-    * `batchId`) — rolls the baseline back to the pre-batch sequence and
+    * `batchId` AND same first file: a rebuilt checkpoint restarts
+    * batchIds at 0, so replay identity needs the batch's composition
+    * too) — rolls the baseline back to the pre-batch sequence and
     * re-applies idempotently (ST2). Files with no parseable sequence are
     * exempt (manually named change files).
     */
@@ -523,10 +529,13 @@ object DiffPipeline {
     // sequence order within the batch; path order breaks ties and orders
     // sequence-less names (zero-padded names make the two identical)
     val ordered = files.sortBy(p => (fileSeq(p).getOrElse(Long.MaxValue), p))
+    val firstName = ordered.headOption
+      .map(new org.apache.hadoop.fs.Path(_).getName).getOrElse("-")
     val prev = store.readReplSeq
     val seqBefore = prev match {
-      case Some((_, bid, before)) if batchId.contains(bid) => before // replay
-      case Some((last, _, _)) => last
+      case Some((_, bid, before, first))
+        if batchId.contains(bid) && first == firstName => before // replay
+      case Some((last, _, _, _)) => last
       case None => Long.MinValue
     }
     var baseline = seqBefore
@@ -546,7 +555,7 @@ object DiffPipeline {
       s.foreach { sq =>
         baseline = sq
         last = math.max(last, sq)
-        store.writeReplSeq(last, batchId.getOrElse(-1L), seqBefore)
+        store.writeReplSeq(last, batchId.getOrElse(-1L), seqBefore, firstName)
       }
     }
     // retention: drop version dirs no longer referenced by the

@@ -177,26 +177,37 @@ final class StateStore(spark: SparkSession, dir: String) {
   }
 
   private def replSeqPath = new Path(root, "replseq.txt")
+  private def replSeqTmp = new Path(root, ".replseq.txt.tmp")
 
   /** Sequence-order gate state for streaming replication replays (see
-    * DiffPipeline.applyBatchFiles): `<lastSeq> <batchId> <seqBeforeBatch>`
-    * — the last applied replication-file sequence, the micro-batch that
-    * applied it, and the sequence high-water before that batch started
-    * (the rollback baseline when a crashed batch is re-delivered).
-    * Advisory ordering metadata, plain overwrite: a crash after commit()
-    * but before this write just re-applies the file on restart, which
+    * DiffPipeline.applyBatchFiles):
+    * `<lastSeq> <batchId> <seqBeforeBatch> <firstFile>` — the last applied
+    * replication-file sequence, the micro-batch that applied it, the
+    * sequence high-water before that batch started (the rollback baseline
+    * when a crashed batch is re-delivered), and the basename of the
+    * batch's first file (replay identity must not rest on batchId alone:
+    * a rebuilt checkpoint restarts batchIds at 0). Written tmp+rename
+    * like commit(): a plain truncating overwrite torn by a crash would
+    * parse as None and silently DISABLE the out-of-order gate in exactly
+    * the crash-and-replay scenario it exists for; with the rename, a torn
+    * write leaves the previous state intact. A crash after commit() but
+    * before this write just re-applies the file on restart, which
     * delete-then-insert makes safe (ST2). */
-  def readReplSeq: Option[(Long, Long, Long)] =
+  def readReplSeq: Option[(Long, Long, Long, String)] =
     if (!fs.exists(replSeqPath)) None
-    else readSmall(replSeqPath).trim.split("\\s+") match {
-      case Array(a, b, c) =>
+    else readSmall(replSeqPath).trim.split("\\s+", 4) match {
+      case Array(a, b, c, f) =>
         for (x <- a.toLongOption; y <- b.toLongOption; z <- c.toLongOption)
-          yield (x, y, z)
+          yield (x, y, z, f)
       case _ => None
     }
 
-  def writeReplSeq(lastSeq: Long, batchId: Long, seqBefore: Long): Unit =
-    writeSmall(replSeqPath, s"$lastSeq $batchId $seqBefore\n")
+  def writeReplSeq(lastSeq: Long, batchId: Long, seqBefore: Long,
+      firstFile: String): Unit = {
+    writeSmall(replSeqTmp, s"$lastSeq $batchId $seqBefore $firstFile\n")
+    if (fs.exists(replSeqPath)) fs.delete(replSeqPath, false)
+    fs.rename(replSeqTmp, replSeqPath)
+  }
 
   /** Commit via temp file + rename; see currentSeq for the crash story. */
   def commit(seq: Long): Unit = {

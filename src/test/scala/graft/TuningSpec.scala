@@ -22,6 +22,25 @@ class TuningSpec extends AnyFunSuite {
     assert(Tuning.initialPartitionsFor(1L << 40, cores) == 256)
     // clamp arithmetic must not overflow Int on huge inputs
     assert(Tuning.initialPartitionsFor(Long.MaxValue / 2, cores) == 256)
+    // an UNSIZEABLE input (URI scheme with no fs, missing path, glob)
+    // takes the 8×cores ceiling, not the spill-prone floor: too-wide
+    // costs seconds of scheduling, too-narrow re-enters the measured
+    // 2.5 GB-partition spill regime
+    assert(Tuning.initialPartitionsFor(0L, cores) == 256)
+    assert(Tuning.initialPartitionsFor(-1L, cores) == 256)
+  }
+
+  test("inputBytes resolves URI-form paths through the Hadoop filesystem") {
+    val spark = SparkSpecBase.session
+    val dir = java.nio.file.Files.createTempDirectory("graft-tuning-uri").toFile
+    val f = new java.io.File(dir, "data.bin")
+    val out = new java.io.FileOutputStream(f)
+    try out.write(new Array[Byte](4096)) finally out.close()
+    // plain path and file: URI must size identically (java.io.File alone
+    // reports 0 for the URI spelling — the spill-prone failure)
+    assert(Tuning.inputBytes(spark, dir.toString) == 4096L)
+    assert(Tuning.inputBytes(spark, "file:" + dir.toString) == 4096L)
+    assert(Tuning.inputBytes(spark, "/nonexistent/graft-nope") == 0L)
   }
 
   test("sizeToInput sets the session conf from the path's bytes") {

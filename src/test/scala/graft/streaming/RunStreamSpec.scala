@@ -84,10 +84,14 @@ class RunStreamSpec extends SparkSpecBase {
     assert(store.read("coords", 10).filter("id = 10001").count() == 1)
   }
 
-  test("fileSeq parses the trailing digit run of a change-file basename") {
+  test("fileSeq accepts only all-digit basenames as sequences") {
     assert(DiffPipeline.fileSeq("/a/b/000000123.osc.gz").contains(123L))
     assert(DiffPipeline.fileSeq("file:/tmp/x/000000001.osc").contains(1L))
-    assert(DiffPipeline.fileSeq("/a/changes-42.osc").contains(42L))
+    // a trailing digit run is NOT a sequence: hotfix-v2.osc would parse
+    // as 2 and wedge a live stream at sequence 50000 in a restart loop —
+    // manually named files must hit the exemption instead
+    assert(DiffPipeline.fileSeq("/a/changes-42.osc").isEmpty)
+    assert(DiffPipeline.fileSeq("/a/hotfix-v2.osc").isEmpty)
     assert(DiffPipeline.fileSeq("/a/changes.osc").isEmpty)
     // a digit run past Long range is no sequence, not a crash
     assert(DiffPipeline.fileSeq("/a/99999999999999999999999.osc").isEmpty)
