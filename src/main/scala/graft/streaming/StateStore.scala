@@ -193,9 +193,31 @@ final class StateStore(spark: SparkSession, dir: String) {
     * write leaves the previous state intact. A crash after commit() but
     * before this write just re-applies the file on restart, which
     * delete-then-insert makes safe (ST2). */
-  def readReplSeq: Option[(Long, Long, Long, String)] =
+  def readReplSeq: Option[(Long, Long, Long, String)] = {
+    // Mirror currentSeq's crash recovery: writeReplSeq's delete→rename has a
+    // window where replseq.txt is absent but a fully-written tmp exists. A
+    // parseable tmp is proof of a completed write (writeSmall closed it), so
+    // finish the interrupted rename instead of returning None — None here
+    // silently DISABLES the out-of-order gate in exactly the crash-and-replay
+    // scenario it exists for. An unparseable tmp is a torn write: discard it.
+    if (fs.exists(replSeqTmp)) {
+      val parsed = parseReplSeq(readSmall(replSeqTmp))
+      parsed match {
+        case Some(state) =>
+          if (fs.exists(replSeqPath)) fs.delete(replSeqPath, false)
+          if (fs.rename(replSeqTmp, replSeqPath)) return Some(state)
+          // rename refused (rare fs semantics): the tmp still holds the
+          // newest committed state — serve it without destroying it.
+          return Some(state)
+        case None => fs.delete(replSeqTmp, false)
+      }
+    }
     if (!fs.exists(replSeqPath)) None
-    else readSmall(replSeqPath).trim.split("\\s+", 4) match {
+    else parseReplSeq(readSmall(replSeqPath))
+  }
+
+  private def parseReplSeq(s: String): Option[(Long, Long, Long, String)] =
+    s.trim.split("\\s+", 4) match {
       case Array(a, b, c, f) =>
         for (x <- a.toLongOption; y <- b.toLongOption; z <- c.toLongOption)
           yield (x, y, z, f)
@@ -206,7 +228,12 @@ final class StateStore(spark: SparkSession, dir: String) {
       firstFile: String): Unit = {
     writeSmall(replSeqTmp, s"$lastSeq $batchId $seqBefore $firstFile\n")
     if (fs.exists(replSeqPath)) fs.delete(replSeqPath, false)
-    fs.rename(replSeqTmp, replSeqPath)
+    // HDFS-style FileSystems report rename failure by returning false, not
+    // throwing; the gate's correctness hangs on this write landing, so a
+    // silent false would validate the next batch against a stale baseline.
+    if (!fs.rename(replSeqTmp, replSeqPath))
+      throw new java.io.IOException(
+        s"replseq gate state rename failed: $replSeqTmp -> $replSeqPath")
   }
 
   /** Commit via temp file + rename; see currentSeq for the crash story. */

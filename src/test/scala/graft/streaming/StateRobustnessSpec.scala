@@ -40,6 +40,30 @@ class StateRobustnessSpec extends SparkSpecBase {
     assert(!Files.exists(Paths.get(dir, ".state.txt.tmp")))
   }
 
+  test("replseq crash window: temp file recovers the gate state") {
+    val dir = Files.createTempDirectory("graft-replseq").toString
+    val store = new StateStore(spark, dir)
+    store.writeReplSeq(41L, 3L, 40L, "000000041.osc.gz")
+    assert(store.readReplSeq.contains((41L, 3L, 40L, "000000041.osc.gz")))
+
+    // simulate the crash: tmp fully written, replseq.txt deleted, rename
+    // never happened — readReplSeq must serve the tmp and finish the rename
+    // rather than return None (which would disable the sequence gate in the
+    // crash-and-replay scenario it exists for)
+    Files.write(Paths.get(dir, ".replseq.txt.tmp"),
+      "42 4 41 000000042.osc.gz\n".getBytes("UTF-8"))
+    Files.delete(Paths.get(dir, "replseq.txt"))
+    assert(store.readReplSeq.contains((42L, 4L, 41L, "000000042.osc.gz")),
+      "tmp must recover the gate state")
+    assert(Files.exists(Paths.get(dir, "replseq.txt")), "rename finished")
+    assert(!Files.exists(Paths.get(dir, ".replseq.txt.tmp")))
+
+    // a torn (unparseable) tmp is discarded and the committed state survives
+    Files.write(Paths.get(dir, ".replseq.txt.tmp"), "gar bled".getBytes("UTF-8"))
+    assert(store.readReplSeq.contains((42L, 4L, 41L, "000000042.osc.gz")))
+    assert(!Files.exists(Paths.get(dir, ".replseq.txt.tmp")))
+  }
+
   test("expire line keeps tiles collected before an out-of-bounds abort") {
     val a = (7.42, 43.73)
     val b = (7.43, 43.73)
