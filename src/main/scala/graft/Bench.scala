@@ -1191,13 +1191,22 @@ object Bench {
           val meter = new RepMeter
           val (parsed, tParse, tImport, tGen) = try {
             val t0 = System.nanoTime()
+            // DISK_ONLY caches at this scale — the documented planet-scale
+            // configuration (OsmPbf.read/ImportPipeline docs): at ~190M
+            // elements the decoded corpus overwhelms a ≤16g heap's unified
+            // memory and MEMORY_AND_DISK eviction churn under 32 allocating
+            // tasks OOMs (first probe: GCLocker retry storms in the parse
+            // cache fill). Cache blocks are zstd-compressed (rdd.compress),
+            // so the disk bytes stay inside the scratch guard's arithmetic.
+            val diskOnly = org.apache.spark.storage.StorageLevel.DISK_ONLY
             val bundle = graft.sources.OsmPbf.read(spark, xxlDir,
-              Some(graft.sources.TagFilters(mapping)))
+              Some(graft.sources.TagFilters(mapping)), storage = diskOnly)
             val parsed = bundle.coords.count() + bundle.ways.count() +
               bundle.relations.count()
             val tParse = (System.nanoTime() - t0) / 1e9
             val t1 = System.nanoTime()
-            val pipeline = new ImportPipeline(spark, mapping)
+            val pipeline = new ImportPipeline(spark, mapping,
+              storage = diskOnly)
             val tables = pipeline.run(bundle)
             sinkAll(pipeline, tables, eagerStages = true)
             val tImport = (System.nanoTime() - t1) / 1e9
