@@ -850,13 +850,23 @@ object Bench {
           // also on throw: the listener detaches and the sampler dies
           val (parsed, tParse, tImport, tGen) = try {
             val t0 = System.nanoTime()
+            // DISK_ONLY caches from XL scale up — the planet-scale config
+            // the docs prescribe, and the reference's own semantics (its
+            // node cache is on-disk LevelDB, cache/node.go). Same-box A/B
+            // at this exact scale (79M, 16g heap, DISK_ONLY running
+            // SECOND with the aftermath disadvantage): import 67.1 s vs
+            // 89.8 s MEMORY_AND_DISK, disk spill 0.62 vs 1.57 GB — the
+            // eviction churn of a heap-sized cache costs more than
+            // page-cached zstd disk reads.
+            val diskOnlyXl = org.apache.spark.storage.StorageLevel.DISK_ONLY
             val bundle = graft.sources.OsmPbf.read(spark, xlDir,
-              Some(graft.sources.TagFilters(mapping)))
+              Some(graft.sources.TagFilters(mapping)), storage = diskOnlyXl)
             val parsed = bundle.coords.count() + bundle.ways.count() +
               bundle.relations.count()
             val tParse = (System.nanoTime() - t0) / 1e9
             val t1 = System.nanoTime()
-            val pipeline = new ImportPipeline(spark, mapping)
+            val pipeline = new ImportPipeline(spark, mapping,
+              storage = diskOnlyXl)
             val tables = pipeline.run(bundle)
             sinkAll(pipeline, tables, eagerStages = true)
             val tImport = (System.nanoTime() - t1) / 1e9
@@ -916,7 +926,8 @@ object Bench {
           else try {
             val bundle2 = graft.operators.ImportStats.instrument(
               graft.sources.OsmPbf.read(spark, xlDir,
-                Some(graft.sources.TagFilters(mapping))))
+                Some(graft.sources.TagFilters(mapping)),
+                storage = org.apache.spark.storage.StorageLevel.DISK_ONLY))
             bundle2.coords.count(); bundle2.ways.count(); bundle2.relations.count()
             var tBucketize = 0.0
             val storedAssembler: (DataFrame, DataFrame) => DataFrame =
