@@ -95,6 +95,15 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE_WAIT", "120").toDouble
     val disabled =
       sys.env.get("SPARK_GRAFT_LOAD_GATE").contains("0") || maxForeign <= 0
+    // flush dirty writeback before sampling: the r11 loadavg gate's 30-60s
+    // wait was an ACCIDENTAL settle for the previous section's page-cache
+    // aftermath; this gate admits in ~3s, so make the settle explicit or
+    // in-sequence reps inherit the writeback queue (measured: diff-XL
+    // applies 50.4s in-sequence vs 41.4s isolated on identical code with
+    // foreign_cpu~0.007 — the delta was aftermath, not codec or plan).
+    // sync is untimed (before admission) and near-free on a clean cache.
+    try new ProcessBuilder("sync").start().waitFor()
+    catch { case _: Throwable => () }
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     // mean foreign share over a short window; -1 (bean unsupported /
@@ -1035,9 +1044,8 @@ object Bench {
         val fsX = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val initRuns = (1 to initReps).map { rep =>
           fsX.delete(sp, true)
-          try new ProcessBuilder("sync").start().waitFor()
-          catch { case _: Throwable => () }
-          val (loadI, waitI, gateI) = admitRep()
+          val (loadI, waitI, gateI) = admitRep() // sync settle inside
+
           val meterI = new RepMeter
           val tInit0 = System.nanoTime()
           try graft.streaming.DiffPipeline.init(spark, mapping, stateDir,
