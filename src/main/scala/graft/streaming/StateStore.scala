@@ -205,9 +205,10 @@ final class StateStore(spark: SparkSession, dir: String) {
       parsed match {
         case Some(state) =>
           if (fs.exists(replSeqPath)) fs.delete(replSeqPath, false)
-          if (fs.rename(replSeqTmp, replSeqPath)) return Some(state)
-          // rename refused (rare fs semantics): the tmp still holds the
-          // newest committed state — serve it without destroying it.
+          // a refused rename (rare fs semantics) is non-fatal on the READ
+          // side: the tmp still holds the newest committed state, so serve
+          // it either way and let the next read retry the rename
+          fs.rename(replSeqTmp, replSeqPath)
           return Some(state)
         case None => fs.delete(replSeqTmp, false)
       }
