@@ -91,7 +91,11 @@ object Multimodal {
     * media type cycled by id) — the test/bench harness for the plumbing. */
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
+    // r12: the gate corpus is one parquet row group = a 1-task scan; the
+    // typed media operators downstream are per-row CPU, so spread the
+    // slim raw rows across the cores first (guide §2.5)
     spark.read.parquet(s"$dir/documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         when(col("doc_id") % 3 === 0, "image")
           .when(col("doc_id") % 3 === 1, "audio")

@@ -1225,15 +1225,26 @@ object Relational {
   private def qTriangles(s: SparkSession, dir: String): DataFrame = {
     val ps = t(s, dir, "lineitem")
       .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
-    // NOT persisted: the threshold probe (the .head() action below) and
-    // the main job share this plan's RDD lineage, so the main job reuses
-    // the probe's shuffle outputs as skipped stages (measured: a persist
-    // changed the bench time by <1% while pinning a cached frame the
-    // query path could never unpersist)
+    // r12: localCheckpoint'd — under AQE the threshold probe (the .head()
+    // below) and the edges job are separate query executions that do NOT
+    // share shuffle output, so the ps⋈ps pair join + aggregation (the
+    // query's heaviest stage) ran twice per invocation. The checkpointed
+    // co-supply graph is ≤ |suppliers|²/2 slim long rows (the density
+    // guard keeps the downstream graph far smaller still).
     val weighted = ps.as("a")
       .join(ps.as("b"), col("a.p") === col("b.p") && col("a.sk") < col("b.sk"))
       .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
       .agg(count(lit(1)).as("shared"))
+      .localCheckpoint()
+    // r12 optimization: edges/deg/oriented are localCheckpoint'd below.
+    // Without the cut, the wedge join inlines the WHOLE co-supply
+    // pipeline (lineitem self-join + threshold + two degree joins) once
+    // per reference — a 422-operator / 174-Exchange physical plan whose
+    // planning plus re-executed subtrees dominated the query (guide §2.4
+    // / §3.3 "very wide plans: materialise an intermediate"). The edge
+    // set after the density guard is tiny (hundreds of rows), so the
+    // checkpoint is effectively free and the wedge join plans against a
+    // leaf scan: measured 17.4 s → 6.6 s same-box, plan 422 → ~40 ops.
     // data-derived density guard: keep pairs sharing ≥ 3/4 of the max
     // observed co-supply count, so the graph stays non-trivial at every
     // scale factor instead of going empty/complete under a fixed cutoff.
@@ -1247,10 +1258,10 @@ object Relational {
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     val edges = weighted
       .filter(col("shared") >= lit(math.max(2L, mxShared * 3 / 4)))
-      .select("u", "v")
+      .select("u", "v").localCheckpoint()
     val deg = edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("d"))
+      .groupBy("n").agg(count(lit(1)).as("d")).localCheckpoint()
     val lowFirst = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
     val oriented = edges
@@ -1258,6 +1269,7 @@ object Relational {
       .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
       .select(when(lowFirst, col("u")).otherwise(col("v")).as("s"),
               when(lowFirst, col("v")).otherwise(col("u")).as("t"))
+      .localCheckpoint()
     val tris = oriented.select(col("s").as("x"), col("t").as("y"))
       .join(oriented.select(col("s").as("y"), col("t").as("z")), Seq("y"))
       .join(oriented.select(col("s").as("x"), col("t").as("z")), Seq("x", "z"))

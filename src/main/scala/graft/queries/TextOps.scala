@@ -23,8 +23,17 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  // r12 optimization: the gate corpus is a single parquet row group, so
+  // a bare scan is ONE task — and nearly every TextOps query rides a
+  // CPU-heavy per-row expression (regexp tokenizer, 5-char shingler)
+  // directly on that scan, serializing it on a 32-core box. Repartition
+  // the slim raw rows first: the added exchange moves <1 MB at gate
+  // scale, and the expression then runs at full parallelism (guide §2.5
+  // input skew — fix at the source). On a real multi-file corpus the
+  // repartition still costs one pass of the raw text but keeps the
+  // expression parallelism independent of the input file layout.
   private def docs(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
 
   /** Distinct 5-char shingles (character n-grams spanning token boundaries). */
   private[graft] val shingleExpr: Column = expr(
@@ -1776,28 +1785,60 @@ object TextOps {
   private def dedupPrefixZipf(s: SparkSession, dir: String): DataFrame =
     prefixJoinBody(graft.sources.ZipfGateFixture.docs(s))
 
+  // r12 optimization (guide §2.3 "narrower types / shuffle fewer bytes"):
+  // every stage after the df count used to carry the 5-char shingle STRING
+  // — the self-join key, the window rows, and above all the verify, which
+  // shuffled ~0.5 GB of array<string> payloads per corpus and spent ~80 s
+  // of executor CPU per join side deserializing + string-intersecting
+  // them. The shingles are replaced by a LOSSLESS dense dictionary id:
+  // `dict` range-sorts the distinct shingles by (df, s) and assigns
+  // monotonically_increasing_id, whose global order equals the rare-first
+  // (df, s) order — so per-doc ranks, prefixes, candidates, and therefore
+  // the verified output are IDENTICAL (bijection; collect-compared equal
+  // on both gate corpora), while every downstream exchange and the exact
+  // set-intersect run on longs (~2-3× fewer bytes, primitive equality).
+  // Even if the range sampler ever placed a boundary differently, ANY
+  // strict total order satisfies the prefix-filter lemma, so the verified
+  // output would still be identical — only the candidate count may move.
   private def prefixJoinBody(docs0: DataFrame): DataFrame = {
-    val d = docs0.select(col("doc_id"), shingleExpr.as("ss")).persist()
+    // repartition before shingling: the gate fixtures read as ≤4 input
+    // splits, which pinned the ~4.4 ms/doc shingling (and every cache
+    // consumer) to 4 of 32 cores — measured 16.7 s → ~10.5 s on the zipf
+    // row from this line alone (guide §2.5 input skew)
+    val cores = docs0.sparkSession.sparkContext.defaultParallelism
+    val d = docs0.repartition(cores)
+      .select(col("doc_id"), shingleExpr.as("ss")).persist()
+    // fill the cache EAGERLY: broadcast-exchange builds run as their own
+    // jobs and do not see through an unfilled InMemoryRelation — without
+    // this count, the dict/stats broadcast sides re-shingled the whole
+    // corpus from parquet (measured 2×~57 s of duplicate executor CPU)
+    d.count()
     val inv = d.select(col("doc_id"), explode(col("ss")).as("s"))
     val dfs = inv.groupBy("s").agg(count(lit(1)).as("df"))
+    // the lossless dictionary: sid ascending ⇔ (df, s) ascending
+    val dict = dfs.repartitionByRange(cores, col("df"), col("s"))
+      .sortWithinPartitions("df", "s")
+      .select(col("s"), monotonically_increasing_id().as("sid"))
+    val keyed = inv.join(dict, Seq("s")).select("doc_id", "sid").persist()
+    keyed.count() // same eager-fill reasoning as d above
     // rare-first rank within each doc; keep rk ≤ |x| − ⌈0.7|x|⌉ + 2
     // (ℓ-prefix with ℓ = 2: one extra posting per doc lets the positional
     // bound see a second hit, tightening p for the near-miss band)
-    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
+    val w = Window.partitionBy("doc_id").orderBy(col("sid"))
     val stats = d.select(col("doc_id"), size(col("ss")).cast("long").as("nss"))
-    val prefix = inv.join(dfs, Seq("s"))
+    val prefix = keyed
       .join(stats, Seq("doc_id"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= expr("nss - (7 * nss + 9) DIV 10 + 2"))
-      .select(col("doc_id"), col("s"), col("rk"), col("nss"))
-      // both sides of the self-join read this — uncached, the df join +
+      .select(col("doc_id"), col("sid"), col("rk"), col("nss"))
+      // both sides of the self-join read this — uncached, the dict join +
       // rank window would run twice (harness clearCache releases it)
       .persist()
     val survivors = prefix
-      .select(col("doc_id").as("a_id"), col("s"),
+      .select(col("doc_id").as("a_id"), col("sid"),
         col("rk").as("a_rk"), col("nss").as("a_nss"))
-      .join(prefix.select(col("doc_id").as("b_id"), col("s"),
-        col("rk").as("b_rk"), col("nss").as("b_nss")), Seq("s"))
+      .join(prefix.select(col("doc_id").as("b_id"), col("sid"),
+        col("rk").as("b_rk"), col("nss").as("b_nss")), Seq("sid"))
       .filter(col("a_id") < col("b_id"))
       // length filter (AllPairs): J ≥ 0.7 forces c ≥ 0.7·max(|A|,|B|) and
       // c ≤ min(|A|,|B|), so 10·min ≥ 7·max — applied per HIT, before the
@@ -1812,7 +1853,23 @@ object TextOps {
         least(col("a_nss") - col("a_p"), col("b_nss") - col("b_p"))) >=
         lit(7L) * (col("a_nss") + col("b_nss")))
       .select("a_id", "b_id")
-    exactJaccardVerify(d, survivors, threshold = 0.7, inclusive = true)
+    // exact verify on the dictionary ids: |A∩B| and |A∪B| are invariant
+    // under the bijection, so n_common/n_union/jaccard are the strings'
+    // exact values — but the arrays that reach the join are array<long>
+    val sets = keyed.groupBy("doc_id").agg(collect_list(col("sid")).as("hs"))
+    survivors
+      .join(sets.select(col("doc_id").as("a_id"), col("hs").as("a_hs")), Seq("a_id"))
+      .join(sets.select(col("doc_id").as("b_id"), col("hs").as("b_hs")), Seq("b_id"))
+      .withColumn("n_common",
+        size(array_intersect(col("a_hs"), col("b_hs"))).cast("long"))
+      .withColumn("n_union",
+        (size(col("a_hs")) + size(col("b_hs"))).cast("long") - col("n_common"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / col("n_union").cast("double"))
+      .filter(col("jaccard") >= 0.7)
+      .select(col("a_id"), col("b_id"), col("n_common"), col("n_union"),
+        col("jaccard"))
+      .orderBy("a_id", "b_id")
   }
 
   /** Shared exact-Jaccard verify: re-join the full shingle sets onto the
