@@ -74,13 +74,24 @@ class ZipfCorpusSpec extends SparkSpecBase {
         .withColumn("c", size(array_intersect(col("a_ss"), col("b_ss"))).cast("long"))
         .withColumn("u", (size(col("a_ss")) + size(col("b_ss"))).cast("long") - col("c"))
         .filter(col("c").cast("double") / col("u").cast("double") >= 0.7)
-        .select("a_id", "b_id")
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        .select("a_id", "b_id", "c", "u")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      // value-check n_common/n_union too, not just pair identity: the r12
+      // rewrite intersects dictionary-id arrays instead of the shingle
+      // strings, and the bijection must leave every count (hence jaccard)
+      // exactly the string-side truth
       val viaPrefix = graft.SparkEntry.queries("d_dedup_ngram_prefix")(spark, dir)
-        .select("a_id", "b_id")
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        .select("a_id", "b_id", "n_common", "n_union")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(viaPrefix.keySet == truth.keySet,
+        s"prefix join lost ${(truth.keySet -- viaPrefix.keySet).size} " +
+          s"/ gained ${(viaPrefix.keySet -- truth.keySet).size} pairs")
       assert(viaPrefix == truth,
-        s"prefix join lost ${(truth -- viaPrefix).size} / gained ${(viaPrefix -- truth).size} pairs")
+        "intersect/union counts diverged from the string-array truth")
       assert(truth.nonEmpty)
     } finally shingled.unpersist()
   }
