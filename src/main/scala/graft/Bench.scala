@@ -61,6 +61,21 @@ object Bench {
   private def fmt(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+  /** Storage level for the generalization-SOURCE table caches (the
+    * materialized-untimed copies the gen phase reads after the import's
+    * stage caches are dropped). r12 made these DISK_ONLY along with the
+    * XL/XXL element caches and took a real 3× gen regression (driver:
+    * 4.0 → 12.6 s; 8-core control 5.9 s — r12 verdict #2): the gen
+    * sources are the SMALL post-match end of the pipeline (output rows,
+    * not the 79–190M-element corpus), so the DISK_ONLY OOM fix buys
+    * nothing here and re-reading zstd disk blocks is pure cost.
+    * MEMORY_AND_DISK_SER keeps them serialized (bounded churn) but
+    * memory-resident when they fit — elements stay DISK_ONLY (§5).
+    */
+  private def genSourceStorage: org.apache.spark.storage.StorageLevel =
+    org.apache.spark.storage.StorageLevel.fromString(
+      sys.env.getOrElse("SPARK_GRAFT_GEN_STORAGE", "MEMORY_AND_DISK_SER"))
+
   /** 1-minute system load at a rep boundary, recorded into the JSON so a
     * contended rep is adjudicable from the artifact alone (r9 verdict: the
     * driver record read 2.08× baseline while the box's flat rate was
@@ -136,7 +151,28 @@ object Bench {
     * rep counts as contended). */
   private final case class RepRun(parsed: Long, parse: Double, imp: Double,
       gen: Double, load: Double, gateWait: Double, foreignCpu: Double,
-      gcSec: Double, contended: Boolean)
+      gcSec: Double, ioSec: Double, contended: Boolean)
+
+  /** Sum of the kernel's weighted-ms-in-queue I/O counter over physical
+    * block devices (/proc/diskstats stat #11 — device queue time × queue
+    * depth). The r12 verdict's adjudication gap (#6): identical XL code
+    * measured 68–155 s across runs with foreign_cpu ≈ 0 and gc flat, and
+    * nothing in the rep record could attribute the spread to device I/O
+    * pressure vs the plan. The DELTA of this counter across a rep is that
+    * missing signal: high io_wait with low foreign CPU = the device (page
+    * cache writeback, another process's I/O, slow virtio) owned the rep.
+    * Partitions (vda1) are excluded so bytes aren't double-counted. */
+  private def diskWeightedIoMs(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/diskstats")
+      try src.getLines().foldLeft(0L) { (acc, line) =>
+        val f = line.trim.split("\\s+")
+        if (f.length > 13 &&
+          f(2).matches("(vd|sd|xvd|hd)[a-z]+|nvme\\d+n\\d+|mmcblk\\d+"))
+          acc + f(13).toLong
+        else acc
+      } finally src.close()
+    } catch { case _: Throwable => -1L }
 
   /** Samples foreign CPU — whole-box CPU minus this JVM's — and this JVM's
     * accumulated GC time while a rep runs. The admission gate only sees
@@ -145,7 +181,9 @@ object Bench {
     * work legitimately drives it to ~15–30). `getCpuLoad −
     * getProcessCpuLoad` is exactly the foreign share, so every slow rep is
     * adjudicable from the artifact: foreign_cpu high → the box was owned,
-    * gc high → heap aftermath, both low → the plan itself. */
+    * gc high → heap aftermath, both low → the plan itself. r13 adds the
+    * device-I/O queue-time delta (see diskWeightedIoMs) as the third
+    * attribution axis. */
   private final class RepMeter {
     private val os = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean
@@ -157,6 +195,7 @@ object Bench {
       sum
     }
     private val gc0 = gcMs
+    private val io0 = diskWeightedIoMs()
     private val foreignSum = new java.util.concurrent.atomic.DoubleAdder
     private val samples = new java.util.concurrent.atomic.AtomicLong
     @volatile private var stopped = false
@@ -174,11 +213,15 @@ object Bench {
     })
     t.setDaemon(true)
     t.start()
-    /** (mean foreign-CPU fraction [0,1] or -1 if unsampled, GC seconds). */
-    def stop(): (Double, Double) = {
+    /** (mean foreign-CPU fraction [0,1] or -1 if unsampled, GC seconds,
+      * device-I/O weighted queue seconds or -1 if /proc/diskstats is
+      * unreadable). */
+    def stop(): (Double, Double, Double) = {
       discard()
       val n = samples.get
-      (if (n == 0) -1.0 else foreignSum.sum / n, (gcMs - gc0) / 1e3)
+      val io1 = diskWeightedIoMs()
+      val ioSec = if (io0 < 0 || io1 < 0) -1.0 else (io1 - io0) / 1e3
+      (if (n == 0) -1.0 else foreignSum.sum / n, (gcMs - gc0) / 1e3, ioSec)
     }
 
     /** Idempotent kill for `finally` blocks: a rep body that throws must
@@ -435,15 +478,15 @@ object Bench {
           // generalized tables are part of the reference's 7h30m planet
           // figure (postgis.go:236-362 runs inside the import) — timed as
           // their own entry so the stage split stays visible.
-          // Gen reads ONLY freshly-written DISK_ONLY copies of its source
-          // tables (materialized untimed off the warm stage caches, which
-          // are then dropped): disk blocks can't be evicted, so the phase
-          // time no longer depends on how much executor memory the import
-          // left behind.
+          // Gen reads ONLY freshly-materialized copies of its source
+          // tables (filled untimed off the warm stage caches, which are
+          // then dropped), persisted at genSourceStorage: the phase time
+          // no longer depends on how much executor memory the import left
+          // behind, and the small post-match rows stay memory-resident
+          // (r12 verdict #2 — DISK_ONLY here was a 3× gen regression).
           val genSources = mapping.conf.generalizedTables.values.map(_.source).toSet
           val stable = tables.filter { case (n, _) => genSources(n) }
-          stable.values.foreach(
-            _.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+          stable.values.foreach(_.persist(genSourceStorage))
           stable.values.foreach(_.count())
           pipeline.unpersistAll()
           val t2 = System.nanoTime()
@@ -452,21 +495,22 @@ object Bench {
           val tGen = (System.nanoTime() - t2) / 1e9
           // meter stops BEFORE resetCaches: its System.gc() is phase
           // hygiene, not rep cost, and must not pollute the gc record
-          val (foreignCpu, gcSec) = meter.stop()
+          val (foreignCpu, gcSec, ioSec) = meter.stop()
           stable.values.foreach(_.unpersist())
           resetCaches()
           val contended = rep > 0 && isContended(gateTimedOut, foreignCpu)
           val tag = if (rep == 0) "settle" else s"rep $rep/$reps"
           System.err.println(
             f"[bench] osm_scale $tag copies=$copies elems=$parsed/$nElems " +
-              f"load=$load%.2f foreign=$foreignCpu%.3f gc=$gcSec%.1fs" +
+              f"load=$load%.2f foreign=$foreignCpu%.3f gc=$gcSec%.1fs " +
+              f"io_wait=$ioSec%.1fs" +
               f"${if (contended) " CONTENDED" else ""} " +
               f"parse=$tParse%.1fs (${parsed / tParse}%.0f elem/s) " +
               f"import=$tImport%.1fs gen=$tGen%.1fs " +
               f"total=${tParse + tImport + tGen}%.1fs " +
               f"(${parsed / (tParse + tImport + tGen)}%.0f elem/s end-to-end)")
           RepRun(parsed, tParse, tImport, tGen, load, gateWait, foreignCpu,
-            gcSec, contended)
+            gcSec, ioSec, contended)
           } finally meter.discard() // no sampler leak when a rep throws
         }
         val settleLoad = allRuns.head.load
@@ -584,6 +628,7 @@ object Bench {
           s"""{"parse":${repArr(_.parse)},"import":${repArr(_.imp)},"gen":${repArr(_.gen)},""" +
             s""""load":${repArr(_.load)},"gate_wait":${repArr(_.gateWait)},""" +
             s""""foreign_cpu":${repArr(_.foreignCpu)},"gc":${repArr(_.gcSec)},""" +
+            s""""io_wait":${repArr(_.ioSec)},""" +
             s""""contended":$contArr,"settle_load":${fmt(settleLoad)},""" +
             s""""median":{"parse":${fmt(mParse)},"import":${fmt(mImport)},"gen":${fmt(mGen)}}""" +
             cleanBlock + "}")
@@ -845,7 +890,7 @@ object Bench {
           math.max(1, sys.env.getOrElse("SPARK_GRAFT_XL_REPS", "2").toInt)
         final case class XlRun(parsed: Long, parse: Double, imp: Double,
           gen: Double, load: Double, gateWait: Double, foreignCpu: Double,
-          gcSec: Double, contended: Boolean, shuffleGb: Double,
+          gcSec: Double, ioSec: Double, contended: Boolean, shuffleGb: Double,
           memSpillGb: Double, diskSpillGb: Double, peakGb: Double)
         // per-rep salvage (r11 advice): a throw in rep N>1 must not drop
         // the completed reps' timings/spill/contention records to the
@@ -881,8 +926,7 @@ object Bench {
             val tImport = (System.nanoTime() - t1) / 1e9
             val genSources = mapping.conf.generalizedTables.values.map(_.source).toSet
             val stable = tables.filter { case (n, _) => genSources(n) }
-            stable.values.foreach(
-              _.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+            stable.values.foreach(_.persist(genSourceStorage))
             stable.values.foreach(_.count())
             pipeline.unpersistAll()
             val t2 = System.nanoTime()
@@ -895,13 +939,14 @@ object Bench {
             spark.sparkContext.removeSparkListener(acc)
             meter.discard()
           }
-          val (foreignCpu, gcSec) = meter.stop()
+          val (foreignCpu, gcSec, ioSec) = meter.stop()
           resetCaches()
           val contended = isContended(gateTimedOut, foreignCpu)
           System.err.println(
             f"[bench] osm_scale_xl rep $rep/$xlReps copies=$xlCopies " +
               f"elems=$parsed/$nElems " +
-              f"load=$load%.2f foreign=$foreignCpu%.3f gc=$gcSec%.1fs" +
+              f"load=$load%.2f foreign=$foreignCpu%.3f gc=$gcSec%.1fs " +
+              f"io_wait=$ioSec%.1fs" +
               f"${if (contended) " CONTENDED" else ""} " +
               f"parse=$tParse%.1fs import=$tImport%.1fs gen=$tGen%.1fs " +
               f"(${parsed / (tParse + tImport + tGen)}%.0f elem/s end-to-end) " +
@@ -910,8 +955,9 @@ object Bench {
               f"diskSpill=${acc.diskSpill.get / gb}%.2fGB " +
               f"peakTaskMem=${acc.peakMem.get / gb}%.3fGB")
           Some(XlRun(parsed, tParse, tImport, tGen, load, gateWait, foreignCpu,
-            gcSec, contended, acc.shuffleWrite.get / gb, acc.memSpill.get / gb,
-            acc.diskSpill.get / gb, acc.peakMem.get / gb))
+            gcSec, ioSec, contended, acc.shuffleWrite.get / gb,
+            acc.memSpill.get / gb, acc.diskSpill.get / gb,
+            acc.peakMem.get / gb))
         } catch { case e: Throwable =>
           xlFailed += 1
           System.err.println(
@@ -981,6 +1027,7 @@ object Bench {
             s""""gen":${xlArr(_.gen)},"load":${xlArr(_.load)},""" +
             s""""gate_wait":${xlArr(_.gateWait)},""" +
             s""""foreign_cpu":${xlArr(_.foreignCpu)},"gc":${xlArr(_.gcSec)},""" +
+            s""""io_wait":${xlArr(_.ioSec)},""" +
             s""""contended":${xlRuns.map(_.contended).mkString("[", ",", "]")},""" +
             s""""failed_reps":$xlFailed,""" +
             s""""shuffle_write_gb":${fmt(best.shuffleGb)},""" +
@@ -1053,14 +1100,15 @@ object Bench {
               sys.env.getOrElse("SPARK_GRAFT_DIFF_BUCKETS_XL", "512").toInt)
           finally meterI.discard()
           val tI = (System.nanoTime() - tInit0) / 1e9
-          val (foreignI, gcI) = meterI.stop()
+          val (foreignI, gcI, ioI) = meterI.stop()
           resetCaches()
           val contI = isContended(gateI, foreignI)
           System.err.println(
             f"[bench] osm_diff_init_xl rep $rep/$initReps copies=$xCopies " +
-              f"load=$loadI%.2f foreign=$foreignI%.3f gc=$gcI%.1fs" +
+              f"load=$loadI%.2f foreign=$foreignI%.3f gc=$gcI%.1fs " +
+              f"io_wait=$ioI%.1fs" +
               f"${if (contI) " CONTENDED" else ""} init=$tI%.1fs")
-          (tI, loadI, waitI, contI, foreignI, gcI)
+          (tI, loadI, waitI, contI, foreignI, gcI, ioI)
         }
         val tInit = initRuns.map(_._1).min
         val st = graft.streaming.DiffPipeline.storedBundleAt(spark, stateDir, 0)
@@ -1084,15 +1132,16 @@ object Bench {
             diffBatch, from = Some(0), commit = false)
           finally meter.discard()
           val dt = (System.nanoTime() - t0) / 1e9
-          val (foreign, gc) = meter.stop()
+          val (foreign, gc, io) = meter.stop()
           resetCaches()
           val cont = isContended(gateOut, foreign)
           System.err.println(
             f"[bench] osm_diff_apply_xl rep $rep/$xReps changed=$nChanged " +
-              f"load=$load%.2f foreign=$foreign%.3f gc=$gc%.1fs" +
+              f"load=$load%.2f foreign=$foreign%.3f gc=$gc%.1fs " +
+              f"io_wait=$io%.1fs" +
               f"${if (cont) " CONTENDED" else ""} " +
               f"apply=$dt%.1fs (${nChanged / dt}%.0f elem/s)")
-          (dt, load, wait, cont, foreign, gc)
+          (dt, load, wait, cont, foreign, gc, io)
         }
         // one mixed rep (way re-tags + relation touches drive the closure
         // through member fetch + ring assembly — the costlier shape)
@@ -1126,12 +1175,13 @@ object Bench {
           mixedBatch, from = Some(0), commit = false)
         finally meterM.discard()
         val tMixed = (System.nanoTime() - tM0) / 1e9
-        val (foreignM, gcM) = meterM.stop()
+        val (foreignM, gcM, ioM) = meterM.stop()
         resetCaches()
         val contM = isContended(gateM, foreignM)
         System.err.println(
           f"[bench] osm_diff_apply_mixed_xl changed=$nMixed " +
-            f"load=$loadM%.2f foreign=$foreignM%.3f gc=$gcM%.1fs" +
+            f"load=$loadM%.2f foreign=$foreignM%.3f gc=$gcM%.1fs " +
+            f"io_wait=$ioM%.1fs" +
             f"${if (contM) " CONTENDED" else ""} " +
             f"apply=$tMixed%.1fs (${nMixed / tMixed}%.0f elem/s)")
         // array order: init reps, then apply reps, then the mixed rep
@@ -1142,6 +1192,7 @@ object Bench {
             s""""gate_wait":[${(initRuns.map(_._3) ++ gated.map(_._3) :+ waitM).map(fmt).mkString(",")}],""" +
             s""""foreign_cpu":[${(initRuns.map(_._5) ++ gated.map(_._5) :+ foreignM).map(fmt).mkString(",")}],""" +
             s""""gc":[${(initRuns.map(_._6) ++ gated.map(_._6) :+ gcM).map(fmt).mkString(",")}],""" +
+            s""""io_wait":[${(initRuns.map(_._7) ++ gated.map(_._7) :+ ioM).map(fmt).mkString(",")}],""" +
             s""""contended":[${(initRuns.map(_._4) ++ gated.map(_._4) :+ contM).mkString(",")}]}""")
         Seq("osm_diff_init_xl" -> tInit,
           "osm_diff_apply_xl" -> gated.map(_._1).min,
@@ -1232,8 +1283,7 @@ object Bench {
             val genSources =
               mapping.conf.generalizedTables.values.map(_.source).toSet
             val stable = tables.filter { case (n, _) => genSources(n) }
-            stable.values.foreach(
-              _.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+            stable.values.foreach(_.persist(genSourceStorage))
             stable.values.foreach(_.count())
             pipeline.unpersistAll()
             val t2 = System.nanoTime()
@@ -1246,12 +1296,12 @@ object Bench {
             spark.sparkContext.removeSparkListener(acc)
             meter.discard()
           }
-          val (foreignCpu, gcSec) = meter.stop()
+          val (foreignCpu, gcSec, ioSec) = meter.stop()
           resetCaches()
           val contended = isContended(gateTimedOut, foreignCpu)
           System.err.println(
             f"[bench] osm_scale_xxl copies=$xxlCopies elems=$parsed/$nElems " +
-              f"free_before=$freeGb%.1fGB " +
+              f"free_before=$freeGb%.1fGB io_wait=$ioSec%.1fs " +
               f"load=$load%.2f foreign=$foreignCpu%.3f gc=$gcSec%.1fs" +
               f"${if (contended) " CONTENDED" else ""} " +
               f"parse=$tParse%.1fs import=$tImport%.1fs gen=$tGen%.1fs " +
@@ -1266,7 +1316,7 @@ object Bench {
               s""""gen":${fmt(tGen)},"load":${fmt(load)},""" +
               s""""gate_wait":${fmt(gateWait)},""" +
               s""""foreign_cpu":${fmt(foreignCpu)},"gc":${fmt(gcSec)},""" +
-              s""""contended":$contended,""" +
+              s""""io_wait":${fmt(ioSec)},"contended":$contended,""" +
               s""""free_gb_before":${fmt(freeGb)},""" +
               s""""shuffle_write_gb":${fmt(acc.shuffleWrite.get / gb)},""" +
               s""""mem_spill_gb":${fmt(acc.memSpill.get / gb)},""" +

@@ -81,12 +81,16 @@ object IvfIndex {
         .withColumn("ce", coalesce(col("ce_new"), col("ce_old")))
         .withColumn("cn", vecNorm(col("ce")))
         .select(col("c_id"), col("ce"), col("cn"))
+        // nCells rows: checkpoint PER ROUND, not only at the end — the next
+        // round's broadcast(cents) builds in its own job and would re-run
+        // every earlier round's assignment+mean aggregations (lazy chained
+        // plans share no shuffle output across query executions); with the
+        // checkpoint each round's aggs run exactly once (guide §3.3
+        // materialize the intermediate; the r12 q_triangles lesson)
+        .localCheckpoint()
     }
-    // nCells rows: materialize eagerly (also truncates the per-iteration
-    // lineage) so the corpus cache can be released before returning
-    val out = cents.localCheckpoint()
     v.unpersist()
-    out
+    cents
   }
 
   // floor(x*1e6 + 0.5)/1e6, NOT round(x, 6): every op in the floor tree is

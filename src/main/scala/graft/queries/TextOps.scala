@@ -84,10 +84,17 @@ object TextOps {
     // re-shingles every document; the posting list feeds three consumers
     // the same way (harness-level clearCache releases both)
     val d = docs(s, dir).select(col("doc_id"), shingleExpr.as("ss")).persist()
+    // eager fills (r12 broadcast-bypass lesson, finished in r13 — §3):
+    // broadcast-exchange builds run as their own jobs and recompute an
+    // UNFILLED persisted subtree from parquet; the stats sides below
+    // broadcast under AQE at gate scale, so fill d (the shingling) and
+    // capped (the df-cap semi join) before anything can race them
+    d.count()
     val inv = d.select(col("doc_id"), explode(col("ss")).as("s"))
     val rare = inv.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= NgramDfCap).select("s")
     val capped = inv.join(rare, Seq("s"), "left_semi").persist()
+    capped.count()
     // per-doc side stats for the count prune: full set size, capped size
     val stats = d.select(col("doc_id"), size(col("ss")).cast("long").as("nss"))
       .join(capped.groupBy("doc_id").agg(count(lit(1)).as("ncap")),
@@ -263,6 +270,9 @@ object TextOps {
     // per-query clearCache releases it (same contract as prefixJoinBody).
     val toked = docs0.select(col("doc_id"), tokensExpr.as("toks"))
       .persist()
+    // eager fill: the lens side broadcasts into the pair join under AQE;
+    // unfilled, that build would re-tokenize from parquet (§3)
+    toked.count()
     val uni = toked.select(col("doc_id"), explode(col("toks")).as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
     val bi = toked
@@ -1556,6 +1566,11 @@ object TextOps {
       .distinct()
       .withColumn("h", graft.functions.Md5BitsFunctions.md5Bits60(col("tok")))
       .persist()
+    // eager fill: five of the six consumers below are EXPLICIT broadcast()
+    // sides whose exchange builds run as their own jobs — unfilled, each
+    // would re-run the shingle explode+distinct from parquet (§3, the r12
+    // broadcast-bypass pattern)
+    toks.count()
     val sk = graft.operators.TopK.perKey(toks.select(col("source"), col("h")),
       Seq(col("source")), Seq(col("h").asc), KmvK)
     val a = sk.filter(col("source") === "en").select(col("h").as("ha"))
@@ -1611,6 +1626,10 @@ object TextOps {
   private def sparseCosineWith(tfIn: DataFrame)
       (rareOf: DataFrame => DataFrame): DataFrame = {
     val tf = tfIn.persist()
+    // eager fill: the norms/stats sides broadcast into the candidate join
+    // under AQE, and an unfilled tf would make those builds re-run the
+    // tokenize+aggregate from parquet (§3 broadcast-bypass)
+    tf.count()
     val norms = tf.groupBy("doc_id")
       .agg(sqrt(sum(col("tf") * col("tf")).cast("double")).as("norm"))
     val rare = rareOf(tf.groupBy("tok").agg(count(lit(1)).as("df")))
@@ -1819,21 +1838,33 @@ object TextOps {
     val dict = dfs.repartitionByRange(cores, col("df"), col("s"))
       .sortWithinPartitions("df", "s")
       .select(col("s"), monotonically_increasing_id().as("sid"))
-    val keyed = inv.join(dict, Seq("s")).select("doc_id", "sid").persist()
-    keyed.count() // same eager-fill reasoning as d above
+    // r13: per-doc SORTED sid arrays replace the 4.1M-posting row_number
+    // window (guide §2.4 remove shuffles outright). ONE groupBy(doc_id)
+    // aggregation now yields BOTH the verify sets and the rare-first
+    // prefixes: sid ascending ⇔ (df, s) ascending (the dictionary's
+    // order-preserving construction above), and a doc's sids are distinct,
+    // so a sid's position in the doc's sorted array IS row_number() OVER
+    // (PARTITION BY doc_id ORDER BY sid) — provably identical ranks,
+    // prefixes, candidates, output. This removes the window's
+    // exchange+sort, the (doc_id) stats join, and the verify's separate
+    // collect_list aggregation (it shares `sets` below).
+    val sets = inv.join(dict, Seq("s"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("sid"))).as("hs"))
+      .withColumn("nss", size(col("hs")).cast("long"))
+      .persist()
+    sets.count() // same eager-fill reasoning as d above
     // rare-first rank within each doc; keep rk ≤ |x| − ⌈0.7|x|⌉ + 2
     // (ℓ-prefix with ℓ = 2: one extra posting per doc lets the positional
-    // bound see a second hit, tightening p for the near-miss band)
-    val w = Window.partitionBy("doc_id").orderBy(col("sid"))
-    val stats = d.select(col("doc_id"), size(col("ss")).cast("long").as("nss"))
-    val prefix = keyed
-      .join(stats, Seq("doc_id"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= expr("nss - (7 * nss + 9) DIV 10 + 2"))
-      .select(col("doc_id"), col("sid"), col("rk"), col("nss"))
-      // both sides of the self-join read this — uncached, the dict join +
-      // rank window would run twice (harness clearCache releases it)
-      .persist()
+    // bound see a second hit, tightening p for the near-miss band).
+    // Derived from the `sets` cache per consumer — a slice+posexplode of
+    // cached arrays, cheaper than its own cache fill.
+    val prefix = sets
+      .select(col("doc_id"), col("nss"), posexplode(expr(
+        "slice(hs, 1, cast(nss - (7 * nss + 9) DIV 10 + 2 as int))"))
+        .as(Seq("p", "sid")))
+      .select(col("doc_id"), col("sid"),
+        (col("p") + 1).cast("long").as("rk"), col("nss"))
     val survivors = prefix
       .select(col("doc_id").as("a_id"), col("sid"),
         col("rk").as("a_rk"), col("nss").as("a_nss"))
@@ -1854,9 +1885,10 @@ object TextOps {
         lit(7L) * (col("a_nss") + col("b_nss")))
       .select("a_id", "b_id")
     // exact verify on the dictionary ids: |A∩B| and |A∪B| are invariant
-    // under the bijection, so n_common/n_union/jaccard are the strings'
-    // exact values — but the arrays that reach the join are array<long>
-    val sets = keyed.groupBy("doc_id").agg(collect_list(col("sid")).as("hs"))
+    // under the bijection (and under the arrays now being sorted), so
+    // n_common/n_union/jaccard are the strings' exact values — but the
+    // arrays that reach the join are array<long>, read from the `sets`
+    // cache the prefix derivation already filled
     survivors
       .join(sets.select(col("doc_id").as("a_id"), col("hs").as("a_hs")), Seq("a_id"))
       .join(sets.select(col("doc_id").as("b_id"), col("hs").as("b_hs")), Seq("b_id"))
@@ -2062,6 +2094,10 @@ object TextOps {
           "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) end"))
     val all = d.select(col("doc_id"), explode(col("bigrams")).as("bigram"))
       .persist()
+    // eager fill (fills toked transitively): `freq` broadcasts into the
+    // semi join under AQE, and an unfilled `all` would make that build
+    // re-tokenize the corpus (§3 broadcast-bypass)
+    all.count()
     val freq = all.groupBy("bigram").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 5).select("bigram")
     val tot = all.groupBy("doc_id").agg(count(lit(1)).as("n_bigrams"))
@@ -2275,6 +2311,7 @@ object TextOps {
     // rows per task); here the exact table exists anyway for the gate.
     val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
       .persist()
+    exact.count() // eager fill (§3): the probe/top sides broadcast below
     val sketch = exact
       .select(col("exact_cnt"), posexplode(array((0 until 4).map(i =>
         expr(cellExpr(i, "tok"))): _*)).as(Seq("row_idx", "cell")))
@@ -3057,6 +3094,7 @@ object TextOps {
     // read three times (corpus counts, target counts, per-doc score)
     val perDoc = toks.groupBy("doc_id", "source", "b")
       .agg(count(lit(1)).as("c")).persist()
+    perDoc.count() // eager fill (§3): target/corpus sides broadcast below
     val corpus = perDoc.groupBy("b").agg((sum(col("c")) + lit(1L)).as("r1"))
     val target = perDoc.filter(col("source") === "src0")
       .groupBy(col("b").as("tb")).agg(sum(col("c")).as("tc"))

@@ -176,7 +176,14 @@ object DiffPipeline {
       expireDir: Option[String] = None,
       expireZoom: Int = graft.operators.ExpireTiles.DefaultZoom,
       from: Option[Long] = None,
-      commit: Boolean = true): Map[String, DataFrame] = {
+      commit: Boolean = true,
+      // buildViews = false skips constructing the ~30 result-table views
+      // (manifest read + eager file-index + Catalyst analysis each,
+      // measured 1–2 s/batch) for callers that discard the return — the
+      // streaming loop applies thousands of batches and reads tables via
+      // readTables when it actually needs them (r13, §1.2 don't compute
+      // what you throw away)
+      buildViews: Boolean = true): Map[String, DataFrame] = {
     val store = new StateStore(spark, stateDir)
     val seq = from.getOrElse(store.currentSeq)
     require(seq >= 0, s"no committed state in $stateDir — run init first")
@@ -203,6 +210,13 @@ object DiffPipeline {
       .localCheckpoint()
     val chR = d.filter(col("kind") === Kind.Relation).select("id").distinct()
       .localCheckpoint()
+    // per-kind change counts (near-free: the sets are checkpointed): a
+    // kind with ZERO changes steps its element/reverse-index tables with
+    // writeUnchanged — no empty segments, no write jobs, no fold growth,
+    // no compaction drag for tables a batch never touched (r13, §2.4; a
+    // node-move-only minutely batch previously appended empty segments to
+    // ways/relations/wayrefs/relrefs EVERY batch)
+    val nN = chN.count(); val nW = chW.count(); val nR = chR.count()
 
     // -- 1. element tables: delete-then-insert as a merge-on-read SEGMENT ----
     // write ONLY the batch's insert rows + delete-id tombstones (always
@@ -216,38 +230,44 @@ object DiffPipeline {
       if (timing) System.err.println(
         f"[diff]   write $label ${(System.nanoTime() - tw) / 1e9}%.1fs")
     }
+    def stepOrWrite(changed: Long, name: String)(write: => Unit): Unit =
+      if (changed == 0) store.writeUnchanged(name, next, seq) else write
     drainConcurrently(Seq(
-      timed("coords")(store.writeDelta("coords", next, seq,
-        insN.select("id", "lon", "lat"), chN, "id")),
-      timed("nodes")(store.writeDelta("nodes", next, seq,
+      timed("coords")(stepOrWrite(nN, "coords")(store.writeDelta("coords",
+        next, seq, insN.select("id", "lon", "lat"), chN, "id"))),
+      timed("nodes")(stepOrWrite(nN, "nodes")(store.writeDelta("nodes",
+        next, seq,
         insN.filter(size(col("tags")) > 0).select("id", "lon", "lat", "tags"),
-        chN, "id")),
-      timed("ways")(store.writeDelta("ways", next, seq,
+        chN, "id"))),
+      timed("ways")(stepOrWrite(nW, "ways")(store.writeDelta("ways", next, seq,
         d.filter(col("kind") === Kind.Way && col("op") =!= Op.Delete)
           .select("id", "refs", "tags"),
-        chW, "id")),
-      timed("relations")(store.writeDelta("relations", next, seq,
+        chW, "id"))),
+      timed("relations")(stepOrWrite(nR, "relations")(store.writeDelta(
+        "relations", next, seq,
         d.filter(col("kind") === Kind.Relation && col("op") =!= Op.Delete)
           .select(col("id"),
             expr("transform(members, m -> struct(m.id as id, m.mtype as type, m.role as role))")
               .as("members"),
             col("tags")),
-        chR, "id")),
+        chR, "id"))),
       // reverse indexes (DiffCache): bucketed by the REFERENCED id,
       // tombstoned by the REFERRER — a changed way's old entries must
       // vanish whichever nodes they pointed at
-      timed("wayrefs")(store.writeDelta("wayrefs", next, seq,
+      timed("wayrefs")(stepOrWrite(nW, "wayrefs")(store.writeDelta("wayrefs",
+        next, seq,
         d.filter(col("kind") === Kind.Way && col("op") =!= Op.Delete)
           .select(col("id").as("way_id"), explode(col("refs")).as("id")),
         chW.withColumnRenamed("id", "way_id"), "id",
-        tombstoneCol = Some("way_id"))),
-      timed("relrefs")(store.writeDelta("relrefs", next, seq,
+        tombstoneCol = Some("way_id")))),
+      timed("relrefs")(stepOrWrite(nR, "relrefs")(store.writeDelta("relrefs",
+        next, seq,
         d.filter(col("kind") === Kind.Relation && col("op") =!= Op.Delete)
           .select(col("id").as("rel_id"), explode(col("members")).as("m"))
           .select(col("m.id").as("id"), col("m.mtype").as("ref_type"),
             col("rel_id")),
         chR.withColumnRenamed("id", "rel_id"), "id",
-        tombstoneCol = Some("rel_id")))))
+        tombstoneCol = Some("rel_id"))))))
     mark("element-writes")
 
     // -- 2. dependency closure (J4) via the reverse indexes --------------------
@@ -336,6 +356,19 @@ object DiffPipeline {
       (if (single) lit(Ids.RelIDOffset) - col("id") else -col("id"))
         .cast("long").as("osm_id"))
     val nDel = chN.select(col("id").cast("long").as("osm_id"))
+    // closure sizes (checkpointed, near-free): an output table whose whole
+    // delete set is empty can have no delta rows either (rebuilt rows are
+    // driven by the closure), so it steps with writeUnchanged like the
+    // element tables above
+    val nWDel = rebuildW.count()
+    val nRDel = depR.count()
+    def changedFor(tableType: String): Long = tableType match {
+      case TableType.Point => nN
+      case TableType.LineString | TableType.Polygon => nWDel + nRDel
+      case TableType.Geometry => nN + nWDel + nRDel
+      case TableType.Relation | TableType.RelationMember => nRDel
+      case other => throw new IllegalArgumentException(other)
+    }
     def deleteIdsFor(tableType: String): DataFrame = tableType match {
       case TableType.Point => nDel
       case TableType.LineString => wDel.union(rDel)
@@ -365,7 +398,8 @@ object DiffPipeline {
       val del = deleteIdsFor(t.tableType).withColumnRenamed("osm_id", idc)
       outWrites += (() => {
         val tw = System.nanoTime()
-        store.writeDelta(tbl(name), next, seq, delta(name), del, idc)
+        if (changedFor(t.tableType) == 0) store.writeUnchanged(tbl(name), next, seq)
+        else store.writeDelta(tbl(name), next, seq, delta(name), del, idc)
         if (timing) System.err.println(
           f"[diff]   write $name ${(System.nanoTime() - tw) / 1e9}%.1fs")
       })
@@ -389,7 +423,8 @@ object DiffPipeline {
       val del = deleteIdsFor(rc.tableType).withColumnRenamed("osm_id", idc)
       outWrites += (() => {
         val tw = System.nanoTime()
-        store.writeDelta(tbl(name), next, seq, genDelta(name), del, idc)
+        if (changedFor(rc.tableType) == 0) store.writeUnchanged(tbl(name), next, seq)
+        else store.writeDelta(tbl(name), next, seq, genDelta(name), del, idc)
         if (timing) System.err.println(
           f"[diff]   write gen:$name ${(System.nanoTime() - tw) / 1e9}%.1fs")
       })
@@ -417,6 +452,7 @@ object DiffPipeline {
     pipeline.unpersistAll()
     if (commit) store.commit(next)
     Seq(d, chN, chW, chR, depW, depR, rebuildW).foreach(_.unpersist())
+    if (!buildViews) return Map.empty
     val views = viewsOf(store, mapping, next)
     mark("result-views")
     views
@@ -551,7 +587,7 @@ object DiffPipeline {
             "batch), or delete replseq.txt in the state dir to force.")
       }
       applyDiff(spark, mapping, stateDir, OsmXml.readDiff(spark, p).toDF(), srid,
-        expireDir = expireDir, expireZoom = expireZoom)
+        expireDir = expireDir, expireZoom = expireZoom, buildViews = false)
       s.foreach { sq =>
         baseline = sq
         last = math.max(last, sq)

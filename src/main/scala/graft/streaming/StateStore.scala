@@ -271,7 +271,17 @@ final class StateStore(spark: SparkSession, dir: String) {
     * given) unioned with every delta segment's inserts, with a row hidden
     * when ANY LATER segment tombstones its id — one broadcast anti-join
     * with an (id-equi + ordinal) condition; tombstones are batch-sized, so
-    * the broadcast is bounded by MaxSegments × batch size. */
+    * the broadcast is bounded by MaxSegments × batch size.
+    *
+    * Segment scans (r13, guide §2.4/§6): writeDelta stamps each segment's
+    * fold ordinal into the files (`__ord`/`__tord` columns), so ALL
+    * stamped segments of a table read as ONE parquet scan instead of one
+    * scan + union per segment. A long-running diff stream accumulates up
+    * to maxSegments segments per table, and every closure/rebuild read of
+    * every table paid N file indexes + an N-way union per view — measured
+    * as the per-batch wall growing 4.1 s → 12.4 s (closure) across one
+    * 8-batch compaction cycle of the soak. Legacy unstamped segments
+    * (pre-r13 stores) keep the per-segment path. */
   private def mergedView(name: String, seq: Long, only: Option[Set[Long]]): DataFrame = {
     val m = readManifest(name, seq)
     val base = new Path(root, name)
@@ -289,18 +299,38 @@ final class StateStore(spark: SparkSession, dir: String) {
     val idCol = m.segments.head.idCol
     val tombCol = m.segments.head.tombCol
     import org.apache.spark.sql.functions.broadcast
-    val withOrd = (baseDf.withColumn("__ord", lit(0L)) +:
-      m.segments.zipWithIndex.map { case (s, i) =>
-        val seg = rd(m.schema, Seq(s.ins)).withColumn("__ord", lit(i + 1L))
-        only match {
-          case Some(bs) => seg.filter(bucketOf(col(idCol)).isInCollection(bs))
-          case None => seg
-        }
-      }).reduce(_ unionByName _)
+    def pruned(df: DataFrame): DataFrame = only match {
+      case Some(bs) => df.filter(bucketOf(col(idCol)).isInCollection(bs))
+      case None => df
+    }
+    val ordered = m.segments.zipWithIndex
+    val (stamped, legacy) = ordered.partition(_._1.stamped)
+    // stamped segments: one scan carrying its own __ord column
+    val stampedScan =
+      if (stamped.isEmpty) Nil
+      else Seq(pruned(rd(
+        StructType(m.schema.fields :+
+          org.apache.spark.sql.types.StructField("__ord",
+            org.apache.spark.sql.types.LongType)),
+        stamped.map(_._1.ins))))
+    val legacyScans = legacy.map { case (s, i) =>
+      pruned(rd(m.schema, Seq(s.ins)).withColumn("__ord", lit(i + 1L)))
+    }
+    val withOrd = ((baseDf.withColumn("__ord", lit(0L)) +: legacyScans) ++
+      stampedScan).reduce(_ unionByName _)
     val tombSchema = StructType(Seq(m.schema(tombCol)))
-    val tombs = m.segments.zipWithIndex.map { case (s, i) =>
+    val tombStamped =
+      if (stamped.isEmpty) Nil
+      else Seq(rd(
+        StructType(tombSchema.fields :+
+          org.apache.spark.sql.types.StructField("__tord",
+            org.apache.spark.sql.types.LongType)),
+        stamped.map(_._1.del)))
+    val tombLegacy = legacy.map { case (s, i) =>
       rd(tombSchema, Seq(s.del)).withColumn("__tord", lit(i + 1L))
-    }.reduce(_ unionByName _).withColumnRenamed(tombCol, "__tid")
+    }
+    val tombs = (tombLegacy ++ tombStamped).reduce(_ unionByName _)
+      .withColumnRenamed(tombCol, "__tid")
     withOrd.join(broadcast(tombs),
         withOrd(tombCol) === tombs("__tid") && tombs("__tord") > withOrd("__ord"),
         "left_anti")
@@ -310,20 +340,26 @@ final class StateStore(spark: SparkSession, dir: String) {
   private def manifestPath(name: String, seq: Long): Path =
     new Path(new Path(tablePath(name, seq)), "_manifest")
 
+  // `stamped`: the segment's ins/del files physically carry their fold
+  // ordinal (`__ord`/`__tord` columns, written by writeDelta since r13) so
+  // ALL stamped segments of a table read as ONE parquet scan. Legacy
+  // segments (no columns) still read one-scan-per-segment.
   private final case class Segment(idCol: String, tombCol: String,
-      ins: String, del: String)
+      ins: String, del: String, stamped: Boolean = false)
   private final case class Manifest(schema: StructType,
       buckets: Map[Long, String], segments: Seq[Segment])
 
   /** `_manifest`: line 1 = schema JSON; then `<bucket>\t<relative dir>`
     * base-map lines; then ordered
-    * `SEG\t<idCol>\t<tombCol>\t<insDir>\t<delDir>` lines (merge-on-read
-    * delta segments, oldest first). */
+    * `SEG\t<idCol>\t<tombCol>\t<insDir>\t<delDir>` (legacy) or
+    * `SEGO\t…` (ordinal-stamped files, r13) lines — merge-on-read delta
+    * segments, oldest first. */
   private def writeManifest(name: String, seq: Long, schema: StructType,
       buckets: Map[Long, String], segments: Seq[Segment] = Nil): Unit = {
     val body = schema.json +:
       (buckets.toSeq.sortBy(_._1).map { case (b, p) => s"$b\t$p" } ++
-        segments.map(s => s"SEG\t${s.idCol}\t${s.tombCol}\t${s.ins}\t${s.del}"))
+        segments.map(s => s"${if (s.stamped) "SEGO" else "SEG"}\t" +
+          s"${s.idCol}\t${s.tombCol}\t${s.ins}\t${s.del}"))
     val vdir = new Path(tablePath(name, seq))
     if (!fs.exists(vdir)) fs.mkdirs(vdir)
     writeSmall(manifestPath(name, seq), body.mkString("\n"))
@@ -332,15 +368,15 @@ final class StateStore(spark: SparkSession, dir: String) {
   private def readManifest(name: String, seq: Long): Manifest = {
     val lines = readSmall(manifestPath(name, seq)).split("\n").toSeq
     val schema = DataType.fromJson(lines.head).asInstanceOf[StructType]
-    val (segLines, bucketLines) =
-      lines.tail.filter(_.nonEmpty).partition(_.startsWith("SEG\t"))
+    val (segLines, bucketLines) = lines.tail.filter(_.nonEmpty)
+      .partition(l => l.startsWith("SEG\t") || l.startsWith("SEGO\t"))
     val buckets = bucketLines.map { l =>
       val Array(b, p) = l.split("\t", 2)
       b.toLong -> p
     }.toMap
     val segments = segLines.map { l =>
-      val Array(_, idCol, tombCol, ins, del) = l.split("\t", 5)
-      Segment(idCol, tombCol, ins, del)
+      val Array(tag, idCol, tombCol, ins, del) = l.split("\t", 5)
+      Segment(idCol, tombCol, ins, del, stamped = tag == "SEGO")
     }
     Manifest(schema, buckets, segments)
   }
@@ -415,13 +451,34 @@ final class StateStore(spark: SparkSession, dir: String) {
       writeBucketed(name, seq, merged, idCol, sortWithin)
     } else {
       val vdir = tablePath(name, seq)
+      // stamp the fold ordinal into the files (position in the manifest's
+      // segment list, 1-based — stable: segments only append until a
+      // compaction clears the list) so every later read folds ALL stamped
+      // segments in one scan (see mergedView). lit() columns cost nothing
+      // in the write and make the read O(1) scans instead of O(segments).
+      val ord = m.segments.size + 1L
       val ins = if (sortWithin.isEmpty) inserts
         else inserts.sortWithinPartitions(sortWithin.map(col): _*)
-      ins.write.mode("overwrite").parquet(s"$vdir/ins")
-      deleteIds.select(col(tc)).write.mode("overwrite").parquet(s"$vdir/del")
+      ins.withColumn("__ord", lit(ord))
+        .write.mode("overwrite").parquet(s"$vdir/ins")
+      deleteIds.select(col(tc)).withColumn("__tord", lit(ord))
+        .write.mode("overwrite").parquet(s"$vdir/del")
       writeManifest(name, seq, m.schema, m.buckets,
-        m.segments :+ Segment(idCol, tc, s"v$seq/ins", s"v$seq/del"))
+        m.segments :+ Segment(idCol, tc, s"v$seq/ins", s"v$seq/del",
+          stamped = true))
     }
+  }
+
+  /** Version step with NO changes for this table: carry the previous
+    * manifest forward (same base buckets, same segments) so readers of
+    * v<seq> see the identical table — zero Spark jobs, no new segment.
+    * r13 (§2.4): a node-move-only diff batch wrote EMPTY ins+del segments
+    * for ways/relations/wayrefs/relrefs every batch; the empty segments
+    * still cost two write jobs each at write time and a fold level in
+    * every later read, and dragged untouched tables into compaction. */
+  def writeUnchanged(name: String, seq: Long, prevSeq: Long): Unit = {
+    val m = readManifest(name, prevSeq)
+    writeManifest(name, seq, m.schema, m.buckets, m.segments)
   }
 
   /** Drop version dirs older than `keep` behind the committed one — except

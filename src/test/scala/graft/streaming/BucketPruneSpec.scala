@@ -67,6 +67,28 @@ class BucketPruneSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"segment fold must be a broadcast hash anti-join:\n$plan")
+    // r13 single-scan fold: however many stamped segments accumulate, the
+    // insert side of the fold is ONE parquet scan (the files carry their
+    // own __ord), not one scan per segment — the per-batch read cost of a
+    // long diff stream must not grow with the segment count. v2 holds TWO
+    // segments; the plan has base + all-ins + the del scan (duplicated
+    // once by the optimizer splitting the anti-join over the union) = 4
+    // scans, a CONSTANT in the segment count (legacy folds planned
+    // 2 + 2·segments).
+    val plan2 = store.read("t", 2).queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan2).size
+    assert(scans <= 4,
+      s"stamped segments must fold as one scan (got $scans, expected ≤4 " +
+        s"independent of segment count):\n$plan2")
+    // a no-op version step carries the table forward without a new
+    // segment: same rows, no v5 segment dirs, no extra fold level
+    store.writeUnchanged("t", 5, 4)
+    assert(rows(5) == Seq((1L, "A"), (2L, "B"), (4L, "d")))
+    assert(!Files.isDirectory(Paths.get(dir, "t", "v5", "ins")),
+      "writeUnchanged must not write a segment")
+    val m5 = new String(Files.readAllBytes(
+      Paths.get(dir, "t", "v5", "_manifest")), "UTF-8")
+    assert(m5.contains("v4/ins"), "v5 manifest must carry v4's segment")
   }
 
   test("a small diff appends a delta segment, never rewrites base buckets") {
@@ -97,8 +119,8 @@ class BucketPruneSpec extends SparkSpecBase {
     val manifest = new String(Files.readAllBytes(
       Paths.get(stateDir, "coords", "v1", "_manifest")), "UTF-8")
     assert(manifest.contains("v0/__b="), "v1 manifest must reference v0 buckets")
-    assert(manifest.contains("SEG\tid\tid\tv1/ins\tv1/del"),
-      "v1 manifest must list the delta segment")
+    assert(manifest.contains("SEGO\tid\tid\tv1/ins\tv1/del"),
+      "v1 manifest must list the (ordinal-stamped) delta segment")
 
     // and the merged view is consistent: committed coords == v0 kept + diff
     val coords = store.read("coords", 1)
